@@ -1,0 +1,199 @@
+"""Checkerboard (two-color) lattice storage and neighbor stencils.
+
+The canonical storage for 2-D models is a pair of dense arrays ``(a, b)``
+of shape ``(ny, nx // 2)``:
+
+- ``a[y, i]`` holds the site ``(y, x = 2*i + (y & 1))``   (color 0, (x+y) even)
+- ``b[y, i]`` holds the site ``(y, x = 2*i + 1 - (y & 1))`` (color 1, (x+y) odd)
+
+Every site's four nearest neighbors live in the *other* color array, so a
+checkerboard Metropolis phase is a dense, fully-vectorized update of one
+array reading the other — no parity masking, every TPU lane does useful
+work.  This is the same conclusion the reference reaches in its fastest
+variants (dual-lattice storage: /root/reference/src/clock/
+clock_dual_lattice_yhalf_tableall_m.f90:62-63, /root/reference/src/
+xy2d_periodic_yhalf_gpu_m.f90:62-63); here it is the canonical layout for
+all models rather than one point in a hand-written optimization ladder.
+
+Neighbor index algebra (periodic BC), with ``p = y & 1``:
+
+color 0 site ``(y, 2i+p)``:
+    up    = b[y-1, i]          down  = b[y+1, i]
+    left  = b[y, i+p-1]        right = b[y, i+p]
+color 1 site ``(y, 2i+1-p)``:
+    left  = a[y, i-p]          right = a[y, i+1-p]
+    up    = a[y-1, i]          down  = a[y+1, i]
+
+so the left+right sum for color 0 is ``b + roll(b, ∓1)`` selected by row
+parity, and the opposite selection for color 1.
+
+The reference's flat-array "norishiro" halo maintenance
+(/root/reference/src/ising2d_gpu_m.f90:86-106, helical BC) and the
+periodic 4-sided halo kernels (/root/reference/src/xy2d_periodic_gpu_m.f90:
+296-326) are replaced by `jnp.roll` wraparound on a single chip and by
+`ppermute` edge exchange across chips (see ``parallel/halo.py``).
+
+Helical (skew-periodic) BC — the reference's layout for ising2d / xy2d /
+clock flat arrays, where site ``idx`` neighbors ``idx±1, idx±nx`` modulo
+``nall`` — is supported by a flat masked engine for cross-checking
+(`helical_neighbor_sums`); production paths use true periodic BC.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Literal
+
+import jax.numpy as jnp
+import numpy as np
+
+Parity = Literal[0, 1]
+
+
+@dataclasses.dataclass(frozen=True)
+class LatticeSpec:
+    """Static description of a 2-D lattice.
+
+    Replaces the reference's compile-time `parameter ::` constants +
+    sed-patching config mechanism (/root/reference/scripts/fpm_run.sh:11-16).
+    """
+
+    nx: int
+    ny: int
+    bc: Literal["periodic", "helical"] = "periodic"
+
+    def __post_init__(self):
+        if self.bc == "periodic" and self.nx % 2 != 0:
+            raise ValueError(
+                f"periodic checkerboard storage requires even nx, got {self.nx}"
+            )
+        if self.ny % 2 != 0 and self.bc == "periodic":
+            # odd ny breaks color consistency across the y wraparound seam
+            raise ValueError(
+                f"periodic checkerboard storage requires even ny, got {self.ny}"
+            )
+
+    @property
+    def nsites(self) -> int:
+        return self.nx * self.ny
+
+    @property
+    def color_shape(self) -> tuple[int, int]:
+        return (self.ny, self.nx // 2)
+
+
+def _row_parity(ny: int, half_nx: int) -> jnp.ndarray:
+    """(ny, 1) int32 array: y & 1 — broadcasts against color arrays."""
+    return (jnp.arange(ny, dtype=jnp.int32) & 1).reshape(ny, 1)
+
+
+def split_checkerboard(full: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """(ny, nx) full lattice -> (a, b) color arrays of shape (ny, nx//2).
+
+    Works for trailing feature dims too: (ny, nx, *f) -> (ny, nx//2, *f).
+    """
+    ny, nx = full.shape[0], full.shape[1]
+    pairs = full.reshape(ny, nx // 2, 2, *full.shape[2:])
+    odd = (jnp.arange(ny) & 1).astype(bool).reshape(
+        ny, *([1] * (pairs.ndim - 2))
+    )
+    even_x = pairs[:, :, 0]
+    odd_x = pairs[:, :, 1]
+    a = jnp.where(odd, odd_x, even_x)
+    b = jnp.where(odd, even_x, odd_x)
+    return a, b
+
+
+def merge_checkerboard(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Inverse of :func:`split_checkerboard`."""
+    ny, half = a.shape[0], a.shape[1]
+    odd = (jnp.arange(ny) & 1).astype(bool).reshape(ny, *([1] * (a.ndim - 1)))
+    even_x = jnp.where(odd, b, a)
+    odd_x = jnp.where(odd, a, b)
+    pairs = jnp.stack([even_x, odd_x], axis=2)
+    return pairs.reshape(ny, half * 2, *a.shape[2:])
+
+
+def neighbor_sums(
+    other: jnp.ndarray, color: Parity, accum_dtype=None
+) -> jnp.ndarray:
+    """Sum of the 4 nearest neighbors for every site of ``color``.
+
+    ``other`` is the opposite color array, shape (ny, nx//2) (a trailing
+    feature axis is allowed, e.g. XY spin components (ny, nx//2, 2)).
+    Periodic BC via roll wraparound.
+
+    Mirrors the stencil of /root/reference/src/ising2d_gpu_m.f90:191-196 and
+    /root/reference/src/xy2d_periodic_gpu_m.f90:389-397, recast as dense
+    vector ops on color arrays.
+    """
+    if accum_dtype is not None:
+        other = other.astype(accum_dtype)
+    ny = other.shape[0]
+    odd = (jnp.arange(ny) & 1).astype(bool).reshape(
+        ny, *([1] * (other.ndim - 1))
+    )
+    up = jnp.roll(other, 1, axis=0)
+    down = jnp.roll(other, -1, axis=0)
+    minus = jnp.roll(other, 1, axis=1)   # value from i-1
+    plus = jnp.roll(other, -1, axis=1)   # value from i+1
+    if color == 0:
+        lr = other + jnp.where(odd, plus, minus)
+    else:
+        lr = other + jnp.where(odd, minus, plus)
+    return up + down + lr
+
+
+def right_down_neighbors(
+    a: jnp.ndarray, b: jnp.ndarray
+) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Per-site right and down neighbor values for both colors.
+
+    Used by bond-energy reductions: E = -Σ_sites S·(S_right + S_down)
+    (/root/reference/src/ising2d_gpu_m.f90:202-211).
+
+    Returns (right_of_a, down_of_a, right_of_b, down_of_b).
+    """
+    ny = a.shape[0]
+    odd = (jnp.arange(ny) & 1).astype(bool).reshape(ny, *([1] * (a.ndim - 1)))
+    # color 0 site (y, 2i+p): right neighbor = b[y, i+p]
+    right_a = jnp.where(odd, jnp.roll(b, -1, axis=1), b)
+    down_a = jnp.roll(b, -1, axis=0)
+    # color 1 site (y, 2i+1-p): right neighbor = a[y, i+1-p]
+    right_b = jnp.where(odd, a, jnp.roll(a, -1, axis=1))
+    down_b = jnp.roll(a, -1, axis=0)
+    return right_a, down_a, right_b, down_b
+
+
+# ---------------------------------------------------------------------------
+# Helical (skew-periodic) flat engine — parity with the reference layout
+# ---------------------------------------------------------------------------
+
+def helical_neighbor_sums(flat: jnp.ndarray, nx: int) -> jnp.ndarray:
+    """4-neighbor sums under helical BC on a flat (nall,) lattice.
+
+    Site ``idx`` neighbors ``idx±1`` and ``idx±nx``, wrapping modulo nall —
+    the reference's "norishiro" layout (/root/reference/src/
+    ising2d_gpu_m.f90:52-54,95-106: halo rows [1-nx:0] and [nall+1:nall+nx]
+    mirror the opposite edge).
+    """
+    return (
+        jnp.roll(flat, -1)
+        + jnp.roll(flat, 1)
+        + jnp.roll(flat, -nx)
+        + jnp.roll(flat, nx)
+    )
+
+
+def helical_parity_mask(nall: int, offset: Parity) -> jnp.ndarray:
+    """Boolean mask of the sites updated in a helical checkerboard phase.
+
+    The reference updates ``idx = offset, nall, 2`` (1-based:
+    /root/reference/src/ising2d_gpu_m.f90:155-157); 0-based this is
+    ``idx % 2 == offset``.
+    """
+    return (jnp.arange(nall) & 1) == offset
+
+
+def full_lattice_to_numpy(a, b) -> np.ndarray:
+    return np.asarray(merge_checkerboard(a, b))

@@ -1,0 +1,132 @@
+"""Jitted Monte Carlo schedules.
+
+The reference's inner loop launches 6+ kernels per MCS from the host and
+pulls two scalars back every sweep (/root/repo/SURVEY.md §3.1; call sites
+/root/reference/app/ising2d_gpu_relaxation.f90:38-43).  Here the *entire
+sample history* — mcs sweeps, optional over-relaxation, per-sweep
+measurement — runs inside one `lax.scan` under `jit`; the only
+device→host transfer is the (mcs, n_obs) observable series per sample
+(or per batch of vmapped samples).
+
+Keying: sweep t of sample s draws from fold_in(fold_in(base, s), t) —
+the declarative replacement of the reference's sequential XORWOW stream
+with `skip_curand` offsets (core/rng.py).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from cuda_fortran_mc_simulation_spin_tpu.core import rng
+
+
+def _obs_names(model, state) -> tuple[str, ...]:
+    return tuple(model.observables(state).keys())
+
+
+def make_sample_runner(
+    model,
+    mcs: int,
+    init_kind: str = "allup",
+    n_over_relax: int = 0,
+    mcs_over_relax: int = 0,
+    prepare: Callable[[Any, jax.Array], Any] | None = None,
+    measure: Callable[[Any], dict[str, jax.Array]] | None = None,
+) -> Callable[[jax.Array], dict[str, jax.Array]]:
+    """Build `run(sample_key) -> {name: (mcs,) f32}` for one MC history.
+
+    - ``init_kind``: initial state per sample (allup/random/...), built
+      fresh each sample as in the reference's sample loop
+      (/root/reference/app/ising2d_gpu_relaxation.f90:34-36).
+    - ``n_over_relax``/``mcs_over_relax``: after each Metropolis sweep with
+      t ≤ mcs_over_relax, run n_over_relax over-relaxation sweeps
+      (/root/reference/app/xy2d_gpu_over_relaxation.f90:45-47).
+    - ``prepare``: optional post-init hook (rotation, autocorrelation
+      snapshot, finite-magne prep — see engine/protocols.py).
+    - ``measure``: observable fn; defaults to ``model.observables``.
+    """
+    measure = measure or model.observables
+
+    def run(sample_key: jax.Array) -> dict[str, jax.Array]:
+        state = model.init_state(init_kind, rng.phase_key(sample_key, 1000))
+        if prepare is not None:
+            state = prepare(state, rng.phase_key(sample_key, 2000))
+
+        def body(state, t):
+            state = model.sweep(state, rng.sweep_key(sample_key, t))
+            if n_over_relax > 0:
+                def do_or(s):
+                    def or_body(i, s):
+                        return model.over_relax_sweep(s)
+                    return lax.fori_loop(0, n_over_relax, or_body, s)
+                if mcs_over_relax >= mcs:
+                    state = do_or(state)
+                else:
+                    state = lax.cond(
+                        t <= mcs_over_relax, do_or, lambda s: s, state
+                    )
+            return state, measure(state)
+
+        _, series = lax.scan(body, state, jnp.arange(1, mcs + 1))
+        return series
+
+    return run
+
+
+def run_ensemble(
+    model,
+    mcs: int,
+    tot_sample: int,
+    base_key: jax.Array,
+    accumulate: Callable[[dict[str, Any]], None],
+    init_kind: str = "allup",
+    replicas: int = 1,
+    samples_per_call: int = 1,
+    progress: Callable[[int, int], None] | None = None,
+    **runner_kwargs,
+) -> None:
+    """Drive tot_sample independent histories, folding each per-sample
+    observable series into host-side accumulators.
+
+    Replica axis (``replicas`` > 1) vmaps independent histories inside a
+    single device program — the reference's `clock_gpu_multi_m` n_multi
+    axis (/root/reference/src/clock_gpu_multi_m.f90:66) and
+    `xy2d_periodic_samples_gpu_m` thread-per-replica engine
+    (/root/reference/src/xy2d_periodic_samples_gpu_m.f90:56,189), done the
+    JAX way.  ``samples_per_call`` additionally batches sequential samples
+    into one dispatch.
+
+    Effective histories = tot_sample (counted in units of single
+    histories; must be divisible by replicas * samples_per_call).
+    """
+    run1 = make_sample_runner(model, mcs, init_kind, **runner_kwargs)
+    batch = replicas * samples_per_call
+    if tot_sample % batch:
+        raise ValueError(
+            f"tot_sample={tot_sample} not divisible by "
+            f"replicas*samples_per_call={batch}"
+        )
+
+    if batch == 1:
+        runner = jax.jit(run1)
+    else:
+        runner = jax.jit(jax.vmap(run1))
+
+    n_calls = tot_sample // batch
+    for call in range(n_calls):
+        if batch == 1:
+            keys = rng.sample_key(base_key, call)
+        else:
+            first = call * batch
+            keys = jax.vmap(lambda i: rng.sample_key(base_key, i))(
+                first + jnp.arange(batch)
+            )
+        series = jax.device_get(runner(keys))
+        accumulate(series)
+        if progress is not None:
+            progress((call + 1) * batch, tot_sample)
