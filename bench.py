@@ -1,0 +1,70 @@
+"""Headline benchmark: Ising2D spin-flip attempts/sec/chip.
+
+Target (BASELINE.md): >= 1e10 flip attempts/s/chip on an 8192x8192
+lattice with seeded, reproducible sweeps.  The reference publishes no
+numbers (BASELINE.md), so vs_baseline is measured against that 1e10
+target.
+
+Prints exactly one JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from cuda_fortran_mc_simulation_spin_tpu.core import rng
+from cuda_fortran_mc_simulation_spin_tpu.models.ising2d import Ising2D
+
+BASELINE_FLIPS_PER_SEC = 1e10
+
+
+def main() -> None:
+    on_accel = jax.default_backend() not in ("cpu",)
+    n = 8192 if on_accel else 256
+    sweeps = 64 if on_accel else 4
+
+    model = Ising2D(nx=n, ny=n, kbt=2.26918531421)
+    state = model.init_state("allup")
+
+    @jax.jit
+    def run(state, key):
+        def body(s, t):
+            return model.sweep(s, rng.sweep_key(key, t)), ()
+
+        s, _ = lax.scan(body, state, jnp.arange(sweeps))
+        # fold in a reduction so the whole chain is live
+        return s, model.magne_sum(s)
+
+    key = rng.base_key(42)
+    state, m = run(state, key)  # compile + warmup
+    jax.device_get(m)
+
+    reps = 3
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        state, m = run(state, key)
+        jax.device_get(m)
+        best = min(best, time.perf_counter() - t0)
+
+    flips_per_sec = model.nsites * sweeps / best
+    print(
+        json.dumps(
+            {
+                "metric": "ising2d_flip_attempts_per_sec_per_chip",
+                "value": flips_per_sec,
+                "unit": "flip-attempts/s",
+                "vs_baseline": flips_per_sec / BASELINE_FLIPS_PER_SEC,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -165,6 +165,39 @@ def right_down_neighbors(
     return right_a, down_a, right_b, down_b
 
 
+def neighbor_sums_halo(
+    other: jnp.ndarray,
+    halo_up: jnp.ndarray,
+    halo_dn: jnp.ndarray,
+    color: Parity,
+) -> jnp.ndarray:
+    """:func:`neighbor_sums` for a y-sharded local block with explicit
+    halo rows.
+
+    ``halo_up``/``halo_dn`` are the (1, nx//2[, f]) rows owned by the y-
+    neighbor shards (fetched over ICI via `ppermute`, see parallel/halo.py)
+    — the multi-chip promotion of the reference's intra-GPU "norishiro"
+    halo kernels (/root/reference/src/xy2d_periodic_gpu_m.f90:296-326).
+
+    Assumes the local block starts on an even global row (enforced by
+    requiring ny % (2 * n_shards) == 0), so local row parity equals
+    global row parity.
+    """
+    ny = other.shape[0]
+    odd = (jnp.arange(ny) & 1).astype(bool).reshape(
+        ny, *([1] * (other.ndim - 1))
+    )
+    up = jnp.concatenate([halo_up, other[:-1]], axis=0)
+    dn = jnp.concatenate([other[1:], halo_dn], axis=0)
+    minus = jnp.roll(other, 1, axis=1)
+    plus = jnp.roll(other, -1, axis=1)
+    if color == 0:
+        lr = other + jnp.where(odd, plus, minus)
+    else:
+        lr = other + jnp.where(odd, minus, plus)
+    return up + dn + lr
+
+
 # ---------------------------------------------------------------------------
 # Helical (skew-periodic) flat engine — parity with the reference layout
 # ---------------------------------------------------------------------------

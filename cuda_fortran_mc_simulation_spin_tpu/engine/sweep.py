@@ -78,6 +78,54 @@ def make_sample_runner(
     return run
 
 
+def make_batch_runner(
+    model,
+    mcs: int,
+    batch: int,
+    init_kind: str = "allup",
+    n_over_relax: int = 0,
+    mcs_over_relax: int = 0,
+    prepare: Callable[[Any, jax.Array], Any] | None = None,
+    measure: Callable[[Any], dict[str, jax.Array]] | None = None,
+) -> Callable[[jax.Array], dict[str, jax.Array]]:
+    """Build `run(call_key) -> {name: (batch, mcs) f32}` advancing a whole
+    replica batch per device step (model.sweep_batched: Pallas replica
+    grid axis on TPU, vmap on CPU)."""
+    measure = measure or model.observables
+
+    def run(call_key: jax.Array) -> dict[str, jax.Array]:
+        init_keys = jax.vmap(
+            lambda r: jax.random.fold_in(rng.phase_key(call_key, 1000), r)
+        )(jnp.arange(batch))
+        state = jax.vmap(lambda k: model.init_state(init_kind, k))(init_keys)
+        if prepare is not None:
+            prep_keys = jax.vmap(
+                lambda r: jax.random.fold_in(rng.phase_key(call_key, 2000), r)
+            )(jnp.arange(batch))
+            state = jax.vmap(prepare)(state, prep_keys)
+
+        def body(state, t):
+            state = model.sweep_batched(state, rng.sweep_key(call_key, t))
+            if n_over_relax > 0:
+                def do_or(s):
+                    def or_body(i, s):
+                        return jax.vmap(model.over_relax_sweep)(s)
+                    return lax.fori_loop(0, n_over_relax, or_body, s)
+                if mcs_over_relax >= mcs:
+                    state = do_or(state)
+                else:
+                    state = lax.cond(
+                        t <= mcs_over_relax, do_or, lambda s: s, state
+                    )
+            return state, jax.vmap(measure)(state)
+
+        _, series = lax.scan(body, state, jnp.arange(1, mcs + 1))
+        # (mcs, batch) -> (batch, mcs)
+        return jax.tree.map(lambda x: jnp.swapaxes(x, 0, 1), series)
+
+    return run
+
+
 def run_ensemble(
     model,
     mcs: int,
@@ -104,7 +152,6 @@ def run_ensemble(
     Effective histories = tot_sample (counted in units of single
     histories; must be divisible by replicas * samples_per_call).
     """
-    run1 = make_sample_runner(model, mcs, init_kind, **runner_kwargs)
     batch = replicas * samples_per_call
     if tot_sample % batch:
         raise ValueError(
@@ -113,20 +160,17 @@ def run_ensemble(
         )
 
     if batch == 1:
-        runner = jax.jit(run1)
+        runner = jax.jit(
+            make_sample_runner(model, mcs, init_kind, **runner_kwargs)
+        )
     else:
-        runner = jax.jit(jax.vmap(run1))
+        runner = jax.jit(
+            make_batch_runner(model, mcs, batch, init_kind, **runner_kwargs)
+        )
 
     n_calls = tot_sample // batch
     for call in range(n_calls):
-        if batch == 1:
-            keys = rng.sample_key(base_key, call)
-        else:
-            first = call * batch
-            keys = jax.vmap(lambda i: rng.sample_key(base_key, i))(
-                first + jnp.arange(batch)
-            )
-        series = jax.device_get(runner(keys))
+        series = jax.device_get(runner(rng.sample_key(base_key, call)))
         accumulate(series)
         if progress is not None:
             progress((call + 1) * batch, tot_sample)

@@ -40,9 +40,25 @@ class Ising2D:
     ny: int
     kbt: float
     spin_dtype: jnp.dtype = jnp.int8
+    backend: str = "auto"  # "jnp" | "pallas" | "auto"
 
     def __post_init__(self):
         lattice.LatticeSpec(self.nx, self.ny)  # validates even dims
+
+    def _pallas_ok(self) -> bool:
+        return (self.nx // 2) % 128 == 0 and self.ny % 32 == 0
+
+    @property
+    def resolved_backend(self) -> str:
+        if self.backend == "auto":
+            on_tpu = jax.default_backend() not in ("cpu", "gpu")
+            return "pallas" if (on_tpu and self._pallas_ok()) else "jnp"
+        if self.backend == "pallas" and not self._pallas_ok():
+            raise ValueError(
+                "pallas backend needs nx/2 % 128 == 0 and ny % 32 == 0, "
+                f"got nx={self.nx}, ny={self.ny}"
+            )
+        return self.backend
 
     @property
     def beta(self) -> float:
@@ -83,14 +99,20 @@ class Ising2D:
         raise ValueError(f"unknown init state {kind!r}")
 
     # -- one checkerboard phase ---------------------------------------------
-    def _phase(self, spins, other, color, u):
+    def _phase(self, spins, other, color, u, halos=None):
         """Metropolis update of one color array given the other.
 
         flip iff u ≤ exp(-β·ΔE), ΔE = 2·s·Σnbr
         (/root/reference/src/ising2d_gpu_m.f90:148-162,191-196).
+
+        ``halos=(up, dn)`` switches to the y-sharded local-block stencil
+        (multi-chip domain decomposition, parallel/domain.py).
         """
         p4, p8 = self.accept_table
-        nsum = lattice.neighbor_sums(other, color)          # int8, |·| ≤ 4
+        if halos is None:
+            nsum = lattice.neighbor_sums(other, color)      # int8, |·| ≤ 4
+        else:
+            nsum = lattice.neighbor_sums_halo(other, *halos, color)
         de = (2 * spins * nsum).astype(jnp.int8)            # ∈ {-8,-4,0,4,8}
         thresh = jnp.where(de == 4, jnp.float32(p4), jnp.float32(p8))
         accept = (de <= 0) | (u < thresh)
@@ -99,7 +121,42 @@ class Ising2D:
     def sweep(self, state: CheckerboardState, key: jax.Array
               ) -> CheckerboardState:
         """One MCS: update color 0 then color 1 (two phases, as
-        /root/reference/src/ising2d_gpu_m.f90:133-147)."""
+        /root/reference/src/ising2d_gpu_m.f90:133-147).
+
+        Dispatches to the fused Pallas kernel on TPU (hardware PRNG,
+        int-threshold acceptance) or the jnp path elsewhere; both
+        implement the same physics, with independent random streams.
+        """
+        if self.resolved_backend == "pallas":
+            from cuda_fortran_mc_simulation_spin_tpu.ops import (
+                ising2d_pallas,
+            )
+            return ising2d_pallas.sweep(self, state, key)
+        return self.sweep_jnp(state, key)
+
+    def sweep_batched(self, state: CheckerboardState, key: jax.Array
+                      ) -> CheckerboardState:
+        """One MCS for a replica batch — state arrays (R, ny, nx//2).
+
+        The TPU-native form of the reference's replica engines
+        (/root/reference/src/clock_gpu_multi_m.f90:200-236 2-D site×replica
+        grid; /root/reference/src/xy2d_periodic_samples_gpu_m.f90:181-201
+        thread-per-replica): Pallas uses a replica grid axis, the jnp path
+        vmaps with per-replica keys.
+        """
+        if self.resolved_backend == "pallas":
+            from cuda_fortran_mc_simulation_spin_tpu.ops import (
+                ising2d_pallas,
+            )
+            return ising2d_pallas.sweep(self, state, key)
+        nrep = state.a.shape[0]
+        keys = jax.vmap(lambda r: jax.random.fold_in(key, r))(
+            jnp.arange(nrep)
+        )
+        return jax.vmap(self.sweep_jnp)(state, keys)
+
+    def sweep_jnp(self, state: CheckerboardState, key: jax.Array
+                  ) -> CheckerboardState:
         a, b = state
         u0 = rng.uniform(rng.phase_key(key, 0), a.shape)
         a = self._phase(a, b, 0, u0)

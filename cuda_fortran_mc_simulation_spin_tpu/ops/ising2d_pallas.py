@@ -1,0 +1,197 @@
+"""Fused Pallas TPU kernel: checkerboard Metropolis phases for Ising2D.
+
+This is the TPU-native counterpart of the reference's CUDA `update_sub`
+kernel (/root/reference/src/ising2d_gpu_m.f90:148-162).  Fusion level is
+higher than the reference: RNG generation happens *inside* the kernel on
+the per-core hardware PRNG (the reference bulk-generates N XORWOW
+uniforms into HBM first, :138), and acceptance uses integer threshold
+compares against precomputed uint32 cutoffs instead of float exp-LUT
+loads, so the hot loop is VPU int32 ops with zero gathers and zero
+transcendentals.
+
+Tiling: grid (replicas, row-blocks) over color arrays (R, ny, nx//2)
+int8 — the replica axis is a first-class grid dimension (the TPU-native
+form of the reference's replica engines,
+/root/reference/src/clock_gpu_multi_m.f90:66).  Periodic y-halo rows are
+fetched by viewing the opposite-color array with 8-row BlockSpecs at
+(row ± 1) mod ny — the in-kernel analog of the reference's "norishiro"
+halo maintenance (/root/reference/src/ising2d_gpu_m.f90:86-106).
+x-neighbors are lane rolls within the block (the dual-color layout makes
+the left+right sum a single roll + add, see core/lattice.py).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from cuda_fortran_mc_simulation_spin_tpu.models.base import CheckerboardState
+
+# int8 sublane granularity
+_MIN_TY = 32
+
+
+def _pick_tile_rows(ny: int, half: int, budget_bytes: int = 512 << 10) -> int:
+    """Largest row-tile that is a multiple of 32, divides ny, and keeps the
+    int8 block under ~512KB so the kernel's int32 temporaries and
+    double-buffered pipeline stay within the 16MB VMEM budget."""
+    ty = max(_MIN_TY, min(ny, budget_bytes // max(half, 1)))
+    ty = (ty // _MIN_TY) * _MIN_TY
+    while ty >= _MIN_TY:
+        if ny % ty == 0:
+            return ty
+        ty -= _MIN_TY
+    raise ValueError(
+        f"ny={ny} not tileable into multiples of {_MIN_TY} "
+        f"(need ny % 32 == 0 for the int8 Pallas path)"
+    )
+
+
+def accept_thresholds_u32(beta: float) -> tuple[int, int]:
+    """uint32 acceptance cutoffs for ΔE = 4 and ΔE = 8.
+
+    flip iff rand_bits < round(exp(-β·ΔE)·2³²) — integer-exact analog of
+    the reference's `randoms(idx) <= exparr(ΔE)` test
+    (/root/reference/src/ising2d_gpu_m.f90:159-161).
+    """
+    def cut(p):
+        return int(min(0xFFFFFFFF, round(p * 4294967296.0)))
+
+    return cut(np.exp(-4.0 * beta)), cut(np.exp(-8.0 * beta))
+
+
+def _phase_kernel(seed_ref, x_ref, oc_ref, oup_ref, odn_ref, out_ref,
+                  *, color: int, ty: int, t4: int, t8: int):
+    r = pl.program_id(0)  # replica
+    i = pl.program_id(1)  # row-block
+    # hardware PRNG takes at most 2 seed words: mix replica and tile ids
+    # into the second word (golden-ratio multiplies decorrelate them).
+    tile_tag = i * jnp.int32(-1640531527) + r * jnp.int32(0x3C6EF35F)
+    pltpu.prng_seed(seed_ref[0], seed_ref[1] ^ tile_tag)
+
+    # int8 storage, int32 compute (Mosaic has no int8 VPU arithmetic;
+    # the tile budget keeps the int32 temporaries inside VMEM).
+    x = x_ref[0].astype(jnp.int32)
+    o = oc_ref[0].astype(jnp.int32)
+
+    # y-neighbors: shift rows down/up within the block, splice halo rows
+    # (halo blocks are 8 rows for sublane alignment; only the edge row
+    # of each is used).
+    up = jnp.concatenate([oup_ref[0, 7:8, :].astype(jnp.int32), o[:-1]],
+                         axis=0)
+    dn = jnp.concatenate([o[1:], odn_ref[0, 0:1, :].astype(jnp.int32)],
+                         axis=0)
+
+    # x-neighbors: lane roll; which of (i-1, i) / (i, i+1) pairs applies
+    # alternates with global row parity (core/lattice.py neighbor algebra).
+    minus = pltpu.roll(o, 1, axis=1)
+    plus = pltpu.roll(o, o.shape[1] - 1, axis=1)  # == roll by -1
+    row0 = i * ty
+    parity = (
+        (jax.lax.broadcasted_iota(jnp.int32, (ty, 1), 0) + row0) & 1
+    ) == 1
+    if color == 0:
+        lr = o + jnp.where(parity, plus, minus)
+    else:
+        lr = o + jnp.where(parity, minus, plus)
+
+    # s·Σnbr ∈ {-4,-2,0,2,4}; ΔE = 2·s·Σnbr, so ΔE=4 ⇔ s·Σnbr=2.
+    half_de = x * (up + dn + lr)
+
+    bits = pltpu.bitcast(pltpu.prng_random_bits(x.shape), jnp.uint32)
+    thresh = jnp.where(half_de == 2, jnp.uint32(t4), jnp.uint32(t8))
+    accept = (half_de <= 0) | (bits < thresh)
+    out_ref[0] = jnp.where(accept, -x, x).astype(jnp.int8)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("color", "beta", "nrep", "ny", "half")
+)
+def _metropolis_phase(
+    x: jax.Array,
+    other: jax.Array,
+    seeds: jax.Array,
+    *,
+    color: int,
+    beta: float,
+    nrep: int,
+    ny: int,
+    half: int,
+) -> jax.Array:
+    t4, t8 = accept_thresholds_u32(beta)
+    ty = _pick_tile_rows(ny, half)
+    n = ny // ty
+    nb8 = ny // 8
+    kernel = functools.partial(
+        _phase_kernel, color=color, ty=ty, t4=t4, t8=t8
+    )
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((nrep, ny, half), jnp.int8),
+        grid=(nrep, n),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # seeds (2,)
+            pl.BlockSpec((1, ty, half), lambda r, i: (r, i, 0),
+                         memory_space=pltpu.VMEM),  # x (color being updated)
+            pl.BlockSpec((1, ty, half), lambda r, i: (r, i, 0),
+                         memory_space=pltpu.VMEM),  # other, centered
+            pl.BlockSpec(
+                (1, 8, half),
+                lambda r, i: (r, (i * ty // 8 - 1 + nb8) % nb8, 0),
+                memory_space=pltpu.VMEM,
+            ),  # other: 8-row block whose LAST row is the halo row above
+            pl.BlockSpec(
+                (1, 8, half),
+                lambda r, i: (r, ((i + 1) * ty // 8) % nb8, 0),
+                memory_space=pltpu.VMEM,
+            ),  # other: 8-row block whose FIRST row is the halo row below
+        ],
+        out_specs=pl.BlockSpec((1, ty, half), lambda r, i: (r, i, 0),
+                               memory_space=pltpu.VMEM),
+        input_output_aliases={1: 0},
+    )(seeds, x, other, other, other)
+
+
+def seeds_from_key(key: jax.Array, phase: int) -> jax.Array:
+    """(2,) int32 hardware-PRNG seed derived from a threefry sweep key.
+
+    Distinct per (sample, sweep) through the fold_in chain upstream
+    (core/rng.py) and per phase/replica/tile inside the kernel."""
+    data = jax.random.key_data(key).astype(jnp.uint32).reshape(-1)
+    return jnp.stack(
+        [data[0].astype(jnp.int32),
+         (data[-1]
+          ^ jnp.uint32((0x9E3779B1 * (phase + 1)) & 0xFFFFFFFF)
+          ).astype(jnp.int32)]
+    )
+
+
+def _sweep_nd(model, state: CheckerboardState, key: jax.Array
+              ) -> CheckerboardState:
+    ny, half = model.color_shape
+    beta = float(model.beta)
+    a, b = state
+    batched = a.ndim == 3
+    if not batched:
+        a = a[None]
+        b = b[None]
+    nrep = a.shape[0]
+    kw = dict(beta=beta, nrep=nrep, ny=ny, half=half)
+    a = _metropolis_phase(a, b, seeds_from_key(key, 0), color=0, **kw)
+    b = _metropolis_phase(b, a, seeds_from_key(key, 1), color=1, **kw)
+    if not batched:
+        a, b = a[0], b[0]
+    return CheckerboardState(a, b)
+
+
+def sweep(model, state: CheckerboardState, key: jax.Array
+          ) -> CheckerboardState:
+    """One full MCS (both colors) via the fused Pallas phase kernel.
+
+    Accepts (ny, half) color arrays or replica-batched (R, ny, half)."""
+    return _sweep_nd(model, state, key)

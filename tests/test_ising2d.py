@@ -131,10 +131,12 @@ def test_equilibrium_vs_exact_enumeration():
 
 
 def test_run_ensemble_with_kahan_stats(model):
-    mcs, tot = 5, 6
+    mcs, tot = 5, 12
     acc = stats.VarianceCovarianceKahan((mcs,))
+    captured = []
 
     def accumulate(series):
+        captured.append((series["m"], series["e"]))
         acc.add_data(series["m"], series["e"])
 
     sweep_mod.run_ensemble(
@@ -143,14 +145,13 @@ def test_run_ensemble_with_kahan_stats(model):
     )
     assert acc.num_sample() == tot
     assert acc.mean1().shape == (mcs,)
-    # vs plain numpy aggregation over individually-run samples
-    ms, es = [], []
-    run1 = jax.jit(sweep_mod.make_sample_runner(model, mcs))
-    for s in range(tot):
-        series = jax.device_get(run1(rng.sample_key(rng.base_key(42), s)))
-        ms.append(series["m"])
-        es.append(series["e"])
-    ms, es = np.array(ms, np.float64), np.array(es, np.float64)
+    # Kahan accumulators must reproduce plain f64 numpy moments over the
+    # same per-history series
+    ms = np.concatenate([np.asarray(c[0], np.float64) for c in captured])
+    es = np.concatenate([np.asarray(c[1], np.float64) for c in captured])
+    assert ms.shape == (tot, mcs)
+    # batched histories must actually be distinct
+    assert len({tuple(row) for row in ms}) > 1
     np.testing.assert_allclose(acc.mean1(), ms.mean(0), rtol=1e-6)
     np.testing.assert_allclose(acc.mean2(), es.mean(0), rtol=1e-6)
     np.testing.assert_allclose(
@@ -161,6 +162,18 @@ def test_run_ensemble_with_kahan_stats(model):
         ((ms - ms.mean(0)) * (es - es.mean(0))).sum(0) / (tot - 1),
         rtol=1e-5, atol=1e-12,
     )
+
+
+def test_sweep_batched_matches_vmapped_jnp(model):
+    """jnp sweep_batched == vmap of per-replica sweeps with folded keys."""
+    keys = jax.vmap(
+        lambda r: jax.random.fold_in(rng.base_key(77), r)
+    )(jnp.arange(3))
+    state = jax.vmap(lambda k: model.init_state("random", k))(keys)
+    out = model.sweep_batched(state, rng.base_key(77))
+    expect = jax.vmap(model.sweep_jnp)(state, keys)
+    np.testing.assert_array_equal(np.asarray(out.a), np.asarray(expect.a))
+    np.testing.assert_array_equal(np.asarray(out.b), np.asarray(expect.b))
 
 
 def test_phase_updates_are_independent_of_other_color(model):
