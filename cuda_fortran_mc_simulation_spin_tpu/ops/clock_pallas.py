@@ -1,0 +1,143 @@
+"""Fused Pallas TPU kernel: checkerboard Metropolis phase for the q-state
+clock model.
+
+TPU-native replacement for the reference's tableall kernel
+(/root/reference/src/clock/clock_tableall_gpu_m.f90:107-152): instead of
+one gather into a q⁶ probability table per site, the kernel evaluates
+per-state (cos, sin) with q-way select chains and computes
+ΔE = -(S_new - S_c)·h arithmetically — all VPU selects/FMAs plus one
+exp, zero gathers, RNG on the hardware PRNG inside the kernel
+(two draws per site: candidate + acceptance, matching rnds(2,nx,ny),
+:63,95).
+
+Grid (replicas, row-blocks) over int8 color arrays (R, ny, nx//2), same
+tiling/halo scheme as ops/ising2d_pallas.py.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from cuda_fortran_mc_simulation_spin_tpu.core import tables
+from cuda_fortran_mc_simulation_spin_tpu.models.base import CheckerboardState
+from cuda_fortran_mc_simulation_spin_tpu.ops import stencil
+from cuda_fortran_mc_simulation_spin_tpu.ops.ising2d_pallas import (
+    _pick_tile_rows,
+    seeds_from_key,
+)
+
+
+def _cos_sin_chain(state_i32: jax.Array, q: int):
+    """Select-chain evaluation of (cos, sin)(2π s/q) (core/tables.py)."""
+    tab = tables.clock_unit_vectors(q)
+    c = jnp.full(state_i32.shape, np.float32(tab[0, 0]), jnp.float32)
+    s = jnp.full(state_i32.shape, np.float32(tab[0, 1]), jnp.float32)
+    for k in range(1, q):
+        hit = state_i32 == k
+        c = jnp.where(hit, jnp.float32(tab[k, 0]), c)
+        s = jnp.where(hit, jnp.float32(tab[k, 1]), s)
+    return c, s
+
+
+def _phase_kernel(seed_ref, x_ref, oc_ref, oup_ref, odn_ref, out_ref,
+                  *, color: int, ty: int, q: int, beta: float):
+    r = pl.program_id(0)
+    i = pl.program_id(1)
+    tile_tag = i * jnp.int32(-1640531527) + r * jnp.int32(0x3C6EF35F)
+    pltpu.prng_seed(seed_ref[0], seed_ref[1] ^ tile_tag)
+
+    x = x_ref[0].astype(jnp.int32)
+    parity = stencil.row_parity_mask(ty, i * ty)
+
+    # local vector field h = Σ_nbr (cos, sin): build cos/sin planes of the
+    # other color including its halo rows, then stencil-sum them.
+    o = oc_ref[0].astype(jnp.int32)
+    up = oup_ref[0, 7:8, :].astype(jnp.int32)
+    dn = odn_ref[0, 0:1, :].astype(jnp.int32)
+    co, so = _cos_sin_chain(o, q)
+    cu, su = _cos_sin_chain(up, q)
+    cd, sd = _cos_sin_chain(dn, q)
+    hx = stencil.nbr_sum(co, cu, cd, color, parity)
+    hy = stencil.nbr_sum(so, su, sd, color, parity)
+
+    # candidate: c + ceil(u·(q-1)) mod q, excluding the current state
+    # (/root/reference/src/clock/clock_tableall_gpu_m.f90:142-143)
+    u_cand = stencil.bits_to_uniform(
+        pltpu.bitcast(pltpu.prng_random_bits(x.shape), jnp.uint32)
+    )
+    off = (u_cand * (q - 1)).astype(jnp.int32) + 1
+    new = x + off
+    new = jnp.where(new >= q, new - q, new)
+
+    cx, sx = _cos_sin_chain(x, q)
+    cn, sn = _cos_sin_chain(new, q)
+    de = -((cn - cx) * hx + (sn - sx) * hy)
+    p = jnp.exp(jnp.float32(-beta) * jnp.maximum(de, 0.0))
+
+    u_acc = stencil.bits_to_uniform(
+        pltpu.bitcast(pltpu.prng_random_bits(x.shape), jnp.uint32)
+    )
+    out_ref[0] = jnp.where(u_acc < p, new, x).astype(jnp.int8)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("color", "q", "beta", "nrep", "ny", "half")
+)
+def _metropolis_phase(x, other, seeds, *, color, q, beta, nrep, ny, half):
+    # f32 cos/sin temporaries are 4 bytes/site and several live at once:
+    # use a smaller row budget than the Ising kernel.
+    ty = _pick_tile_rows(ny, half, budget_bytes=256 << 10)
+    n = ny // ty
+    nb8 = ny // 8
+    kernel = functools.partial(
+        _phase_kernel, color=color, ty=ty, q=q, beta=beta
+    )
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((nrep, ny, half), jnp.int8),
+        grid=(nrep, n),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, ty, half), lambda r, i: (r, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, ty, half), lambda r, i: (r, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (1, 8, half),
+                lambda r, i: (r, (i * ty // 8 - 1 + nb8) % nb8, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, 8, half),
+                lambda r, i: (r, ((i + 1) * ty // 8) % nb8, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec((1, ty, half), lambda r, i: (r, i, 0),
+                               memory_space=pltpu.VMEM),
+        input_output_aliases={1: 0},
+    )(seeds, x, other, other, other)
+
+
+def sweep(model, state: CheckerboardState, key: jax.Array
+          ) -> CheckerboardState:
+    """One full MCS via the fused Pallas clock kernel; accepts (ny, half)
+    or replica-batched (R, ny, half) color arrays."""
+    ny, half = model.color_shape
+    a, b = state
+    batched = a.ndim == 3
+    if not batched:
+        a, b = a[None], b[None]
+    kw = dict(q=model.q, beta=float(model.beta), nrep=a.shape[0],
+              ny=ny, half=half)
+    a = _metropolis_phase(a, b, seeds_from_key(key, 0), color=0, **kw)
+    b = _metropolis_phase(b, a, seeds_from_key(key, 1), color=1, **kw)
+    if not batched:
+        a, b = a[0], b[0]
+    return CheckerboardState(a, b)

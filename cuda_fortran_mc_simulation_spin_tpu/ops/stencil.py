@@ -1,0 +1,54 @@
+"""Shared in-kernel checkerboard stencil pieces for Pallas TPU kernels.
+
+These run on *values* inside kernel bodies (not refs); all kernels for
+2-D models share the same dual-color neighbor algebra (core/lattice.py):
+y-neighbors come from a row shift with spliced halo rows, x-neighbors
+from a lane roll whose direction alternates with global row parity.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax.experimental.pallas import tpu as pltpu
+
+
+def splice_updown(o: jax.Array, up_row: jax.Array, dn_row: jax.Array
+                  ) -> tuple[jax.Array, jax.Array]:
+    """(up, dn) neighbor planes for a (ty, w) block given 1-row halos."""
+    up = jnp.concatenate([up_row, o[:-1]], axis=0)
+    dn = jnp.concatenate([o[1:], dn_row], axis=0)
+    return up, dn
+
+
+def row_parity_mask(ty: int, row0) -> jax.Array:
+    """(ty, 1) bool: global row parity of each block row."""
+    return (
+        (jax.lax.broadcasted_iota(jnp.int32, (ty, 1), 0) + row0) & 1
+    ) == 1
+
+
+def lr_sum(o: jax.Array, color: int, parity: jax.Array) -> jax.Array:
+    """left+right neighbor sum for a color block (lane rolls)."""
+    minus = pltpu.roll(o, 1, axis=1)
+    plus = pltpu.roll(o, o.shape[1] - 1, axis=1)  # roll by -1
+    if color == 0:
+        return o + jnp.where(parity, plus, minus)
+    return o + jnp.where(parity, minus, plus)
+
+
+def nbr_sum(o: jax.Array, up_row: jax.Array, dn_row: jax.Array,
+            color: int, parity: jax.Array) -> jax.Array:
+    """4-neighbor sum for one color block with spliced y-halos."""
+    up, dn = splice_updown(o, up_row, dn_row)
+    return up + dn + lr_sum(o, color, parity)
+
+
+def bits_to_uniform(bits: jax.Array) -> jax.Array:
+    """uint32 -> f32 in [0, 1) using the top 24 bits (core/rng.py).
+
+    Mosaic lacks a uint32->f32 cast; after the shift the value fits in
+    int32, which does convert."""
+    return (bits >> jnp.uint32(8)).astype(jnp.int32).astype(
+        jnp.float32
+    ) * jnp.float32(1.0 / (1 << 24))
