@@ -36,19 +36,21 @@ from cuda_fortran_mc_simulation_spin_tpu.models.base import CheckerboardState
 _MIN_TY = 32
 
 
-def _pick_tile_rows(ny: int, half: int, budget_bytes: int = 512 << 10) -> int:
-    """Largest row-tile that is a multiple of 32, divides ny, and keeps the
-    int8 block under ~512KB so the kernel's int32 temporaries and
+def _pick_tile_rows(ny: int, half: int, budget_bytes: int = 512 << 10,
+                    gran: int = _MIN_TY) -> int:
+    """Largest row-tile that is a multiple of ``gran`` (32 for int8
+    storage, 8 for f32), divides ny, and keeps the block element count
+    under ``budget_bytes`` so the kernel's f32/int32 temporaries and
     double-buffered pipeline stay within the 16MB VMEM budget."""
-    ty = max(_MIN_TY, min(ny, budget_bytes // max(half, 1)))
-    ty = (ty // _MIN_TY) * _MIN_TY
-    while ty >= _MIN_TY:
+    ty = max(gran, min(ny, budget_bytes // max(half, 1)))
+    ty = (ty // gran) * gran
+    while ty >= gran:
         if ny % ty == 0:
             return ty
-        ty -= _MIN_TY
+        ty -= gran
     raise ValueError(
-        f"ny={ny} not tileable into multiples of {_MIN_TY} "
-        f"(need ny % 32 == 0 for the int8 Pallas path)"
+        f"ny={ny} not tileable into multiples of {gran} "
+        f"(need ny % {gran} == 0 for this Pallas path)"
     )
 
 
