@@ -199,6 +199,74 @@ def neighbor_sums_halo(
 
 
 # ---------------------------------------------------------------------------
+# 3-D checkerboard (color = (x+y+z) & 1), storage (nz, ny, nx//2)
+# ---------------------------------------------------------------------------
+
+def split_checkerboard3d(full: jnp.ndarray
+                         ) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """(nz, ny, nx) -> (a, b) color arrays (nz, ny, nx//2).
+
+    a[z, y, i] = S[z, y, 2i + ((y+z) & 1)] — the 2-D scheme with row
+    parity generalized to plane+row parity.
+    """
+    nz, ny, nx = full.shape
+    pairs = full.reshape(nz, ny, nx // 2, 2)
+    odd = (
+        (jnp.arange(nz)[:, None] + jnp.arange(ny)[None, :]) & 1
+    ).astype(bool)[..., None]
+    a = jnp.where(odd, pairs[..., 1], pairs[..., 0])
+    b = jnp.where(odd, pairs[..., 0], pairs[..., 1])
+    return a, b
+
+
+def merge_checkerboard3d(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    nz, ny, half = a.shape
+    odd = (
+        (jnp.arange(nz)[:, None] + jnp.arange(ny)[None, :]) & 1
+    ).astype(bool)[..., None]
+    even_x = jnp.where(odd, b, a)
+    odd_x = jnp.where(odd, a, b)
+    return jnp.stack([even_x, odd_x], axis=-1).reshape(nz, ny, half * 2)
+
+
+def neighbor_sums3d(other: jnp.ndarray, color: Parity) -> jnp.ndarray:
+    """Sum of the 6 nearest neighbors for every site of ``color`` on the
+    3-D checkerboard (periodic BC) — the stencil of
+    /root/reference/src/ising3d_gpu_m.f90:199-203 on dual-color storage.
+    """
+    nz, ny = other.shape[0], other.shape[1]
+    odd = (
+        (jnp.arange(nz)[:, None] + jnp.arange(ny)[None, :]) & 1
+    ).astype(bool)[..., None]
+    zp = jnp.roll(other, -1, axis=0)
+    zm = jnp.roll(other, 1, axis=0)
+    yp = jnp.roll(other, -1, axis=1)
+    ym = jnp.roll(other, 1, axis=1)
+    minus = jnp.roll(other, 1, axis=2)
+    plus = jnp.roll(other, -1, axis=2)
+    if color == 0:
+        lr = other + jnp.where(odd, plus, minus)
+    else:
+        lr = other + jnp.where(odd, minus, plus)
+    return zp + zm + yp + ym + lr
+
+
+def right_down_back_neighbors3d(a: jnp.ndarray, b: jnp.ndarray):
+    """(x+, y+, z+) neighbor values per color, for bond energy."""
+    odd = (
+        (jnp.arange(a.shape[0])[:, None] + jnp.arange(a.shape[1])[None, :])
+        & 1
+    ).astype(bool)[..., None]
+    right_a = jnp.where(odd, jnp.roll(b, -1, axis=2), b)
+    right_b = jnp.where(odd, a, jnp.roll(a, -1, axis=2))
+    yp_a = jnp.roll(b, -1, axis=1)
+    yp_b = jnp.roll(a, -1, axis=1)
+    zp_a = jnp.roll(b, -1, axis=0)
+    zp_b = jnp.roll(a, -1, axis=0)
+    return (right_a, yp_a, zp_a), (right_b, yp_b, zp_b)
+
+
+# ---------------------------------------------------------------------------
 # Helical (skew-periodic) flat engine — parity with the reference layout
 # ---------------------------------------------------------------------------
 
