@@ -58,6 +58,20 @@ class VarianceKahan:
         self._sum = _KahanSum(shape)
         self._sumsq = _KahanSum(shape)
 
+    # -- checkpoint serialization (io/checkpoint.py) -------------------
+    def state_dict(self) -> dict:
+        return {
+            "n": self._n,
+            "sum_s": self._sum.s, "sum_c": self._sum.c,
+            "sumsq_s": self._sumsq.s, "sumsq_c": self._sumsq.c,
+        }
+
+    def load_state_dict(self, d: dict) -> None:
+        self._n = int(d["n"])
+        self._sum.s, self._sum.c = np.array(d["sum_s"]), np.array(d["sum_c"])
+        self._sumsq.s = np.array(d["sumsq_s"])
+        self._sumsq.c = np.array(d["sumsq_c"])
+
     def add_data(self, v: np.ndarray) -> None:
         v = np.asarray(v, dtype=np.float64)
         if v.ndim == len(self._sum.s.shape) + 1:
@@ -102,6 +116,21 @@ class VarianceCovarianceKahan:
         self._sumsq1 = _KahanSum(shape)
         self._sumsq2 = _KahanSum(shape)
         self._sum12 = _KahanSum(shape)
+
+    def state_dict(self) -> dict:
+        out = {"n": self._n}
+        for name in ("sum1", "sum2", "sumsq1", "sumsq2", "sum12"):
+            ks = getattr(self, f"_{name}")
+            out[f"{name}_s"] = ks.s
+            out[f"{name}_c"] = ks.c
+        return out
+
+    def load_state_dict(self, d: dict) -> None:
+        self._n = int(d["n"])
+        for name in ("sum1", "sum2", "sumsq1", "sumsq2", "sum12"):
+            ks = getattr(self, f"_{name}")
+            ks.s = np.array(d[f"{name}_s"])
+            ks.c = np.array(d[f"{name}_c"])
 
     def add_data(self, v1: np.ndarray, v2: np.ndarray) -> None:
         v1 = np.asarray(v1, dtype=np.float64)

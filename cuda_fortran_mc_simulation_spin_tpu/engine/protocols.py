@@ -1,0 +1,359 @@
+"""NER protocol drivers — the reference's app/*.f90 layer.
+
+Each function runs one complete experiment from a RunConfig: per-sample
+initial-state preparation, the jitted sweep/measure scan, host-side Kahan
+aggregation, and the reference-format .dat emission on ``out`` with
+progress on ``err`` (stdout = dataset, stderr = progress — the
+reference's channel convention, SURVEY.md §5.5).
+
+Protocol ↔ reference app map:
+
+- relaxation             → {ising2d,ising3d,clock,clock_multi,xy2d}
+                           _gpu_relaxation (ordered start, m/e var-cov)
+- over_relaxation        → xy2d_*_over_relaxation (Metropolis + OR mix)
+- from_disorder          → xy2d_periodic_gpu_relaxation_from_disorder
+                           (+_fix1mcs via cfg.rotate_after_first_mcs)
+- finite_magne           → ..._from_disorder_finite_magne
+- finite_magne_samples   → ..._finite_magne_samples (raw per-sample rows)
+- specific-times         → the missing *_specific_times apps'
+                           `bin` schedule via cfg.measure_times
+
+Checkpoint/resume: pass ``checkpoint_path`` — accumulators are saved
+every ``checkpoint_every`` histories and runs resume exactly
+(io/checkpoint.py).
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+from typing import IO
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from cuda_fortran_mc_simulation_spin_tpu.config import RunConfig
+from cuda_fortran_mc_simulation_spin_tpu.core import rng, stats
+from cuda_fortran_mc_simulation_spin_tpu.engine import sweep as sweep_mod
+from cuda_fortran_mc_simulation_spin_tpu.io import checkpoint, datfmt
+from cuda_fortran_mc_simulation_spin_tpu.models import build_model
+
+
+def _header_fields(cfg: RunConfig, model, extra: dict | None = None
+                   ) -> dict:
+    fields = {
+        "size": model.nsites,
+        "nx, ny": (cfg.nx, cfg.ny) if cfg.model != "ising3d"
+        else (cfg.nx, cfg.ny, cfg.nz),
+        "sample": cfg.tot_sample,
+        "mcs": cfg.mcs,
+        "kbt": cfg.kbt,
+        "initial seed": cfg.seed,
+        "n_skip": cfg.stream,
+        "method": "Metropolis",
+    }
+    if extra:
+        fields.update(extra)
+    return fields
+
+
+def _emit_headers(cfg, model, out, err, extra=None):
+    datfmt.write_header(out, _header_fields(cfg, model, extra))
+    datfmt.write_header(err, _header_fields(cfg, model, extra))
+
+
+def _progress(err: IO[str], tot: int):
+    def cb(done, total):
+        err.write(f"Sample: {done} / {total}\n")
+        err.flush()
+    return cb
+
+
+def _filter_times(series: dict, cfg: RunConfig) -> dict:
+    """Apply the specific-times observable schedule (`bin` protocol,
+    /root/reference/scripts/fpm_run_ising3d_relaxations_specific_times.sh:
+    11,36): keep only rows at cfg.measure_times (1-based)."""
+    if cfg.measure_times is None:
+        return series
+    idx = np.asarray(cfg.measure_times, dtype=np.int64) - 1
+    return {k: np.take(v, idx, axis=-1) for k, v in series.items()}
+
+
+def _series_len(cfg: RunConfig) -> int:
+    return (len(cfg.measure_times) if cfg.measure_times is not None
+            else cfg.mcs)
+
+
+def _run_accumulating(cfg, model, accumulators, fold, err,
+                      checkpoint_path=None, checkpoint_every=0,
+                      runner_kwargs=None):
+    """Shared ensemble loop: batch runner + Kahan fold + checkpointing."""
+    base = rng.base_key(cfg.seed, cfg.stream)
+    batch = cfg.replicas * cfg.samples_per_call
+    if cfg.tot_sample % max(batch, 1):
+        raise ValueError("tot_sample must be divisible by the batch size")
+    runner_kwargs = runner_kwargs or {}
+    if batch == 1:
+        runner = jax.jit(
+            sweep_mod.make_sample_runner(model, cfg.mcs, cfg.init_state,
+                                         **runner_kwargs)
+        )
+    else:
+        runner = jax.jit(
+            sweep_mod.make_batch_runner(model, cfg.mcs, batch,
+                                        cfg.init_state, **runner_kwargs)
+        )
+
+    start_call = 0
+    n_calls = cfg.tot_sample // batch
+    if checkpoint_path:
+        try:
+            done = checkpoint.load(checkpoint_path, cfg, accumulators)
+            start_call = done // batch
+            err.write(f"# resumed at sample {done}\n")
+        except FileNotFoundError:
+            pass
+
+    progress = _progress(err, cfg.tot_sample)
+    for call in range(start_call, n_calls):
+        series = jax.device_get(runner(rng.sample_key(base, call)))
+        series = {k: np.asarray(v, np.float64) for k, v in series.items()}
+        fold(_filter_times(series, cfg))
+        done = (call + 1) * batch
+        progress(done, cfg.tot_sample)
+        if (checkpoint_path and checkpoint_every
+                and done % checkpoint_every == 0):
+            checkpoint.save(checkpoint_path, cfg, done, accumulators)
+    if checkpoint_path:
+        checkpoint.save(checkpoint_path, cfg, cfg.tot_sample, accumulators)
+
+
+# ---------------------------------------------------------------------------
+# relaxation (+ over-relaxation mix): ordered/random start, m/e var-cov
+# ---------------------------------------------------------------------------
+
+def run_relaxation(cfg: RunConfig, out: IO[str] = sys.stdout,
+                   err: IO[str] = sys.stderr,
+                   checkpoint_path: str | None = None,
+                   checkpoint_every: int = 0) -> stats.VarianceCovarianceKahan:
+    """ising2d/ising3d/clock/xy2d *_relaxation and *_over_relaxation apps
+    (/root/reference/app/ising2d_gpu_relaxation.f90:34-51,
+    /root/reference/app/xy2d_gpu_over_relaxation.f90:40-49)."""
+    model = build_model(cfg)
+    _emit_headers(cfg, model, out, err)
+    L = _series_len(cfg)
+    op = stats.VarianceCovarianceKahan((L,))
+
+    def fold(series):
+        op.add_data(series["m"], series["e"])
+
+    runner_kwargs = {}
+    if cfg.n_over_relax > 0:
+        runner_kwargs = dict(
+            n_over_relax=cfg.n_over_relax,
+            mcs_over_relax=cfg.mcs_over_relax or cfg.mcs,
+        )
+    t0 = time.time()
+    _run_accumulating(cfg, model, {"op": op}, fold, err,
+                      checkpoint_path, checkpoint_every, runner_kwargs)
+    err.write(f"# elapsed: {time.time() - t0:.3f}s\n")
+    if cfg.measure_times is None:
+        datfmt.write_relaxation_table(out, model.nsites, cfg.mcs, op)
+    else:
+        _write_specific_times_table(out, model.nsites, cfg.measure_times,
+                                    op)
+    return op
+
+
+def _write_specific_times_table(out, nall, times, op):
+    n = op.num_sample()
+    m1, m2 = op.mean1(), op.mean2()
+    s1, s2 = op.square_mean1(), op.square_mean2()
+    v1, v2, cv = op.var1(), op.var2(), op.cov()
+    for j, t in enumerate(times):
+        row = [nall, n, t, m1[j], m2[j], s1[j], s2[j],
+               nall * v1[j], nall * v2[j], nall * cv[j]]
+        out.write(" ".join(datfmt.g0(v) for v in row) + "\n")
+
+
+# ---------------------------------------------------------------------------
+# XY disorder protocols (autocorrelation-carrying runners)
+# ---------------------------------------------------------------------------
+
+def _xy_disorder_runner(model, cfg: RunConfig, prep: str):
+    """run(sample_key) -> series dict with mx, my, e, A.
+
+    prep: "rotate_first"  — random start, rotate to x-axis, snapshot
+          (from_disorder, /root/reference/app/
+          xy2d_periodic_gpu_relaxation_from_disorder.f90:39-41);
+          "fix1mcs"       — random start, snapshot, rotate spins AND
+          snapshot after the first MCS (:48 of the fix1mcs app);
+          "finite_magne"  — prep_finite_magne(cfg.init_magne), snapshot;
+          "small_magne" / "near_magne" — threshold-driven preps.
+    """
+    mcs = cfg.mcs
+    n_inv = 1.0 / model.nsites
+    n_or = cfg.n_over_relax
+    mcs_or = cfg.mcs_over_relax or mcs
+
+    def run(sample_key: jax.Array) -> dict[str, jax.Array]:
+        k_init = rng.phase_key(sample_key, 1000)
+        if prep == "rotate_first":
+            state = model.init_state("random", k_init)
+            state = model.rotate_magne_toward_xaxis(state)
+        elif prep == "fix1mcs":
+            state = model.init_state("random", k_init)
+        elif prep == "finite_magne":
+            state = model.prep_finite_magne(k_init, cfg.init_magne)
+        elif prep == "small_magne":
+            state = model.prep_small_magne(k_init, cfg.init_magne)
+        elif prep == "near_magne":
+            state = model.prep_small_magne(k_init, cfg.init_magne,
+                                           tol=cfg.near_magne_tol)
+        else:
+            raise ValueError(prep)
+        snap = state
+
+        def body(carry, t):
+            state, snap = carry
+            state = model.sweep(state, rng.sweep_key(sample_key, t))
+            if prep == "fix1mcs":
+                def rot(args):
+                    s, sn = args
+                    mx, my = model.magne_sums(s)
+                    th = -jnp.arctan2(my, mx)
+                    return model.rotate(s, th), model.rotate(sn, th)
+                state, snap = lax.cond(t == 1, rot, lambda a: a,
+                                       (state, snap))
+            if n_or > 0:
+                def do_or(s):
+                    return lax.fori_loop(
+                        0, n_or, lambda i, x: model.over_relax_sweep(x), s
+                    )
+                state = lax.cond(t <= mcs_or, do_or, lambda s: s, state)
+            mx, my = model.magne_sums(state)
+            obs = {
+                "mx": mx * n_inv,
+                "my": my * n_inv,
+                "e": model.energy_sum(state) * n_inv,
+                "A": model.autocorrelation_sum(state, snap) * n_inv,
+            }
+            if cfg.track_correlation:
+                obs["corr"] = model.correlation_sum(state) * n_inv
+            return (state, snap), obs
+
+        _, series = lax.scan(body, (state, snap), jnp.arange(1, mcs + 1))
+        return series
+
+    return run
+
+
+def _run_xy_disorder(cfg: RunConfig, prep: str, out, err,
+                     header_extra: dict,
+                     checkpoint_path=None, checkpoint_every=0):
+    model = build_model(cfg)
+    _emit_headers(cfg, model, out, err, header_extra)
+    L = _series_len(cfg)
+    op_abs = stats.VarianceCovarianceKahan((L,))   # (|m|, e)
+    op_xy = stats.VarianceCovarianceKahan((L,))    # (mx, my)
+    op = stats.VarianceCovarianceKahan((L,))       # (mx, e)
+    op_y = stats.VarianceCovarianceKahan((L,))     # (my, e)
+    ac = stats.VarianceKahan((L,))
+    accs = {"op_abs": op_abs, "op_xy": op_xy, "op": op, "op_y": op_y,
+            "ac": ac}
+
+    base = rng.base_key(cfg.seed, cfg.stream)
+    runner = jax.jit(_xy_disorder_runner(model, cfg, prep))
+
+    start = 0
+    if checkpoint_path:
+        try:
+            start = checkpoint.load(checkpoint_path, cfg, accs)
+            err.write(f"# resumed at sample {start}\n")
+        except FileNotFoundError:
+            pass
+
+    progress = _progress(err, cfg.tot_sample)
+    t0 = time.time()
+    for s in range(start, cfg.tot_sample):
+        series = jax.device_get(runner(rng.sample_key(base, s)))
+        series = {k: np.asarray(v, np.float64) for k, v in series.items()}
+        series = _filter_times(series, cfg)
+        mabs = np.hypot(series["mx"], series["my"])
+        op_abs.add_data(mabs, series["e"])
+        op_xy.add_data(series["mx"], series["my"])
+        op.add_data(series["mx"], series["e"])
+        op_y.add_data(series["my"], series["e"])
+        ac.add_data(series["A"])
+        progress(s + 1, cfg.tot_sample)
+        if (checkpoint_path and checkpoint_every
+                and (s + 1) % checkpoint_every == 0):
+            checkpoint.save(checkpoint_path, cfg, s + 1, accs)
+    if checkpoint_path:
+        checkpoint.save(checkpoint_path, cfg, cfg.tot_sample, accs)
+    err.write(f"# elapsed: {time.time() - t0:.3f}s\n")
+    return model, accs
+
+
+def run_from_disorder(cfg: RunConfig, out: IO[str] = sys.stdout,
+                      err: IO[str] = sys.stderr, **ckpt) -> dict:
+    """xy2d_periodic_gpu_relaxation_from_disorder (+_fix1mcs via
+    cfg.rotate_after_first_mcs); emits
+    output_abs_parameters_from_disorder."""
+    prep = "fix1mcs" if cfg.rotate_after_first_mcs else "rotate_first"
+    extra = {"initial state": "disorder"}
+    model, accs = _run_xy_disorder(cfg, prep, out, err, extra, **ckpt)
+    datfmt.write_abs_parameters_from_disorder(
+        out, model.nsites, _series_len(cfg),
+        accs["op_abs"], accs["op_xy"], accs["ac"],
+    )
+    return accs
+
+
+def run_finite_magne(cfg: RunConfig, out: IO[str] = sys.stdout,
+                     err: IO[str] = sys.stderr, **ckpt) -> dict:
+    """..._from_disorder_finite_magne: prep |m|=m0, emit
+    output_parameters_from_disorder columns
+    (/root/reference/app/..._finite_magne.f90:40-75)."""
+    extra = {"initial state": "disorder",
+             "Initial finite magne": cfg.init_magne}
+    model, accs = _run_xy_disorder(cfg, "finite_magne", out, err, extra,
+                                   **ckpt)
+    datfmt.write_parameters_from_disorder(
+        out, model.nsites, _series_len(cfg),
+        accs["op"], accs["op_y"], accs["ac"],
+    )
+    return accs
+
+
+def run_finite_magne_samples(cfg: RunConfig, out: IO[str] = sys.stdout,
+                             err: IO[str] = sys.stderr) -> None:
+    """..._finite_magne_samples: raw per-sample time series, no
+    aggregation (/root/reference/app/..._finite_magne_samples.f90:40-58).
+    Row: N, sample, t, m_x, e, m_y, A."""
+    cfg_model = build_model(cfg)
+    _emit_headers(cfg, cfg_model, out, err,
+                  {"initial state": "disorder",
+                   "Initial finite magne": cfg.init_magne})
+    base = rng.base_key(cfg.seed, cfg.stream)
+    runner = jax.jit(_xy_disorder_runner(cfg_model, cfg, "finite_magne"))
+    progress = _progress(err, cfg.tot_sample)
+    for s in range(cfg.tot_sample):
+        series = jax.device_get(runner(rng.sample_key(base, s)))
+        series = {k: np.asarray(v, np.float64) for k, v in series.items()}
+        series = _filter_times(series, cfg)
+        datfmt.write_sample_series(
+            out, cfg_model.nsites, s + 1, series,
+            order=("mx", "e", "my", "A"),
+        )
+        progress(s + 1, cfg.tot_sample)
+
+
+PROTOCOLS = {
+    "relaxation": run_relaxation,
+    "from_disorder": run_from_disorder,
+    "finite_magne": run_finite_magne,
+    "finite_magne_samples": run_finite_magne_samples,
+}

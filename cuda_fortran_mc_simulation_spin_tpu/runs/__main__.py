@@ -1,0 +1,98 @@
+"""CLI entry point — replaces the reference's L4 orchestration layer.
+
+The reference configures experiments by sed-rewriting Fortran constants
+and rebuilding (/root/reference/scripts/fpm_run_ising3d.sh:29-42); here
+every tunable is a flag:
+
+    python -m cuda_fortran_mc_simulation_spin_tpu.runs \
+        --model ising2d --nx 1024 --ny 1024 --kbt 2.26918531421 \
+        --mcs 1000 --samples 100 --protocol relaxation \
+        --output data/ising2d.dat --registry runs.log
+
+stdout (or --output) = the dataset; stderr = progress — the reference's
+channel convention.  --registry appends a JSON run record (the gpu_*.log
+equivalent).  --checkpoint enables exact resume.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+from cuda_fortran_mc_simulation_spin_tpu.config import RunConfig
+from cuda_fortran_mc_simulation_spin_tpu.engine.protocols import PROTOCOLS
+from cuda_fortran_mc_simulation_spin_tpu.io import registry
+
+
+def parse_args(argv=None) -> argparse.Namespace:
+    p = argparse.ArgumentParser(prog="cuda_fortran_mc_simulation_spin_tpu")
+    p.add_argument("--model", default="ising2d",
+                   choices=["ising2d", "ising3d", "clock", "xy2d"])
+    p.add_argument("--protocol", default="relaxation",
+                   choices=sorted(PROTOCOLS))
+    p.add_argument("--nx", type=int, default=128)
+    p.add_argument("--ny", type=int, default=128)
+    p.add_argument("--nz", type=int, default=1)
+    p.add_argument("--q", type=int, default=6)
+    p.add_argument("--kbt", type=float, default=2.26918531421)
+    p.add_argument("--mcs", type=int, default=100)
+    p.add_argument("--samples", type=int, default=10)
+    p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--stream", type=int, default=0,
+                   help="ensemble-split slot (the reference's n_skip)")
+    p.add_argument("--init-state", default="allup",
+                   choices=["allup", "random"])
+    p.add_argument("--init-magne", type=float, default=0.02)
+    p.add_argument("--n-over-relax", type=int, default=0)
+    p.add_argument("--mcs-over-relax", type=int, default=0)
+    p.add_argument("--fix1mcs", action="store_true",
+                   help="rotate to x-axis after the first MCS")
+    p.add_argument("--replicas", type=int, default=1)
+    p.add_argument("--samples-per-call", type=int, default=1)
+    p.add_argument("--measure-times", type=int, nargs="*", default=None,
+                   help="specific 1-based sweep times to record")
+    p.add_argument("--backend", default="auto",
+                   choices=["auto", "jnp", "pallas"])
+    p.add_argument("--output", default=None, help="dataset path (- = stdout)")
+    p.add_argument("--registry", default=None, help="run-registry log path")
+    p.add_argument("--checkpoint", default=None, help="checkpoint path")
+    p.add_argument("--checkpoint-every", type=int, default=0)
+    return p.parse_args(argv)
+
+
+def config_from_args(a: argparse.Namespace) -> RunConfig:
+    use_pallas = {"auto": None, "jnp": False, "pallas": True}[a.backend]
+    return RunConfig(
+        model=a.model, nx=a.nx, ny=a.ny, nz=a.nz, q=a.q, kbt=a.kbt,
+        mcs=a.mcs, tot_sample=a.samples, seed=a.seed, stream=a.stream,
+        init_state=a.init_state, init_magne=a.init_magne,
+        n_over_relax=a.n_over_relax, mcs_over_relax=a.mcs_over_relax,
+        rotate_after_first_mcs=a.fix1mcs, replicas=a.replicas,
+        samples_per_call=a.samples_per_call,
+        measure_times=a.measure_times, use_pallas=use_pallas,
+    )
+
+
+def main(argv=None) -> int:
+    a = parse_args(argv)
+    cfg = config_from_args(a)
+    protocol = PROTOCOLS[a.protocol]
+    kwargs = {}
+    if a.checkpoint and a.protocol != "finite_magne_samples":
+        kwargs = {"checkpoint_path": a.checkpoint,
+                  "checkpoint_every": a.checkpoint_every}
+    t0 = time.time()
+    if a.output and a.output != "-":
+        with open(a.output, "w") as out:
+            protocol(cfg, out=out, err=sys.stderr, **kwargs)
+    else:
+        protocol(cfg, out=sys.stdout, err=sys.stderr, **kwargs)
+    if a.registry:
+        registry.append(a.registry, cfg, time.time() - t0,
+                        a.output, {"protocol": a.protocol})
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

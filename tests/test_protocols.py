@@ -1,0 +1,167 @@
+"""Protocol drivers + IO: output format, checkpoint/resume, CLI."""
+
+import io
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from cuda_fortran_mc_simulation_spin_tpu.config import RunConfig
+from cuda_fortran_mc_simulation_spin_tpu.engine import protocols
+
+
+def _parse_table(text):
+    rows = [
+        [float(x) for x in line.split()]
+        for line in text.splitlines()
+        if line and not line.startswith("#")
+    ]
+    return np.array(rows)
+
+
+def test_relaxation_output_format():
+    cfg = RunConfig(model="ising2d", nx=8, ny=8, kbt=2.5, mcs=4,
+                    tot_sample=3, use_pallas=False)
+    out, err = io.StringIO(), io.StringIO()
+    protocols.run_relaxation(cfg, out, err)
+    text = out.getvalue()
+    assert "# size: 64" in text
+    assert "# kbt: 2.5" in text
+    table = _parse_table(text)
+    assert table.shape == (4, 10)
+    np.testing.assert_array_equal(table[:, 0], 64)   # N
+    np.testing.assert_array_equal(table[:, 1], 3)    # Nsample
+    np.testing.assert_array_equal(table[:, 2], [1, 2, 3, 4])  # t
+    assert "Sample: 3 / 3" in err.getvalue()
+
+
+def test_relaxation_specific_times():
+    cfg = RunConfig(model="ising2d", nx=8, ny=8, kbt=2.5, mcs=10,
+                    tot_sample=2, measure_times=(1, 5, 10),
+                    use_pallas=False)
+    out = io.StringIO()
+    protocols.run_relaxation(cfg, out, io.StringIO())
+    table = _parse_table(out.getvalue())
+    assert table.shape == (3, 10)
+    np.testing.assert_array_equal(table[:, 2], [1, 5, 10])
+
+
+def test_from_disorder_output():
+    cfg = RunConfig(model="xy2d", nx=8, ny=8, kbt=0.89, mcs=3,
+                    tot_sample=2, init_state="random", use_pallas=False)
+    out = io.StringIO()
+    protocols.run_from_disorder(cfg, out, io.StringIO())
+    text = out.getvalue()
+    assert "<|m|>" in text
+    table = _parse_table(text)
+    assert table.shape == (3, 16)
+    # A(t) ≤ 1 and decays from ~1
+    assert np.all(table[:, 9] <= 1.0 + 1e-6)
+
+
+def test_fix1mcs_runs():
+    cfg = RunConfig(model="xy2d", nx=8, ny=8, kbt=0.89, mcs=3,
+                    tot_sample=1, rotate_after_first_mcs=True,
+                    use_pallas=False)
+    out = io.StringIO()
+    protocols.run_from_disorder(cfg, out, io.StringIO())
+    assert _parse_table(out.getvalue()).shape == (3, 16)
+
+
+def test_finite_magne_output():
+    cfg = RunConfig(model="xy2d", nx=16, ny=16, kbt=0.89, mcs=3,
+                    tot_sample=2, init_magne=0.3, use_pallas=False)
+    out = io.StringIO()
+    protocols.run_finite_magne(cfg, out, io.StringIO())
+    table = _parse_table(out.getvalue())
+    assert table.shape == (3, 14)
+
+
+def test_finite_magne_samples_output():
+    cfg = RunConfig(model="xy2d", nx=16, ny=16, kbt=0.89, mcs=3,
+                    tot_sample=2, init_magne=0.3, use_pallas=False)
+    out = io.StringIO()
+    protocols.run_finite_magne_samples(cfg, out, io.StringIO())
+    table = _parse_table(out.getvalue())
+    # rows: samples × mcs, cols: N, sample, t, mx, e, my, A
+    assert table.shape == (6, 7)
+    np.testing.assert_array_equal(table[:, 1], [1, 1, 1, 2, 2, 2])
+
+
+def test_checkpoint_resume_exact(tmp_path):
+    """Interrupted run + resume must equal an uninterrupted run exactly
+    (counter-based streams make this bitwise)."""
+    ck = str(tmp_path / "ck.npz")
+    cfg = RunConfig(model="ising2d", nx=8, ny=8, kbt=2.5, mcs=4,
+                    tot_sample=6, use_pallas=False)
+
+    out_full = io.StringIO()
+    protocols.run_relaxation(cfg, out_full, io.StringIO())
+
+    # partial run: stop after 3 samples by checkpointing every sample and
+    # truncating via a 3-sample config first... simpler: run 3-sample
+    # config into the checkpoint, then resume the 6-sample config from it
+    # (fingerprint must match, so write the checkpoint with the 6-sample
+    # config via the internal API).
+    from cuda_fortran_mc_simulation_spin_tpu.core import rng, stats
+    from cuda_fortran_mc_simulation_spin_tpu.engine import sweep as sw
+    from cuda_fortran_mc_simulation_spin_tpu.io import checkpoint
+    from cuda_fortran_mc_simulation_spin_tpu.models import build_model
+    import jax
+
+    model = build_model(cfg)
+    op = stats.VarianceCovarianceKahan((cfg.mcs,))
+    runner = jax.jit(sw.make_sample_runner(model, cfg.mcs, "allup"))
+    base = rng.base_key(cfg.seed, cfg.stream)
+    for s in range(3):
+        series = jax.device_get(runner(rng.sample_key(base, s)))
+        op.add_data(np.asarray(series["m"], np.float64),
+                    np.asarray(series["e"], np.float64))
+    checkpoint.save(ck, cfg, 3, {"op": op})
+
+    out_resumed = io.StringIO()
+    err = io.StringIO()
+    protocols.run_relaxation(cfg, out_resumed, err, checkpoint_path=ck)
+    assert "# resumed at sample 3" in err.getvalue()
+    t_full = _parse_table(out_full.getvalue())
+    t_res = _parse_table(out_resumed.getvalue())
+    np.testing.assert_array_equal(t_full, t_res)
+
+
+def test_checkpoint_rejects_other_config(tmp_path):
+    from cuda_fortran_mc_simulation_spin_tpu.core import stats
+    from cuda_fortran_mc_simulation_spin_tpu.io import checkpoint
+
+    cfg1 = RunConfig(model="ising2d", nx=8, ny=8, mcs=4, tot_sample=6)
+    cfg2 = RunConfig(model="ising2d", nx=8, ny=8, mcs=4, tot_sample=8)
+    ck = str(tmp_path / "ck.npz")
+    checkpoint.save(ck, cfg1, 2,
+                    {"op": stats.VarianceCovarianceKahan((4,))})
+    with pytest.raises(ValueError, match="different config"):
+        checkpoint.load(ck, cfg2,
+                        {"op": stats.VarianceCovarianceKahan((4,))})
+
+
+def test_cli_end_to_end(tmp_path):
+    out_file = tmp_path / "run.dat"
+    reg = tmp_path / "runs.log"
+    cmd = [
+        sys.executable, "-m", "cuda_fortran_mc_simulation_spin_tpu.runs",
+        "--model", "clock", "--nx", "8", "--ny", "8", "--q", "6",
+        "--kbt", "0.91", "--mcs", "3", "--samples", "2",
+        "--backend", "jnp",
+        "--output", str(out_file), "--registry", str(reg),
+    ]
+    import os
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    r = subprocess.run(cmd, capture_output=True, text=True, env=env,
+                       cwd="/root/repo", timeout=300)
+    assert r.returncode == 0, r.stderr[-2000:]
+    table = _parse_table(out_file.read_text())
+    assert table.shape == (3, 10)
+    assert "Sample: 2 / 2" in r.stderr
+    import json
+    rec = json.loads(reg.read_text().splitlines()[0])
+    assert rec["model"] == "clock" and rec["protocol"] == "relaxation"
