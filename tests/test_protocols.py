@@ -156,6 +156,10 @@ def test_cli_end_to_end(tmp_path):
     import os
     env = dict(os.environ)
     env["JAX_PLATFORMS"] = "cpu"
+    # the axon TPU plugin's sitecustomize (on PYTHONPATH) force-registers
+    # itself and overrides jax_platforms; keep the subprocess on pure CPU
+    env["PYTHONPATH"] = "/root/repo"
+    env.pop("PALLAS_AXON_POOL_IPS", None)
     r = subprocess.run(cmd, capture_output=True, text=True, env=env,
                        cwd="/root/repo", timeout=300)
     assert r.returncode == 0, r.stderr[-2000:]
