@@ -1,4 +1,4 @@
-"""Multi-chip lattice domain decomposition (dp × y mesh).
+"""Multi-chip lattice domain decomposition (dp × y mesh) — all models.
 
 Shards the lattice's row dimension across the ``y`` mesh axis with
 `ppermute` halo exchange (parallel/halo.py), and an independent-replica
@@ -7,7 +7,7 @@ for this workload (SURVEY.md §2.4: the reference has no tensor/pipeline/
 expert parallelism to promote; replicas are pure DP, the lattice-domain
 axis is the spatial analog of sequence parallelism).
 
-State layout: each color array carries a leading replica axis —
+State layout: each color array/plane carries a leading replica axis —
 ``(R, ny, nx//2)`` sharded ``P("dp", "y", None)``.  One call to the
 returned step function advances every replica by one MCS and returns
 per-replica observables (psum over the ``y`` axis), all inside a single
@@ -28,16 +28,19 @@ import jax.random as jr
 from jax import lax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from cuda_fortran_mc_simulation_spin_tpu.core import rng
+from cuda_fortran_mc_simulation_spin_tpu.core import rng, tables
 from cuda_fortran_mc_simulation_spin_tpu.models.base import CheckerboardState
+from cuda_fortran_mc_simulation_spin_tpu.models.clock import Clock2D
+from cuda_fortran_mc_simulation_spin_tpu.models.ising2d import Ising2D
+from cuda_fortran_mc_simulation_spin_tpu.models.xy2d import XY2D, XYState
 from cuda_fortran_mc_simulation_spin_tpu.parallel.halo import (
     exchange_halo_rows,
 )
 
 
 def replicated_init(model, mesh: Mesh, replicas: int, kind: str,
-                    key: jax.Array) -> CheckerboardState:
-    """Build an (R, ny, half) state sharded over (dp, y)."""
+                    key: jax.Array):
+    """Build a replica-batched state sharded over (dp, y)."""
     keys = jr.split(key, replicas)
     state = jax.vmap(lambda k: model.init_state(kind, k))(keys)
     spec = P("dp", "y", None)
@@ -46,83 +49,186 @@ def replicated_init(model, mesh: Mesh, replicas: int, kind: str,
     )
 
 
+def _xch(arr, ysh):
+    """Halo rows of a (R, L, w) local block over the y axis."""
+    return exchange_halo_rows(arr, "y", ysh, row_axis=1)
+
+
+def _vp(fn):
+    """vmap a per-replica phase over the leading replica axis."""
+    return jax.vmap(fn)
+
+
+# --------------------------------------------------------------------------
+# per-model local sweeps + observables (all on (R, ny_loc, half) blocks)
+# --------------------------------------------------------------------------
+
+def _ising_local_sweep(model: Ising2D, a, b, key, ysh):
+    def phase(x, o, color, pkey):
+        hu, hd = _xch(o, ysh)
+        u = rng.uniform(pkey, x.shape)
+        return _vp(
+            lambda x1, o1, h1, h2, u1: model._phase(
+                x1, o1, color, u1, halos=(h1, h2)
+            )
+        )(x, o, hu, hd, u)
+
+    a = phase(a, b, 0, rng.phase_key(key, 0))
+    b = phase(b, a, 1, rng.phase_key(key, 1))
+    return a, b
+
+
+def _ising_local_obs(model: Ising2D, a, b, ysh):
+    m = jnp.sum(a, axis=(1, 2), dtype=jnp.int32) + jnp.sum(
+        b, axis=(1, 2), dtype=jnp.int32
+    )
+    ny_loc = a.shape[1]
+    odd = (jnp.arange(ny_loc) & 1).astype(bool).reshape(1, ny_loc, 1)
+    _, hd_b = _xch(b, ysh)
+    _, hd_a = _xch(a, ysh)
+    right_a = jnp.where(odd, jnp.roll(b, -1, axis=2), b)
+    down_a = jnp.concatenate([b[:, 1:], hd_b], axis=1)
+    right_b = jnp.where(odd, a, jnp.roll(a, -1, axis=2))
+    down_b = jnp.concatenate([a[:, 1:], hd_a], axis=1)
+    e = -(
+        jnp.sum(a.astype(jnp.int32) * (right_a + down_a).astype(jnp.int32),
+                axis=(1, 2), dtype=jnp.int32)
+        + jnp.sum(b.astype(jnp.int32) * (right_b + down_b).astype(jnp.int32),
+                  axis=(1, 2), dtype=jnp.int32)
+    )
+    return {"m": m.astype(jnp.float32), "e": e.astype(jnp.float32)}
+
+
+def _clock_local_sweep(model: Clock2D, a, b, key, ysh):
+    q = model.q
+
+    def phase(x, o, color, pkey):
+        hu, hd = _xch(o, ysh)
+        u_c = rng.uniform(jr.fold_in(pkey, 0), x.shape)
+        u_a = rng.uniform(jr.fold_in(pkey, 1), x.shape)
+
+        def one(x1, o1, h1, h2, uc, ua):
+            co, so = tables.state_cos_sin(o1, q)
+            huc, hus = tables.state_cos_sin(h1, q)
+            hdc, hds = tables.state_cos_sin(h2, q)
+            return model._phase(
+                x1, o1, color, uc, ua,
+                halos=((huc, hdc), (hus, hds)),
+            )
+
+        return _vp(one)(x, o, hu, hd, u_c, u_a)
+
+    a = phase(a, b, 0, rng.phase_key(key, 0))
+    b = phase(b, a, 1, rng.phase_key(key, 1))
+    return a, b
+
+
+def _clock_local_obs(model: Clock2D, a, b, ysh):
+    q = model.q
+    ca, sa = tables.state_cos_sin(a, q)
+    cb, sb = tables.state_cos_sin(b, q)
+    mx = jnp.sum(ca, axis=(1, 2)) + jnp.sum(cb, axis=(1, 2))
+    my = jnp.sum(sa, axis=(1, 2)) + jnp.sum(sb, axis=(1, 2))
+    e = _vector_bond_energy(ca, sa, cb, sb, ysh)
+    return {"m": mx, "my": my, "e": e}
+
+
+def _vector_bond_energy(cax, say, cbx, sby, ysh):
+    """-Σ S·(S_right + S_down) for planar spins given per-color cos/sin
+    planes (R, L, half)."""
+    ny_loc = cax.shape[1]
+    odd = (jnp.arange(ny_loc) & 1).astype(bool).reshape(1, ny_loc, 1)
+
+    def bond(pa, pb):
+        # contribution of one component plane pair
+        _, hd_pb = _xch(pb, ysh)
+        _, hd_pa = _xch(pa, ysh)
+        right_a = jnp.where(odd, jnp.roll(pb, -1, axis=2), pb)
+        down_a = jnp.concatenate([pb[:, 1:], hd_pb], axis=1)
+        right_b = jnp.where(odd, pa, jnp.roll(pa, -1, axis=2))
+        down_b = jnp.concatenate([pa[:, 1:], hd_pa], axis=1)
+        return (
+            jnp.sum(pa * (right_a + down_a), axis=(1, 2))
+            + jnp.sum(pb * (right_b + down_b), axis=(1, 2))
+        )
+
+    return -(bond(cax, cbx) + bond(say, sby))
+
+
+def _xy_local_sweep(model: XY2D, st: XYState, key, ysh):
+    def phase(sx, sy, ox, oy, color, pkey):
+        hux, hdx = _xch(ox, ysh)
+        huy, hdy = _xch(oy, ysh)
+        u_c = rng.uniform(jr.fold_in(pkey, 0), sx.shape)
+        u_a = rng.uniform(jr.fold_in(pkey, 1), sx.shape)
+        return _vp(
+            lambda a1, a2, b1, b2, h1, h2, h3, h4, uc, ua: model._phase(
+                a1, a2, b1, b2, color, uc, ua,
+                halos=((h1, h2), (h3, h4)),
+            )
+        )(sx, sy, ox, oy, hux, hdx, huy, hdy, u_c, u_a)
+
+    ax, ay, bx, by = st
+    ax, ay = phase(ax, ay, bx, by, 0, rng.phase_key(key, 0))
+    bx, by = phase(bx, by, ax, ay, 1, rng.phase_key(key, 1))
+    return XYState(ax, ay, bx, by)
+
+
+def _xy_local_obs(model: XY2D, st: XYState, ysh):
+    mx = jnp.sum(st.ax, axis=(1, 2)) + jnp.sum(st.bx, axis=(1, 2))
+    my = jnp.sum(st.ay, axis=(1, 2)) + jnp.sum(st.by, axis=(1, 2))
+    e = _vector_bond_energy(st.ax, st.ay, st.bx, st.by, ysh)
+    return {"m": mx, "my": my, "e": e}
+
+
+# --------------------------------------------------------------------------
+# the sharded step factory
+# --------------------------------------------------------------------------
+
 def make_sharded_step(model, mesh: Mesh):
-    """Jitted (state, key) -> (state, {m: (R,), e: (R,)}) over the mesh."""
+    """Jitted (state, key) -> (state, {obs: (R,)}) over the (dp, y) mesh.
+
+    Supports Ising2D, Clock2D and XY2D states.
+    """
     ysh = mesh.shape["y"]
-    ny, half = model.color_shape
+    ny = model.color_shape[0]
     if ny % (2 * ysh) != 0:
         raise ValueError(
             f"ny={ny} must be divisible by 2*y_shards={2 * ysh} so local "
             "blocks start on even global rows (checkerboard parity)"
         )
-    n_inv = 1.0 / model.nsites
+    n_inv = jnp.float32(1.0 / model.nsites)
+    is_xy = isinstance(model, XY2D)
+    is_clock = isinstance(model, Clock2D)
 
-    def local_step(a, b, key):
-        # a, b: (R_loc, ny_loc, half) int8
+    def local_step(state, key):
         shard_key = jr.fold_in(
             jr.fold_in(key, lax.axis_index("dp")), lax.axis_index("y")
         )
+        if is_xy:
+            state = _xy_local_sweep(model, state, shard_key, ysh)
+            obs = _xy_local_obs(model, state, ysh)
+        elif is_clock:
+            a, b = _clock_local_sweep(model, state.a, state.b, shard_key,
+                                      ysh)
+            state = CheckerboardState(a, b)
+            obs = _clock_local_obs(model, a, b, ysh)
+        else:
+            a, b = _ising_local_sweep(model, state.a, state.b, shard_key,
+                                      ysh)
+            state = CheckerboardState(a, b)
+            obs = _ising_local_obs(model, a, b, ysh)
+        obs = {k: lax.psum(v, "y") * n_inv for k, v in obs.items()}
+        return state, obs
 
-        def phase(x, o, color, pkey):
-            hu, hd = exchange_halo_rows(o, "y", ysh, row_axis=1)  # (R,1,half)
-            u = rng.uniform(pkey, x.shape)
-            upd = jax.vmap(
-                lambda x1, o1, hu1, hd1, u1: model._phase(
-                    x1, o1, color, u1, halos=(hu1, hd1)
-                )
-            )
-            return upd(x, o, hu, hd, u)
-
-        a = phase(a, b, 0, rng.phase_key(shard_key, 0))
-        b = phase(b, a, 1, rng.phase_key(shard_key, 1))
-
-        # per-replica observables, reduced over the y shards
-        m_loc = jnp.sum(a, axis=(1, 2), dtype=jnp.int32) + jnp.sum(
-            b, axis=(1, 2), dtype=jnp.int32
-        )
-        e_loc = _local_bond_energy(a, b, ysh)
-        m = lax.psum(m_loc, "y").astype(jnp.float32) * n_inv
-        e = lax.psum(e_loc, "y").astype(jnp.float32) * n_inv
-        return a, b, m, e
-
+    spec = P("dp", "y", None)
+    state_struct = (XYState(spec, spec, spec, spec) if is_xy
+                    else CheckerboardState(spec, spec))
     sharded = jax.shard_map(
         local_step,
         mesh=mesh,
-        in_specs=(P("dp", "y", None), P("dp", "y", None), P()),
-        out_specs=(P("dp", "y", None), P("dp", "y", None), P("dp"), P("dp")),
+        in_specs=(state_struct, P()),
+        out_specs=(state_struct, P("dp")),
         check_vma=False,
     )
-
-    @jax.jit
-    def step(state: CheckerboardState, key: jax.Array):
-        a, b, m, e = sharded(state.a, state.b, key)
-        return CheckerboardState(a, b), {"m": m, "e": e}
-
-    return step
-
-
-def _local_bond_energy(a, b, ysh):
-    """-Σ s·(s_right + s_down) over the local block, per replica.
-
-    Right bonds are row-local; down bonds of the last local row couple
-    into the next shard's first row (halo).
-    """
-    ny_loc = a.shape[1]
-    odd = (jnp.arange(ny_loc) & 1).astype(bool).reshape(1, ny_loc, 1)
-    hu_b, hd_b = exchange_halo_rows(b, "y", ysh, row_axis=1)
-    hu_a, hd_a = exchange_halo_rows(a, "y", ysh, row_axis=1)
-    right_a = jnp.where(odd, jnp.roll(b, -1, axis=2), b)
-    down_a = jnp.concatenate([b[:, 1:], hd_b], axis=1)
-    right_b = jnp.where(odd, a, jnp.roll(a, -1, axis=2))
-    down_b = jnp.concatenate([a[:, 1:], hd_a], axis=1)
-    ai = a.astype(jnp.int32)
-    bi = b.astype(jnp.int32)
-    ea = jnp.sum(
-        ai * (right_a + down_a).astype(jnp.int32), axis=(1, 2),
-        dtype=jnp.int32,
-    )
-    eb = jnp.sum(
-        bi * (right_b + down_b).astype(jnp.int32), axis=(1, 2),
-        dtype=jnp.int32,
-    )
-    return -(ea + eb)
+    return jax.jit(sharded)

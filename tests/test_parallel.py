@@ -75,6 +75,51 @@ def test_sharded_matches_singleshard_bitwise(model):
 
 @requires_8dev
 @pytest.mark.multichip
+@pytest.mark.parametrize("dp,ysh", [(1, 4), (2, 2)])
+def test_sharded_clock_step(dp, ysh):
+    from cuda_fortran_mc_simulation_spin_tpu.models.clock import Clock2D
+
+    cm = Clock2D(nx=16, ny=16, kbt=0.91, q=6, backend="jnp")
+    msh = mesh_mod.make_mesh(dp, ysh)
+    state = domain.replicated_init(cm, msh, dp, "random", rng.base_key(2))
+    step = domain.make_sharded_step(cm, msh)
+    state2, obs = step(state, rng.base_key(3))
+    obs = jax.device_get(obs)
+    for r in range(dp):
+        sub = jax.tree.map(lambda x: x[r], state2)
+        e_direct = float(cm.energy_sum(sub)) / cm.nsites
+        mx_direct = float(cm.magne_sums(sub)[0]) / cm.nsites
+        assert obs["e"][r] == pytest.approx(e_direct, abs=1e-5)
+        assert obs["m"][r] == pytest.approx(mx_direct, abs=1e-5)
+    full = cm.full_lattice(jax.tree.map(lambda x: x[0], state2))
+    assert full.min() >= 0 and full.max() < 6
+
+
+@requires_8dev
+@pytest.mark.multichip
+@pytest.mark.parametrize("dp,ysh", [(1, 4), (2, 2)])
+def test_sharded_xy_step(dp, ysh):
+    from cuda_fortran_mc_simulation_spin_tpu.models.xy2d import XY2D
+
+    xm = XY2D(nx=16, ny=16, kbt=0.89, backend="jnp")
+    msh = mesh_mod.make_mesh(dp, ysh)
+    state = domain.replicated_init(xm, msh, dp, "random", rng.base_key(4))
+    step = domain.make_sharded_step(xm, msh)
+    state2, obs = step(state, rng.base_key(5))
+    obs = jax.device_get(obs)
+    for r in range(dp):
+        sub = jax.tree.map(lambda x: x[r], state2)
+        e_direct = float(xm.energy_sum(sub)) / xm.nsites
+        assert obs["e"][r] == pytest.approx(e_direct, abs=1e-5)
+    # unit norms preserved under the sharded sweep
+    full = xm.full_vectors(jax.tree.map(lambda x: x[0], state2))
+    np.testing.assert_allclose(
+        np.hypot(full[..., 0], full[..., 1]), 1.0, atol=1e-5
+    )
+
+
+@requires_8dev
+@pytest.mark.multichip
 def test_halo_stencil_matches_unsharded_stencil(model):
     """Domain-sharded neighbor sums must agree with roll-based sums:
     run one phase with uniforms==1 (never accept ⇒ state unchanged) and
