@@ -190,12 +190,39 @@ def make_sharded_step(model, mesh: Mesh):
 
     Supports Ising2D, Clock2D and XY2D states.
     """
+    return jax.jit(_make_local_step(model, mesh))
+
+
+def make_sharded_sample_runner(model, mesh: Mesh, mcs: int,
+                               replicas: int, init_kind: str = "allup"):
+    """run(key) -> {obs: (replicas, mcs)}: full MC histories for a
+    replica batch, domain-sharded over the mesh, in ONE jitted program —
+    the multi-chip production driver (ensemble × lattice sharding).
+    """
+    step = _make_local_step(model, mesh)
+
+    def run(key: jax.Array):
+        init_keys = jr.split(rng.phase_key(key, 1000), replicas)
+        state = jax.vmap(lambda k: model.init_state(init_kind, k))(
+            init_keys
+        )
+
+        def body(state, t):
+            return step(state, rng.sweep_key(key, t))
+
+        _, series = lax.scan(body, state, jnp.arange(1, mcs + 1))
+        return jax.tree.map(lambda x: jnp.swapaxes(x, 0, 1), series)
+
+    return jax.jit(run)
+
+
+def _make_local_step(model, mesh: Mesh):
+    """Non-jitted shard_map step (for composing inside scans)."""
     ysh = mesh.shape["y"]
     ny = model.color_shape[0]
     if ny % (2 * ysh) != 0:
         raise ValueError(
-            f"ny={ny} must be divisible by 2*y_shards={2 * ysh} so local "
-            "blocks start on even global rows (checkerboard parity)"
+            f"ny={ny} must be divisible by 2*y_shards={2 * ysh}"
         )
     n_inv = jnp.float32(1.0 / model.nsites)
     is_xy = isinstance(model, XY2D)
@@ -224,11 +251,10 @@ def make_sharded_step(model, mesh: Mesh):
     spec = P("dp", "y", None)
     state_struct = (XYState(spec, spec, spec, spec) if is_xy
                     else CheckerboardState(spec, spec))
-    sharded = jax.shard_map(
+    return jax.shard_map(
         local_step,
         mesh=mesh,
         in_specs=(state_struct, P()),
         out_specs=(state_struct, P("dp")),
         check_vma=False,
     )
-    return jax.jit(sharded)

@@ -120,6 +120,22 @@ def test_sharded_xy_step(dp, ysh):
 
 @requires_8dev
 @pytest.mark.multichip
+def test_sharded_sample_runner(model):
+    """Full multi-chip production driver: mcs histories for a replica
+    batch sharded (dp × y), one jitted program."""
+    msh = mesh_mod.make_mesh(2, 4)
+    runner = domain.make_sharded_sample_runner(
+        model, msh, mcs=5, replicas=4, init_kind="allup"
+    )
+    series = jax.device_get(runner(rng.base_key(6)))
+    assert series["m"].shape == (4, 5)
+    assert np.all(np.isfinite(series["e"]))
+    # histories must differ across replicas
+    assert not np.allclose(series["m"][0], series["m"][1])
+
+
+@requires_8dev
+@pytest.mark.multichip
 def test_halo_stencil_matches_unsharded_stencil(model):
     """Domain-sharded neighbor sums must agree with roll-based sums:
     run one phase with uniforms==1 (never accept ⇒ state unchanged) and
