@@ -86,6 +86,21 @@ def _series_len(cfg: RunConfig) -> int:
             else cfg.mcs)
 
 
+def _multisweep_eligible(cfg, model, runner_kwargs) -> bool:
+    """Use the VMEM-resident multi-sweep kernel when the run is a plain
+    Ising2D m/e relaxation on a lattice that fits VMEM."""
+    if cfg.model != "ising2d" or runner_kwargs:
+        return False
+    try:
+        if model.resolved_backend != "pallas":
+            return False
+    except ValueError:
+        return False
+    from cuda_fortran_mc_simulation_spin_tpu.ops import ising2d_multisweep
+    ny, half = model.color_shape
+    return ising2d_multisweep.fits_vmem(ny, half)
+
+
 def _run_accumulating(cfg, model, accumulators, fold, err,
                       checkpoint_path=None, checkpoint_every=0,
                       runner_kwargs=None):
@@ -95,7 +110,18 @@ def _run_accumulating(cfg, model, accumulators, fold, err,
     if cfg.tot_sample % max(batch, 1):
         raise ValueError("tot_sample must be divisible by the batch size")
     runner_kwargs = runner_kwargs or {}
-    if batch == 1:
+    if _multisweep_eligible(cfg, model, runner_kwargs):
+        runner = jax.jit(
+            sweep_mod.make_multisweep_runner(
+                model, cfg.mcs, max(batch, 1), cfg.init_state
+            )
+        )
+        if batch == 1:
+            inner = runner
+            runner = jax.jit(
+                lambda k: jax.tree.map(lambda v: v[0], inner(k))
+            )
+    elif batch == 1:
         runner = jax.jit(
             sweep_mod.make_sample_runner(model, cfg.mcs, cfg.init_state,
                                          **runner_kwargs)

@@ -126,6 +126,49 @@ def make_batch_runner(
     return run
 
 
+def make_multisweep_runner(
+    model,
+    mcs: int,
+    batch: int,
+    init_kind: str = "allup",
+    chunk: int = 32,
+) -> Callable[[jax.Array], dict[str, jax.Array]]:
+    """`run(call_key) -> {m,e: (batch, mcs)}` on the VMEM-resident
+    multi-sweep kernel (ops/ising2d_multisweep.py): S sweeps + in-kernel
+    measurement per kernel invocation, scanned to cover mcs.
+
+    The production-ensemble fast path for small/medium Ising lattices
+    (the reference's 1001×1000 × 1.44M-sample workload class,
+    /root/reference/app/ising2d_gpu_relaxation.f90:6-8)."""
+    from cuda_fortran_mc_simulation_spin_tpu.ops import ising2d_multisweep
+
+    chunk = min(chunk, mcs)
+    n_chunks = -(-mcs // chunk)
+    padded = n_chunks * chunk
+
+    def run(call_key: jax.Array) -> dict[str, jax.Array]:
+        init_keys = jax.vmap(
+            lambda r: jax.random.fold_in(rng.phase_key(call_key, 1000), r)
+        )(jnp.arange(batch))
+        state = jax.vmap(lambda k: model.init_state(init_kind, k))(init_keys)
+
+        def body(state, c):
+            state, obs = ising2d_multisweep.multisweep(
+                model, state, rng.sweep_key(call_key, c), chunk
+            )
+            return state, obs
+
+        _, series = lax.scan(body, state, jnp.arange(n_chunks))
+        # (n_chunks, batch, chunk) -> (batch, mcs)
+        out = {}
+        for k, v in series.items():
+            v = jnp.moveaxis(v, 0, 1).reshape(batch, padded)
+            out[k] = v[:, :mcs]
+        return out
+
+    return run
+
+
 def run_ensemble(
     model,
     mcs: int,
