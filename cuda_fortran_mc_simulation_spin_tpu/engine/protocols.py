@@ -354,27 +354,47 @@ def run_finite_magne(cfg: RunConfig, out: IO[str] = sys.stdout,
     return accs
 
 
-def run_finite_magne_samples(cfg: RunConfig, out: IO[str] = sys.stdout,
-                             err: IO[str] = sys.stderr) -> None:
-    """..._finite_magne_samples: raw per-sample time series, no
-    aggregation (/root/reference/app/..._finite_magne_samples.f90:40-58).
-    Row: N, sample, t, m_x, e, m_y, A."""
-    cfg_model = build_model(cfg)
-    _emit_headers(cfg, cfg_model, out, err,
-                  {"initial state": "disorder",
-                   "Initial finite magne": cfg.init_magne})
+_PREP_FOR_INIT = {
+    "random": "rotate_first",
+    "finite_magne": "finite_magne",
+    "small_magne": "small_magne",
+    "near_magne": "near_magne",
+}
+
+
+def run_samples(cfg: RunConfig, out: IO[str] = sys.stdout,
+                err: IO[str] = sys.stderr) -> None:
+    """Raw per-sample time series, no aggregation — the *_samples apps
+    (/root/reference/app/
+    xy2d_periodic_gpu_relaxation_from_disorder_finite_magne_samples.f90:
+    40-58 and the scripts-only ..._from_disorder_samples).  Preparation
+    follows cfg.init_state.  Row: N, sample, t, m_x, e, m_y, A."""
+    prep = _PREP_FOR_INIT.get(cfg.init_state, "rotate_first")
+    model = build_model(cfg)
+    extra = {"initial state": "disorder"}
+    if prep == "finite_magne":
+        extra["Initial finite magne"] = cfg.init_magne
+    _emit_headers(cfg, model, out, err, extra)
     base = rng.base_key(cfg.seed, cfg.stream)
-    runner = jax.jit(_xy_disorder_runner(cfg_model, cfg, "finite_magne"))
+    runner = jax.jit(_xy_disorder_runner(model, cfg, prep))
     progress = _progress(err, cfg.tot_sample)
     for s in range(cfg.tot_sample):
         series = jax.device_get(runner(rng.sample_key(base, s)))
         series = {k: np.asarray(v, np.float64) for k, v in series.items()}
         series = _filter_times(series, cfg)
         datfmt.write_sample_series(
-            out, cfg_model.nsites, s + 1, series,
+            out, model.nsites, s + 1, series,
             order=("mx", "e", "my", "A"),
         )
         progress(s + 1, cfg.tot_sample)
+
+
+def run_finite_magne_samples(cfg: RunConfig, out: IO[str] = sys.stdout,
+                             err: IO[str] = sys.stderr) -> None:
+    """..._finite_magne_samples: run_samples with finite-magne prep."""
+    import dataclasses
+    cfg = dataclasses.replace(cfg, init_state="finite_magne")
+    run_samples(cfg, out, err)
 
 
 PROTOCOLS = {
@@ -382,4 +402,5 @@ PROTOCOLS = {
     "from_disorder": run_from_disorder,
     "finite_magne": run_finite_magne,
     "finite_magne_samples": run_finite_magne_samples,
+    "samples": run_samples,
 }

@@ -42,7 +42,8 @@ def parse_args(argv=None) -> argparse.Namespace:
     p.add_argument("--stream", type=int, default=0,
                    help="ensemble-split slot (the reference's n_skip)")
     p.add_argument("--init-state", default="allup",
-                   choices=["allup", "random"])
+                   choices=["allup", "random", "finite_magne",
+                            "small_magne", "near_magne"])
     p.add_argument("--init-magne", type=float, default=0.02)
     p.add_argument("--n-over-relax", type=int, default=0)
     p.add_argument("--mcs-over-relax", type=int, default=0)
