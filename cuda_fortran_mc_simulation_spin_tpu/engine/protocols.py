@@ -88,8 +88,8 @@ def _series_len(cfg: RunConfig) -> int:
 
 def _multisweep_eligible(cfg, model, runner_kwargs) -> bool:
     """Use the VMEM-resident multi-sweep kernel when the run is a plain
-    Ising2D m/e relaxation on a lattice that fits VMEM."""
-    if cfg.model != "ising2d" or runner_kwargs:
+    Ising2D/clock m/e relaxation on a lattice that fits VMEM."""
+    if cfg.model not in ("ising2d", "clock") or runner_kwargs:
         return False
     try:
         if model.resolved_backend != "pallas":

@@ -137,11 +137,20 @@ def make_multisweep_runner(
     multi-sweep kernel (ops/ising2d_multisweep.py): S sweeps + in-kernel
     measurement per kernel invocation, scanned to cover mcs.
 
-    The production-ensemble fast path for small/medium Ising lattices
-    (the reference's 1001×1000 × 1.44M-sample workload class,
-    /root/reference/app/ising2d_gpu_relaxation.f90:6-8)."""
-    from cuda_fortran_mc_simulation_spin_tpu.ops import ising2d_multisweep
+    The production-ensemble fast path for small/medium Ising/clock
+    lattices (the reference's 1001×1000 × 1.44M-sample and 2000² × 5000-
+    sample workload classes,
+    /root/reference/app/ising2d_gpu_relaxation.f90:6-8,
+    /root/reference/app/clock_dual_lattice_yhalf_tableall_gpu_relaxation
+    .f90:8-9)."""
+    from cuda_fortran_mc_simulation_spin_tpu.models.clock import Clock2D
+    from cuda_fortran_mc_simulation_spin_tpu.ops import (
+        clock_multisweep,
+        ising2d_multisweep,
+    )
 
+    ms = (clock_multisweep.multisweep if isinstance(model, Clock2D)
+          else ising2d_multisweep.multisweep)
     chunk = min(chunk, mcs)
     n_chunks = -(-mcs // chunk)
     padded = n_chunks * chunk
@@ -153,7 +162,7 @@ def make_multisweep_runner(
         state = jax.vmap(lambda k: model.init_state(init_kind, k))(init_keys)
 
         def body(state, c):
-            state, obs = ising2d_multisweep.multisweep(
+            state, obs = ms(
                 model, state, rng.sweep_key(call_key, c), chunk
             )
             return state, obs
