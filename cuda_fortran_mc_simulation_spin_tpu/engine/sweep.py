@@ -107,9 +107,13 @@ def make_batch_runner(
         def body(state, t):
             state = model.sweep_batched(state, rng.sweep_key(call_key, t))
             if n_over_relax > 0:
+                or_sweep = getattr(
+                    model, "over_relax_sweep_batched", None
+                ) or (lambda s: jax.vmap(model.over_relax_sweep)(s))
+
                 def do_or(s):
                     def or_body(i, s):
-                        return jax.vmap(model.over_relax_sweep)(s)
+                        return or_sweep(s)
                     return lax.fori_loop(0, n_over_relax, or_body, s)
                 if mcs_over_relax >= mcs:
                     state = do_or(state)

@@ -195,6 +195,13 @@ class XY2D:
         bx, by = self._or_phase(bx, by, ax, ay, 1)
         return XYState(ax, ay, bx, by)
 
+    def over_relax_sweep_batched(self, state: XYState) -> XYState:
+        """Replica-batched OR sweep — (R, ny, nx//2) planes."""
+        if self.resolved_backend == "pallas":
+            from cuda_fortran_mc_simulation_spin_tpu.ops import xy2d_pallas
+            return xy2d_pallas.over_relax_sweep(self, state)
+        return jax.vmap(self.over_relax_sweep_jnp)(state)
+
     # -- field-only Metropolis (init-state preparation) ---------------------------
     def field_sweep(self, state: XYState, key: jax.Array, hx, hy) -> XYState:
         """One sweep coupling ONLY to an external field (hx, hy) — the
