@@ -248,6 +248,18 @@ class XY2D:
         mx, my = self.magne_sums(state)
         return self.rotate(state, -jnp.arctan2(my, mx))
 
+    def rotate_magne_toward_xaxis_updown_randomly(
+        self, state: XYState, key: jax.Array
+    ) -> XYState:
+        """As above, but align m with +x or -x with probability 1/2
+        (the ..._updown_randomly variant,
+        /root/reference/src/xy2d_periodic_gpu_m.f90:253-279)."""
+        mx, my = self.magne_sums(state)
+        theta = jnp.arctan2(my, mx)
+        flip = rng.uniform(key, ()) < 0.5
+        theta = jnp.where(flip, theta + jnp.float32(np.pi), theta)
+        return self.rotate(state, -theta)
+
     # -- preparation protocols (lax.while_loop ports of §3.3) ----------------------
     def prep_finite_magne(self, key: jax.Array, m0: float,
                           eps: float = 1e-2, max_iter: int = 64
