@@ -15,7 +15,6 @@ with `skip_curand` offsets (core/rng.py).
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Any, Callable
 
 import jax

@@ -44,14 +44,14 @@ def _kernel(seed_ref, a_in, b_in, a_ref, b_ref, obs_ref,
 
     def phase(x_ref, o_ref, color):
         def block(i, _):
-            y0 = i * ty
+            y0 = pl.multiple_of(i * ty, 8)
             o = o_ref[0, pl.ds(y0, ty), :].astype(jnp.int32)
-            up_row = o_ref[
-                0, pl.ds((y0 - 1 + ny) % ny, 1), :
-            ].astype(jnp.int32)
-            dn_row = o_ref[
-                0, pl.ds((y0 + ty) % ny, 1), :
-            ].astype(jnp.int32)
+            up_row = stencil.load_row_aligned(
+                o_ref, (i * ty - 8 + ny) % ny, 7
+            ).astype(jnp.int32)
+            dn_row = stencil.load_row_aligned(
+                o_ref, (i * ty + ty) % ny, 0
+            ).astype(jnp.int32)
             parity = (
                 (jax.lax.broadcasted_iota(jnp.int32, (ty, 1), 0) + y0) & 1
             ) == 1
@@ -87,11 +87,15 @@ def _kernel(seed_ref, a_in, b_in, a_ref, b_ref, obs_ref,
     def measure(s):
         def block(i, carry):
             m_acc, e_acc = carry
-            y0 = i * ty
+            y0 = pl.multiple_of(i * ty, 8)
             a = a_ref[0, pl.ds(y0, ty), :].astype(jnp.int32)
             b = b_ref[0, pl.ds(y0, ty), :].astype(jnp.int32)
-            a_dn = b_ref[0, pl.ds((y0 + ty) % ny, 1), :].astype(jnp.int32)
-            b_dn = a_ref[0, pl.ds((y0 + ty) % ny, 1), :].astype(jnp.int32)
+            a_dn = stencil.load_row_aligned(
+                b_ref, (i * ty + ty) % ny, 0
+            ).astype(jnp.int32)
+            b_dn = stencil.load_row_aligned(
+                a_ref, (i * ty + ty) % ny, 0
+            ).astype(jnp.int32)
             ca, sa = _cos_sin_chain(a, q)
             cb, sb = _cos_sin_chain(b, q)
             cad, sad = _cos_sin_chain(a_dn, q)

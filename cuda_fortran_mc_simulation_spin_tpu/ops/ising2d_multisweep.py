@@ -30,6 +30,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from cuda_fortran_mc_simulation_spin_tpu.models.base import CheckerboardState
+from cuda_fortran_mc_simulation_spin_tpu.ops import stencil
 from cuda_fortran_mc_simulation_spin_tpu.ops.ising2d_pallas import (
     _pick_tile_rows,
     accept_thresholds_u32,
@@ -55,12 +56,16 @@ def _kernel(seed_ref, a_in, b_in, a_ref, b_ref, obs_ref,
 
     def phase(x_ref, o_ref, color):
         def block(i, _):
-            y0 = i * ty
+            y0 = pl.multiple_of(i * ty, 8)
             o = o_ref[0, pl.ds(y0, ty), :].astype(jnp.int32)
-            up_row = o_ref[
-                0, pl.ds((y0 - 1 + ny) % ny, 1), :
-            ].astype(jnp.int32)
-            dn_row = o_ref[0, pl.ds((y0 + ty) % ny, 1), :].astype(jnp.int32)
+            # dynamic sublane indices must be 8-aligned: fetch the
+            # aligned 8-row block containing the halo row
+            up_row = stencil.load_row_aligned(
+                o_ref, (i * ty - 8 + ny) % ny, 7
+            ).astype(jnp.int32)
+            dn_row = stencil.load_row_aligned(
+                o_ref, (i * ty + ty) % ny, 0
+            ).astype(jnp.int32)
             up = jnp.concatenate([up_row, o[:-1]], axis=0)
             dn = jnp.concatenate([o[1:], dn_row], axis=0)
             minus = pltpu.roll(o, 1, axis=1)
@@ -90,15 +95,15 @@ def _kernel(seed_ref, a_in, b_in, a_ref, b_ref, obs_ref,
     def measure(s):
         def block(i, carry):
             m_acc, e_acc = carry
-            y0 = i * ty
+            y0 = pl.multiple_of(i * ty, 8)
             a = a_ref[0, pl.ds(y0, ty), :].astype(jnp.int32)
             b = b_ref[0, pl.ds(y0, ty), :].astype(jnp.int32)
-            a_dn_row = b_ref[
-                0, pl.ds((y0 + ty) % ny, 1), :
-            ].astype(jnp.int32)
-            b_dn_row = a_ref[
-                0, pl.ds((y0 + ty) % ny, 1), :
-            ].astype(jnp.int32)
+            a_dn_row = stencil.load_row_aligned(
+                b_ref, (i * ty + ty) % ny, 0
+            ).astype(jnp.int32)
+            b_dn_row = stencil.load_row_aligned(
+                a_ref, (i * ty + ty) % ny, 0
+            ).astype(jnp.int32)
             parity = (
                 (jax.lax.broadcasted_iota(jnp.int32, (ty, 1), 0) + y0) & 1
             ) == 1

@@ -13,6 +13,19 @@ import jax.numpy as jnp
 from jax.experimental.pallas import tpu as pltpu
 
 
+def load_row_aligned(ref, base, sel: int):
+    """One lattice row from a VMEM ref at dynamic row index base+sel.
+
+    Mosaic requires dynamic sublane indices provably divisible by 8:
+    callers pass an 8-aligned ``base`` (a modular expression of
+    8-multiples) plus a static in-block offset ``sel`` ∈ [0, 8).
+    Returns shape (1, w)."""
+    import jax.experimental.pallas as pl
+
+    blk = ref[0, pl.ds(pl.multiple_of(base, 8), 8), :]
+    return blk[sel:sel + 1, :]
+
+
 def splice_updown(o: jax.Array, up_row: jax.Array, dn_row: jax.Array
                   ) -> tuple[jax.Array, jax.Array]:
     """(up, dn) neighbor planes for a (ty, w) block given 1-row halos."""

@@ -11,7 +11,6 @@ point-to-point transfers.
 from __future__ import annotations
 
 import jax
-import jax.numpy as jnp
 from jax import lax
 
 

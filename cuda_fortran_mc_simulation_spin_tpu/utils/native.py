@@ -8,7 +8,6 @@ None return from :func:`load` as "toolchain unavailable" and skip.
 from __future__ import annotations
 
 import ctypes
-import os
 import subprocess
 from pathlib import Path
 

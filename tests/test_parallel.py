@@ -8,7 +8,7 @@ statistical/structural equality across mesh shapes).
 """
 
 import jax
-import jax.numpy as jnp
+
 import numpy as np
 import pytest
 

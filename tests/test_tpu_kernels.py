@@ -3,7 +3,6 @@
 Skipped on CPU CI; run with SPINLAT_TEST_ON_TPU=1 on hardware."""
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 import pytest
 

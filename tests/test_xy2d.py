@@ -2,7 +2,7 @@
 preparation protocols, Boltzmann consistency."""
 
 import jax
-import jax.numpy as jnp
+
 import numpy as np
 import pytest
 
