@@ -276,6 +276,89 @@ def _xy_disorder_runner(model, cfg: RunConfig, prep: str):
     return run
 
 
+def _xy_init_for_prep(model, cfg: RunConfig, prep: str, key: jax.Array):
+    """(state, snapshot) for one history under the given preparation."""
+    if prep == "rotate_first":
+        state = model.init_state("random", key)
+        state = model.rotate_magne_toward_xaxis(state)
+    elif prep == "fix1mcs":
+        state = model.init_state("random", key)
+    elif prep == "finite_magne":
+        state = model.prep_finite_magne(key, cfg.init_magne)
+    elif prep == "small_magne":
+        state = model.prep_small_magne(key, cfg.init_magne)
+    elif prep == "near_magne":
+        state = model.prep_small_magne(key, cfg.init_magne,
+                                       tol=cfg.near_magne_tol)
+    else:
+        raise ValueError(prep)
+    return state, state
+
+
+def _xy_disorder_batched_runner(model, cfg: RunConfig, prep: str,
+                                batch: int):
+    """run(call_key) -> series dicts (batch, mcs) for a replica batch.
+
+    Sweeps go through model.sweep_batched (Pallas replica grid axis on
+    TPU); preparation, rotations and measurement are pure jnp and vmap.
+    """
+    mcs = cfg.mcs
+    n_inv = 1.0 / model.nsites
+    n_or = cfg.n_over_relax
+    mcs_or = cfg.mcs_over_relax or mcs
+
+    def measure_one(state, snap):
+        mx, my = model.magne_sums(state)
+        obs = {
+            "mx": mx * n_inv,
+            "my": my * n_inv,
+            "e": model.energy_sum(state) * n_inv,
+            "A": model.autocorrelation_sum(state, snap) * n_inv,
+        }
+        if cfg.track_correlation:
+            obs["corr"] = model.correlation_sum(state) * n_inv
+        return obs
+
+    def rot_one(state, snap):
+        mx, my = model.magne_sums(state)
+        th = -jnp.arctan2(my, mx)
+        return model.rotate(state, th), model.rotate(snap, th)
+
+    def run(call_key: jax.Array) -> dict[str, jax.Array]:
+        init_keys = jax.vmap(
+            lambda r: jax.random.fold_in(rng.phase_key(call_key, 1000), r)
+        )(jnp.arange(batch))
+        state, snap = jax.vmap(
+            lambda k: _xy_init_for_prep(model, cfg, prep, k)
+        )(init_keys)
+
+        def body(carry, t):
+            state, snap = carry
+            state = model.sweep_batched(state, rng.sweep_key(call_key, t))
+            if prep == "fix1mcs":
+                state, snap = lax.cond(
+                    t == 1,
+                    lambda a: jax.vmap(rot_one)(*a),
+                    lambda a: a,
+                    (state, snap),
+                )
+            if n_or > 0:
+                or_sweep = model.over_relax_sweep_batched
+
+                def do_or(s):
+                    return lax.fori_loop(
+                        0, n_or, lambda i, x: or_sweep(x), s
+                    )
+
+                state = lax.cond(t <= mcs_or, do_or, lambda s: s, state)
+            return (state, snap), jax.vmap(measure_one)(state, snap)
+
+        _, series = lax.scan(body, (state, snap), jnp.arange(1, mcs + 1))
+        return jax.tree.map(lambda x: jnp.swapaxes(x, 0, 1), series)
+
+    return run
+
+
 def _run_xy_disorder(cfg: RunConfig, prep: str, out, err,
                      header_extra: dict,
                      checkpoint_path=None, checkpoint_every=0):
@@ -291,7 +374,15 @@ def _run_xy_disorder(cfg: RunConfig, prep: str, out, err,
             "ac": ac}
 
     base = rng.base_key(cfg.seed, cfg.stream)
-    runner = jax.jit(_xy_disorder_runner(model, cfg, prep))
+    batch = max(cfg.replicas, 1)
+    if cfg.tot_sample % batch:
+        raise ValueError("tot_sample must be divisible by replicas")
+    if batch == 1:
+        runner = jax.jit(_xy_disorder_runner(model, cfg, prep))
+    else:
+        runner = jax.jit(
+            _xy_disorder_batched_runner(model, cfg, prep, batch)
+        )
 
     start = 0
     if checkpoint_path:
@@ -301,22 +392,25 @@ def _run_xy_disorder(cfg: RunConfig, prep: str, out, err,
         except FileNotFoundError:
             pass
 
-    progress = _progress(err, cfg.tot_sample)
-    t0 = time.time()
-    for s in range(start, cfg.tot_sample):
-        series = jax.device_get(runner(rng.sample_key(base, s)))
-        series = {k: np.asarray(v, np.float64) for k, v in series.items()}
-        series = _filter_times(series, cfg)
+    def fold(series):
         mabs = np.hypot(series["mx"], series["my"])
         op_abs.add_data(mabs, series["e"])
         op_xy.add_data(series["mx"], series["my"])
         op.add_data(series["mx"], series["e"])
         op_y.add_data(series["my"], series["e"])
         ac.add_data(series["A"])
-        progress(s + 1, cfg.tot_sample)
+
+    progress = _progress(err, cfg.tot_sample)
+    t0 = time.time()
+    for call in range(start // batch, cfg.tot_sample // batch):
+        series = jax.device_get(runner(rng.sample_key(base, call)))
+        series = {k: np.asarray(v, np.float64) for k, v in series.items()}
+        fold(_filter_times(series, cfg))
+        done = (call + 1) * batch
+        progress(done, cfg.tot_sample)
         if (checkpoint_path and checkpoint_every
-                and (s + 1) % checkpoint_every == 0):
-            checkpoint.save(checkpoint_path, cfg, s + 1, accs)
+                and done % checkpoint_every == 0):
+            checkpoint.save(checkpoint_path, cfg, done, accs)
     if checkpoint_path:
         checkpoint.save(checkpoint_path, cfg, cfg.tot_sample, accs)
     err.write(f"# elapsed: {time.time() - t0:.3f}s\n")
