@@ -251,6 +251,33 @@ def neighbor_sums3d(other: jnp.ndarray, color: Parity) -> jnp.ndarray:
     return zp + zm + yp + ym + lr
 
 
+def neighbor_sums3d_halo(
+    other: jnp.ndarray,
+    halo_zm: jnp.ndarray,
+    halo_zp: jnp.ndarray,
+    color: Parity,
+    z0_parity: int = 0,
+) -> jnp.ndarray:
+    """:func:`neighbor_sums3d` for a z-sharded local block with explicit
+    z-halo planes (1, ny, nx//2).  Requires nz_local even (so local z
+    parity equals global) — enforced by parallel/domain.py."""
+    nz, ny = other.shape[0], other.shape[1]
+    odd = (
+        (jnp.arange(nz)[:, None] + jnp.arange(ny)[None, :] + z0_parity) & 1
+    ).astype(bool)[..., None]
+    zm = jnp.concatenate([halo_zm, other[:-1]], axis=0)
+    zp = jnp.concatenate([other[1:], halo_zp], axis=0)
+    yp = jnp.roll(other, -1, axis=1)
+    ym = jnp.roll(other, 1, axis=1)
+    minus = jnp.roll(other, 1, axis=2)
+    plus = jnp.roll(other, -1, axis=2)
+    if color == 0:
+        lr = other + jnp.where(odd, plus, minus)
+    else:
+        lr = other + jnp.where(odd, minus, plus)
+    return zm + zp + yp + ym + lr
+
+
 def right_down_back_neighbors3d(a: jnp.ndarray, b: jnp.ndarray):
     """(x+, y+, z+) neighbor values per color, for bond energy."""
     odd = (

@@ -89,10 +89,16 @@ class Ising3D:
         raise ValueError(f"unknown init state {kind!r}")
 
     # -- sweep -----------------------------------------------------------------
-    def _phase(self, spins, other, color, u):
+    def _phase(self, spins, other, color, u, halos=None):
         """flip iff u ≤ exp(-β·ΔE), ΔE = 2·s·Σ₆nbr ∈ {0, ±4, ±8, ±12}
-        (/root/reference/src/ising3d_gpu_m.f90:174-206)."""
-        nsum = lattice.neighbor_sums3d(other, color)      # |·| ≤ 6
+        (/root/reference/src/ising3d_gpu_m.f90:174-206).
+
+        ``halos=(zm, zp)`` switches to the z-sharded local-block stencil
+        (multi-chip domain decomposition, parallel/domain.py)."""
+        if halos is None:
+            nsum = lattice.neighbor_sums3d(other, color)  # |·| ≤ 6
+        else:
+            nsum = lattice.neighbor_sums3d_halo(other, *halos, color)
         k = spins * nsum  # ΔE/2 ∈ {-6..6 even}; rejecting levels 2,4,6
         b = self.beta
         thresh = jnp.where(

@@ -155,6 +155,54 @@ def _vector_bond_energy(cax, say, cbx, sby, ysh):
     return -(bond(cax, cbx) + bond(say, sby))
 
 
+def _ising3d_local_sweep(model, a, b, key, ysh):
+    """z-sharded 3-D sweep: local blocks (R, nz_loc, ny, half); halo
+    planes exchanged over the mesh's domain axis."""
+    def phase(x, o, color, pkey):
+        hzm, hzp = exchange_halo_rows(o, "y", ysh, row_axis=1)
+        u = rng.uniform(pkey, x.shape)
+        return _vp(
+            lambda x1, o1, h1, h2, u1: model._phase(
+                x1, o1, color, u1, halos=(h1, h2)
+            )
+        )(x, o, hzm, hzp, u)
+
+    a = phase(a, b, 0, rng.phase_key(key, 0))
+    b = phase(b, a, 1, rng.phase_key(key, 1))
+    return a, b
+
+
+def _ising3d_local_obs(model, a, b, ysh):
+    m = jnp.sum(a, axis=(1, 2, 3), dtype=jnp.int32) + jnp.sum(
+        b, axis=(1, 2, 3), dtype=jnp.int32
+    )
+    nz_loc, ny = a.shape[1], a.shape[2]
+    odd = (
+        (jnp.arange(nz_loc)[:, None] + jnp.arange(ny)[None, :]) & 1
+    ).astype(bool)[None, :, :, None]
+    _, hd_b = exchange_halo_rows(b, "y", ysh, row_axis=1)
+    _, hd_a = exchange_halo_rows(a, "y", ysh, row_axis=1)
+    right_a = jnp.where(odd, jnp.roll(b, -1, axis=3), b)
+    right_b = jnp.where(odd, a, jnp.roll(a, -1, axis=3))
+    yp_a = jnp.roll(b, -1, axis=2)
+    yp_b = jnp.roll(a, -1, axis=2)
+    zp_a = jnp.concatenate([b[:, 1:], hd_b], axis=1)
+    zp_b = jnp.concatenate([a[:, 1:], hd_a], axis=1)
+    e = -(
+        jnp.sum(
+            a.astype(jnp.int32)
+            * (right_a + yp_a + zp_a).astype(jnp.int32),
+            axis=(1, 2, 3), dtype=jnp.int32,
+        )
+        + jnp.sum(
+            b.astype(jnp.int32)
+            * (right_b + yp_b + zp_b).astype(jnp.int32),
+            axis=(1, 2, 3), dtype=jnp.int32,
+        )
+    )
+    return {"m": m.astype(jnp.float32), "e": e.astype(jnp.float32)}
+
+
 def _xy_local_sweep(model: XY2D, st: XYState, key, ysh):
     def phase(sx, sy, ox, oy, color, pkey):
         hux, hdx = _xch(ox, ysh)
@@ -217,16 +265,24 @@ def make_sharded_sample_runner(model, mesh: Mesh, mcs: int,
 
 
 def _make_local_step(model, mesh: Mesh):
-    """Non-jitted shard_map step (for composing inside scans)."""
+    """Non-jitted shard_map step (for composing inside scans).
+
+    The ``y`` mesh axis shards the lattice's leading spatial dimension:
+    rows for 2-D models, z-planes for Ising3D.
+    """
+    from cuda_fortran_mc_simulation_spin_tpu.models.ising3d import Ising3D
+
     ysh = mesh.shape["y"]
-    ny = model.color_shape[0]
-    if ny % (2 * ysh) != 0:
+    lead = model.color_shape[0]
+    if lead % (2 * ysh) != 0:
         raise ValueError(
-            f"ny={ny} must be divisible by 2*y_shards={2 * ysh}"
+            f"leading lattice dim {lead} must be divisible by "
+            f"2*domain_shards={2 * ysh} (checkerboard parity per shard)"
         )
     n_inv = jnp.float32(1.0 / model.nsites)
     is_xy = isinstance(model, XY2D)
     is_clock = isinstance(model, Clock2D)
+    is_3d = isinstance(model, Ising3D)
 
     def local_step(state, key):
         shard_key = jr.fold_in(
@@ -240,6 +296,11 @@ def _make_local_step(model, mesh: Mesh):
                                       ysh)
             state = CheckerboardState(a, b)
             obs = _clock_local_obs(model, a, b, ysh)
+        elif is_3d:
+            a, b = _ising3d_local_sweep(model, state.a, state.b,
+                                        shard_key, ysh)
+            state = CheckerboardState(a, b)
+            obs = _ising3d_local_obs(model, a, b, ysh)
         else:
             a, b = _ising_local_sweep(model, state.a, state.b, shard_key,
                                       ysh)
@@ -248,7 +309,10 @@ def _make_local_step(model, mesh: Mesh):
         obs = {k: lax.psum(v, "y") * n_inv for k, v in obs.items()}
         return state, obs
 
-    spec = P("dp", "y", None)
+    if is_3d:
+        spec = P("dp", "y", None, None)
+    else:
+        spec = P("dp", "y", None)
     state_struct = (XYState(spec, spec, spec, spec) if is_xy
                     else CheckerboardState(spec, spec))
     return jax.shard_map(

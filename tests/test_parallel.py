@@ -120,6 +120,28 @@ def test_sharded_xy_step(dp, ysh):
 
 @requires_8dev
 @pytest.mark.multichip
+@pytest.mark.parametrize("dp,ysh", [(1, 4), (2, 2)])
+def test_sharded_ising3d_step(dp, ysh):
+    from cuda_fortran_mc_simulation_spin_tpu.models.ising3d import Ising3D
+
+    im = Ising3D(nx=8, ny=8, nz=16, kbt=4.51152, backend="jnp")
+    msh = mesh_mod.make_mesh(dp, ysh)
+    state = domain.replicated_init(im, msh, dp, "random", rng.base_key(6))
+    step = domain.make_sharded_step(im, msh)
+    state2, obs = step(state, rng.base_key(7))
+    obs = jax.device_get(obs)
+    for r in range(dp):
+        sub = jax.tree.map(lambda x: x[r], state2)
+        e_direct = float(im.energy_sum(sub)) / im.nsites
+        m_direct = float(im.magne_sum(sub)) / im.nsites
+        assert obs["e"][r] == pytest.approx(e_direct, abs=1e-6)
+        assert obs["m"][r] == pytest.approx(m_direct, abs=1e-6)
+    full = im.full_lattice(jax.tree.map(lambda x: x[0], state2))
+    assert set(np.unique(full)) <= {-1, 1}
+
+
+@requires_8dev
+@pytest.mark.multichip
 def test_sharded_sample_runner(model):
     """Full multi-chip production driver: mcs histories for a replica
     batch sharded (dp × y), one jitted program."""
