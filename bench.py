@@ -27,7 +27,9 @@ BASELINE_FLIPS_PER_SEC = 1e10
 def main() -> None:
     on_accel = jax.default_backend() not in ("cpu",)
     n = 8192 if on_accel else 256
-    sweeps = 64 if on_accel else 4
+    # long scan amortizes the per-dispatch host→device latency (~30ms
+    # through the axon tunnel) so the kernel throughput dominates
+    sweeps = 256 if on_accel else 4
 
     model = Ising2D(nx=n, ny=n, kbt=2.26918531421)
     state = model.init_state("allup")
