@@ -111,8 +111,8 @@ def _kernel(seed_ref, a_in, b_in, a_ref, b_ref, obs_ref,
                 right_b = jnp.where(
                     parity, pa, pltpu.roll(pa, half - 1, axis=1)
                 )
-                down_a = jnp.concatenate([pb[1:], pad], axis=0)
-                down_b = jnp.concatenate([pa[1:], pbd], axis=0)
+                down_a = stencil.shift_down(pb, pad)
+                down_b = stencil.shift_down(pa, pbd)
                 return (jnp.sum(pa * (right_a + down_a))
                         + jnp.sum(pb * (right_b + down_b)))
 

@@ -66,19 +66,12 @@ def _kernel(seed_ref, a_in, b_in, a_ref, b_ref, obs_ref,
             dn_row = stencil.load_row_aligned(
                 o_ref, (i * ty + ty) % ny, 0
             ).astype(jnp.int32)
-            up = jnp.concatenate([up_row, o[:-1]], axis=0)
-            dn = jnp.concatenate([o[1:], dn_row], axis=0)
-            minus = pltpu.roll(o, 1, axis=1)
-            plus = pltpu.roll(o, half - 1, axis=1)
             parity = (
                 (jax.lax.broadcasted_iota(jnp.int32, (ty, 1), 0) + y0) & 1
             ) == 1
-            if color == 0:
-                lr = o + jnp.where(parity, plus, minus)
-            else:
-                lr = o + jnp.where(parity, minus, plus)
+            nsum = stencil.nbr_sum(o, up_row, dn_row, color, parity)
             x = x_ref[0, pl.ds(y0, ty), :].astype(jnp.int32)
-            half_de = x * (up + dn + lr)
+            half_de = x * nsum
             bits = pltpu.bitcast(
                 pltpu.prng_random_bits((ty, half)), jnp.uint32
             )
@@ -115,8 +108,8 @@ def _kernel(seed_ref, a_in, b_in, a_ref, b_ref, obs_ref,
                 parity, a, pltpu.roll(a, half - 1, axis=1)
             )
             # down neighbors (cross-row, next block's first row at edge)
-            down_a = jnp.concatenate([b[1:], a_dn_row], axis=0)
-            down_b = jnp.concatenate([a[1:], b_dn_row], axis=0)
+            down_a = stencil.shift_down(b, a_dn_row)
+            down_b = stencil.shift_down(a, b_dn_row)
             m_blk = jnp.sum(a + b)
             e_blk = -jnp.sum(a * (right_a + down_a)
                              + b * (right_b + down_b))

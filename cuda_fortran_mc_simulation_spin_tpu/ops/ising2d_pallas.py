@@ -31,6 +31,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from cuda_fortran_mc_simulation_spin_tpu.models.base import CheckerboardState
+from cuda_fortran_mc_simulation_spin_tpu.ops import stencil
 
 # int8 sublane granularity
 _MIN_TY = 32
@@ -81,29 +82,19 @@ def _phase_kernel(seed_ref, x_ref, oc_ref, oup_ref, odn_ref, out_ref,
     x = x_ref[0].astype(jnp.int32)
     o = oc_ref[0].astype(jnp.int32)
 
-    # y-neighbors: shift rows down/up within the block, splice halo rows
-    # (halo blocks are 8 rows for sublane alignment; only the edge row
-    # of each is used).
-    up = jnp.concatenate([oup_ref[0, 7:8, :].astype(jnp.int32), o[:-1]],
-                         axis=0)
-    dn = jnp.concatenate([o[1:], odn_ref[0, 0:1, :].astype(jnp.int32)],
-                         axis=0)
-
-    # x-neighbors: lane roll; which of (i-1, i) / (i, i+1) pairs applies
-    # alternates with global row parity (core/lattice.py neighbor algebra).
-    minus = pltpu.roll(o, 1, axis=1)
-    plus = pltpu.roll(o, o.shape[1] - 1, axis=1)  # == roll by -1
-    row0 = i * ty
-    parity = (
-        (jax.lax.broadcasted_iota(jnp.int32, (ty, 1), 0) + row0) & 1
-    ) == 1
-    if color == 0:
-        lr = o + jnp.where(parity, plus, minus)
-    else:
-        lr = o + jnp.where(parity, minus, plus)
+    # 4-neighbor sum: sublane roll with halo-row fixups for y, lane roll
+    # selected by global row parity for x (ops/stencil.py; halo blocks
+    # are 8 rows for sublane alignment, only the edge row is used).
+    parity = stencil.row_parity_mask(ty, i * ty)
+    nsum = stencil.nbr_sum(
+        o,
+        oup_ref[0, 7:8, :].astype(jnp.int32),
+        odn_ref[0, 0:1, :].astype(jnp.int32),
+        color, parity,
+    )
 
     # s·Σnbr ∈ {-4,-2,0,2,4}; ΔE = 2·s·Σnbr, so ΔE=4 ⇔ s·Σnbr=2.
-    half_de = x * (up + dn + lr)
+    half_de = x * nsum
 
     bits = pltpu.bitcast(pltpu.prng_random_bits(x.shape), jnp.uint32)
     thresh = jnp.where(half_de == 2, jnp.uint32(t4), jnp.uint32(t8))
