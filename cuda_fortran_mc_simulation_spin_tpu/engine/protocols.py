@@ -306,6 +306,8 @@ def _xy_disorder_batched_runner(model, cfg: RunConfig, prep: str,
     n_inv = 1.0 / model.nsites
     n_or = cfg.n_over_relax
     mcs_or = cfg.mcs_over_relax or mcs
+    use_fused = (model.resolved_backend == "pallas"
+                 and not cfg.track_correlation)
 
     def measure_one(state, snap):
         mx, my = model.magne_sums(state)
@@ -318,6 +320,14 @@ def _xy_disorder_batched_runner(model, cfg: RunConfig, prep: str,
         if cfg.track_correlation:
             obs["corr"] = model.correlation_sum(state) * n_inv
         return obs
+
+    def measure_batch(state, snap):
+        if use_fused:
+            from cuda_fortran_mc_simulation_spin_tpu.ops import (
+                xy2d_measure_pallas,
+            )
+            return xy2d_measure_pallas.measure(model, state, snap)
+        return jax.vmap(measure_one)(state, snap)
 
     def rot_one(state, snap):
         mx, my = model.magne_sums(state)
@@ -351,7 +361,7 @@ def _xy_disorder_batched_runner(model, cfg: RunConfig, prep: str,
                     )
 
                 state = lax.cond(t <= mcs_or, do_or, lambda s: s, state)
-            return (state, snap), jax.vmap(measure_one)(state, snap)
+            return (state, snap), measure_batch(state, snap)
 
         _, series = lax.scan(body, (state, snap), jnp.arange(1, mcs + 1))
         return jax.tree.map(lambda x: jnp.swapaxes(x, 0, 1), series)
