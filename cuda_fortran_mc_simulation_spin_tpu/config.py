@@ -49,7 +49,6 @@ class RunConfig:
 
     # protocol switches
     rotate_after_first_mcs: bool = False   # from_disorder_fix1mcs variant
-    track_autocorrelation: bool = False
     track_correlation: bool = False        # two-point C at (nx/2-1, ny/2-1)
     per_sample_output: bool = False        # *_samples apps: raw time series
 

@@ -113,6 +113,45 @@ def test_clock_pallas_matches_jnp_statistically():
 
 
 @requires_tpu
+def test_xy_fused_measure_matches_jnp():
+    from cuda_fortran_mc_simulation_spin_tpu.core import rng
+    from cuda_fortran_mc_simulation_spin_tpu.models.xy2d import XY2D
+    from cuda_fortran_mc_simulation_spin_tpu.ops import xy2d_measure_pallas
+
+    model = XY2D(nx=256, ny=256, kbt=0.89)
+    st = model.init_state("random", rng.base_key(0))
+    snap = model.init_state("random", rng.base_key(1))
+    obs = {
+        k: float(v)
+        for k, v in xy2d_measure_pallas.measure(model, st, snap).items()
+    }
+    n_inv = 1.0 / model.nsites
+    mx, my = model.magne_sums(st)
+    ref = {
+        "mx": float(mx) * n_inv,
+        "my": float(my) * n_inv,
+        "e": float(model.energy_sum(st)) * n_inv,
+        "A": float(model.autocorrelation_sum(st, snap)) * n_inv,
+    }
+    for k, v in ref.items():
+        assert obs[k] == pytest.approx(v, abs=3e-4), k
+    # batched shape
+    stb = jax.tree.map(lambda x: jnp_stack3(x), st)
+    snapb = jax.tree.map(lambda x: jnp_stack3(x), snap)
+    obs_b = xy2d_measure_pallas.measure(model, stb, snapb)
+    assert obs_b["e"].shape == (3,)
+    np.testing.assert_allclose(
+        np.asarray(obs_b["e"]), ref["e"], atol=3e-4
+    )
+
+
+def jnp_stack3(x):
+    import jax.numpy as jnp
+
+    return jnp.stack([x, x, x])
+
+
+@requires_tpu
 def test_ising3d_pallas_matches_jnp_statistically():
     from cuda_fortran_mc_simulation_spin_tpu.core import rng
     from cuda_fortran_mc_simulation_spin_tpu.engine import sweep as sw
