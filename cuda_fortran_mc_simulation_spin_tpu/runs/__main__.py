@@ -59,6 +59,8 @@ def parse_args(argv=None) -> argparse.Namespace:
     p.add_argument("--registry", default=None, help="run-registry log path")
     p.add_argument("--checkpoint", default=None, help="checkpoint path")
     p.add_argument("--checkpoint-every", type=int, default=0)
+    p.add_argument("--profile-dir", default=None,
+                   help="write a JAX profiler trace of the run here")
     return p.parse_args(argv)
 
 
@@ -83,12 +85,15 @@ def main(argv=None) -> int:
     if a.checkpoint and a.protocol != "finite_magne_samples":
         kwargs = {"checkpoint_path": a.checkpoint,
                   "checkpoint_every": a.checkpoint_every}
+    from cuda_fortran_mc_simulation_spin_tpu.utils.timing import profile
+
     t0 = time.time()
-    if a.output and a.output != "-":
-        with open(a.output, "w") as out:
-            protocol(cfg, out=out, err=sys.stderr, **kwargs)
-    else:
-        protocol(cfg, out=sys.stdout, err=sys.stderr, **kwargs)
+    with profile(a.profile_dir):
+        if a.output and a.output != "-":
+            with open(a.output, "w") as out:
+                protocol(cfg, out=out, err=sys.stderr, **kwargs)
+        else:
+            protocol(cfg, out=sys.stdout, err=sys.stderr, **kwargs)
     if a.registry:
         registry.append(a.registry, cfg, time.time() - t0,
                         a.output, {"protocol": a.protocol})
