@@ -90,6 +90,9 @@ def make_batch_runner(
     """Build `run(call_key) -> {name: (batch, mcs) f32}` advancing a whole
     replica batch per device step (model.sweep_batched: Pallas replica
     grid axis on TPU, vmap on CPU)."""
+    measure_batch = None
+    if measure is None and hasattr(model, "observables_batched"):
+        measure_batch = model.observables_batched
     measure = measure or model.observables
 
     def run(call_key: jax.Array) -> dict[str, jax.Array]:
@@ -120,6 +123,8 @@ def make_batch_runner(
                     state = lax.cond(
                         t <= mcs_over_relax, do_or, lambda s: s, state
                     )
+            if measure_batch is not None:
+                return state, measure_batch(state)
             return state, jax.vmap(measure)(state)
 
         _, series = lax.scan(body, state, jnp.arange(1, mcs + 1))

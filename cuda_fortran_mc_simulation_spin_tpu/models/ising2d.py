@@ -188,6 +188,17 @@ class Ising2D:
             "e": self.energy_sum(state).astype(jnp.float32) * n_inv,
         }
 
+    def observables_batched(self, state: CheckerboardState
+                            ) -> dict[str, jax.Array]:
+        """{m, e} for a replica batch; fused single-pass Pallas reduction
+        on TPU (ops/ising2d_measure_pallas.py), vmapped jnp elsewhere."""
+        if self.resolved_backend == "pallas":
+            from cuda_fortran_mc_simulation_spin_tpu.ops import (
+                ising2d_measure_pallas,
+            )
+            return ising2d_measure_pallas.measure(self, state)
+        return jax.vmap(self.observables)(state)
+
     # -- exact references for tests -------------------------------------------
     def full_lattice(self, state: CheckerboardState) -> np.ndarray:
         return np.asarray(
