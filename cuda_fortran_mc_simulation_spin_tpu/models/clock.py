@@ -192,6 +192,17 @@ class Clock2D:
             "e": self.energy_sum(state) * n_inv,
         }
 
+    def observables_batched(self, state: CheckerboardState
+                            ) -> dict[str, jax.Array]:
+        """{m, my, e} for a replica batch; fused single-pass Pallas
+        reduction on TPU, vmapped jnp elsewhere."""
+        if self.resolved_backend == "pallas":
+            from cuda_fortran_mc_simulation_spin_tpu.ops import (
+                clock_measure_pallas,
+            )
+            return clock_measure_pallas.measure(self, state)
+        return jax.vmap(self.observables)(state)
+
     # -- test oracles -----------------------------------------------------------
     def full_lattice(self, state: CheckerboardState) -> np.ndarray:
         return np.asarray(
