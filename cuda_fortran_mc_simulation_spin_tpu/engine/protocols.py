@@ -438,6 +438,7 @@ def run_from_disorder(cfg: RunConfig, out: IO[str] = sys.stdout,
     datfmt.write_abs_parameters_from_disorder(
         out, model.nsites, _series_len(cfg),
         accs["op_abs"], accs["op_xy"], accs["ac"],
+        times=cfg.measure_times,
     )
     return accs
 
@@ -454,6 +455,7 @@ def run_finite_magne(cfg: RunConfig, out: IO[str] = sys.stdout,
     datfmt.write_parameters_from_disorder(
         out, model.nsites, _series_len(cfg),
         accs["op"], accs["op_y"], accs["ac"],
+        times=cfg.measure_times,
     )
     return accs
 
@@ -488,7 +490,7 @@ def run_samples(cfg: RunConfig, out: IO[str] = sys.stdout,
         series = _filter_times(series, cfg)
         datfmt.write_sample_series(
             out, model.nsites, s + 1, series,
-            order=("mx", "e", "my", "A"),
+            order=("mx", "e", "my", "A"), times=cfg.measure_times,
         )
         progress(s + 1, cfg.tot_sample)
 

@@ -62,6 +62,7 @@ def write_parameters_from_disorder(
     order_parameter: VarianceCovarianceKahan,   # (m, e)
     order_parameter_y: VarianceCovarianceKahan,  # (my, e)
     autocorrelation: VarianceKahan,
+    times=None,
 ) -> None:
     """output_parameters_from_disorder
     (/root/reference/src/output_utilities_m.f90:7-25)."""
@@ -77,8 +78,9 @@ def write_parameters_from_disorder(
     am, asq, av = (autocorrelation.mean(), autocorrelation.square_mean(),
                    autocorrelation.var())
     my1 = order_parameter_y.mean1()
-    for i in range(mcs):
-        row = [nall, n, i + 1, m1[i], m2[i], s1[i], s2[i],
+    times = times if times is not None else range(1, mcs + 1)
+    for i, t in enumerate(times):
+        row = [nall, n, int(t), m1[i], m2[i], s1[i], s2[i],
                nall * v1[i], nall * v2[i], nall * cv[i],
                am[i], asq[i], nall * av[i], my1[i]]
         out.write(" ".join(g0(v) for v in row) + "\n")
@@ -91,6 +93,7 @@ def write_abs_parameters_from_disorder(
     order_parameter_abs: VarianceCovarianceKahan,  # (|m|, e)
     order_parameter_xy: VarianceCovarianceKahan,   # (mx, my)
     autocorrelation: VarianceKahan,
+    times=None,
 ) -> None:
     """output_abs_parameters_from_disorder
     (/root/reference/src/output_utilities_m.f90:27-51), including
@@ -110,9 +113,10 @@ def write_abs_parameters_from_disorder(
               order_parameter_xy.square_mean2())
     xy = order_parameter_xy.mean_v1v2()
     am, asq = autocorrelation.mean(), autocorrelation.square_mean()
-    for i in range(mcs):
+    times = times if times is not None else range(1, mcs + 1)
+    for i, t in enumerate(times):
         chi = as1[i] - (xm[i] ** 2 + ym[i] ** 2)
-        row = [nall, n, i + 1, a1[i], a2[i], as1[i], as2[i], a12[i], chi,
+        row = [nall, n, int(t), a1[i], a2[i], as1[i], as2[i], a12[i], chi,
                am[i], asq[i], xm[i], ym[i], xs[i], ys[i], xy[i]]
         out.write(" ".join(g0(v) for v in row) + "\n")
 
@@ -120,13 +124,18 @@ def write_abs_parameters_from_disorder(
 def write_sample_series(
     out: IO[str], nall: int, sample_index: int,
     series: Mapping[str, np.ndarray], order: tuple[str, ...],
+    times=None,
 ) -> None:
     """Raw per-sample time-series rows — the *_samples protocol
     (/root/reference/app/
     xy2d_periodic_gpu_relaxation_from_disorder_finite_magne_samples.f90:
-    40-58): N, sample, t, <observables in ``order``>."""
+    40-58): N, sample, t, <observables in ``order``>.
+
+    ``times``: 1-based sweep times of the rows (defaults to 1..len);
+    pass the measure_times schedule when the series was filtered."""
     mcs = len(next(iter(series.values())))
-    for i in range(mcs):
-        row = [nall, sample_index, i + 1]
+    times = times if times is not None else range(1, mcs + 1)
+    for i, t in enumerate(times):
+        row = [nall, sample_index, int(t)]
         row += [series[k][i] for k in order]
         out.write(" ".join(g0(v) for v in row) + "\n")

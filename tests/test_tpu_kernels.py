@@ -152,6 +152,48 @@ def jnp_stack3(x):
 
 
 @requires_tpu
+def test_ising_fused_measure_matches_jnp():
+    from cuda_fortran_mc_simulation_spin_tpu.core import rng
+    from cuda_fortran_mc_simulation_spin_tpu.models.ising2d import Ising2D
+    from cuda_fortran_mc_simulation_spin_tpu.ops import (
+        ising2d_measure_pallas,
+    )
+
+    m = Ising2D(nx=256, ny=256, kbt=2.26918531421)
+    st = m.init_state("random", rng.base_key(0))
+    obs = {
+        k: float(v)
+        for k, v in ising2d_measure_pallas.measure(m, st).items()
+    }
+    assert obs["m"] == pytest.approx(
+        float(m.magne_sum(st)) / m.nsites, abs=1e-6
+    )
+    assert obs["e"] == pytest.approx(
+        float(m.energy_sum(st)) / m.nsites, abs=1e-6
+    )
+
+
+@requires_tpu
+def test_clock_fused_measure_matches_jnp():
+    from cuda_fortran_mc_simulation_spin_tpu.core import rng
+    from cuda_fortran_mc_simulation_spin_tpu.models.clock import Clock2D
+    from cuda_fortran_mc_simulation_spin_tpu.ops import clock_measure_pallas
+
+    m = Clock2D(nx=256, ny=256, kbt=0.91, q=6)
+    st = m.init_state("random", rng.base_key(0))
+    obs = {
+        k: float(v)
+        for k, v in clock_measure_pallas.measure(m, st).items()
+    }
+    mx, my = m.magne_sums(st)
+    assert obs["m"] == pytest.approx(float(mx) / m.nsites, abs=3e-4)
+    assert obs["my"] == pytest.approx(float(my) / m.nsites, abs=3e-4)
+    assert obs["e"] == pytest.approx(
+        float(m.energy_sum(st)) / m.nsites, abs=3e-4
+    )
+
+
+@requires_tpu
 def test_ising3d_pallas_matches_jnp_statistically():
     from cuda_fortran_mc_simulation_spin_tpu.core import rng
     from cuda_fortran_mc_simulation_spin_tpu.engine import sweep as sw
