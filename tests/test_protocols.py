@@ -47,6 +47,28 @@ def test_relaxation_specific_times():
     np.testing.assert_array_equal(table[:, 2], [1, 5, 10])
 
 
+def test_from_disorder_specific_times():
+    cfg = RunConfig(model="xy2d", nx=8, ny=8, kbt=0.89, mcs=10,
+                    tot_sample=2, measure_times=(2, 5, 10),
+                    use_pallas=False)
+    out = io.StringIO()
+    protocols.run_from_disorder(cfg, out, io.StringIO())
+    table = _parse_table(out.getvalue())
+    assert table.shape == (3, 16)
+    np.testing.assert_array_equal(table[:, 2], [2, 5, 10])
+
+
+def test_samples_specific_times():
+    cfg = RunConfig(model="xy2d", nx=8, ny=8, kbt=0.89, mcs=10,
+                    tot_sample=1, init_state="random",
+                    measure_times=(3, 7), use_pallas=False)
+    out = io.StringIO()
+    protocols.run_samples(cfg, out, io.StringIO())
+    table = _parse_table(out.getvalue())
+    assert table.shape == (2, 7)
+    np.testing.assert_array_equal(table[:, 2], [3, 7])
+
+
 def test_from_disorder_output():
     cfg = RunConfig(model="xy2d", nx=8, ny=8, kbt=0.89, mcs=3,
                     tot_sample=2, init_state="random", use_pallas=False)
