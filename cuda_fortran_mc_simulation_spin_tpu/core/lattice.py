@@ -82,11 +82,6 @@ class LatticeSpec:
         return (self.ny, self.nx // 2)
 
 
-def _row_parity(ny: int, half_nx: int) -> jnp.ndarray:
-    """(ny, 1) int32 array: y & 1 — broadcasts against color arrays."""
-    return (jnp.arange(ny, dtype=jnp.int32) & 1).reshape(ny, 1)
-
-
 def split_checkerboard(full: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
     """(ny, nx) full lattice -> (a, b) color arrays of shape (ny, nx//2).
 
@@ -322,6 +317,3 @@ def helical_parity_mask(nall: int, offset: Parity) -> jnp.ndarray:
     """
     return (jnp.arange(nall) & 1) == offset
 
-
-def full_lattice_to_numpy(a, b) -> np.ndarray:
-    return np.asarray(merge_checkerboard(a, b))

@@ -24,10 +24,6 @@ from jax import lax
 from cuda_fortran_mc_simulation_spin_tpu.core import rng
 
 
-def _obs_names(model, state) -> tuple[str, ...]:
-    return tuple(model.observables(state).keys())
-
-
 def make_sample_runner(
     model,
     mcs: int,
