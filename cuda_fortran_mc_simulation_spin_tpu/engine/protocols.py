@@ -43,6 +43,8 @@ from cuda_fortran_mc_simulation_spin_tpu.models import build_model
 
 def _header_fields(cfg: RunConfig, model, extra: dict | None = None
                    ) -> dict:
+    method = ("Metropolis and OverRelaxation" if cfg.n_over_relax > 0
+              else "Metropolis")
     fields = {
         "size": model.nsites,
         "nx, ny": (cfg.nx, cfg.ny) if cfg.model != "ising3d"
@@ -52,7 +54,7 @@ def _header_fields(cfg: RunConfig, model, extra: dict | None = None
         "kbt": cfg.kbt,
         "initial seed": cfg.seed,
         "n_skip": cfg.stream,
-        "method": "Metropolis",
+        "method": method,
     }
     if extra:
         fields.update(extra)
