@@ -94,7 +94,8 @@ def _multisweep_eligible(cfg, model, runner_kwargs) -> bool:
     if cfg.model not in ("ising2d", "clock") or runner_kwargs:
         return False
     try:
-        if model.resolved_backend != "pallas":
+        # helical engines have no Pallas backend (no resolved_backend)
+        if getattr(model, "resolved_backend", "jnp") != "pallas":
             return False
     except ValueError:
         return False
@@ -375,6 +376,11 @@ def _run_xy_disorder(cfg: RunConfig, prep: str, out, err,
                      header_extra: dict,
                      checkpoint_path=None, checkpoint_every=0):
     model = build_model(cfg)
+    if not hasattr(model, "rotate_magne_toward_xaxis"):
+        raise ValueError(
+            "disorder protocols need the periodic XY engine: use even "
+            f"nx (got nx={cfg.nx}, which selects the helical layout)"
+        )
     _emit_headers(cfg, model, out, err, header_extra)
     L = _series_len(cfg)
     op_abs = stats.VarianceCovarianceKahan((L,))   # (|m|, e)

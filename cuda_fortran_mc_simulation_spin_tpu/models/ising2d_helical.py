@@ -85,6 +85,13 @@ class Ising2DHelical:
         flat = self._phase(flat, 1, u)
         return flat
 
+    def sweep_batched(self, flat: jax.Array, key: jax.Array) -> jax.Array:
+        nrep = flat.shape[0]
+        keys = jax.vmap(lambda r: jax.random.fold_in(key, r))(
+            jnp.arange(nrep)
+        )
+        return jax.vmap(self.sweep)(flat, keys)
+
     def magne_sum(self, flat: jax.Array) -> jax.Array:
         return jnp.sum(flat, dtype=jnp.int32)
 

@@ -103,6 +103,16 @@ class XY2DHelical:
             sy = jnp.where(mask, ry * rinv, sy)
         return (sx, sy)
 
+    def sweep_batched(self, state, key):
+        nrep = state[0].shape[0]
+        keys = jax.vmap(lambda r: jax.random.fold_in(key, r))(
+            jnp.arange(nrep)
+        )
+        return jax.vmap(self.sweep)(state, keys)
+
+    def over_relax_sweep_batched(self, state):
+        return jax.vmap(self.over_relax_sweep)(state)
+
     def magne_sums(self, state):
         return jnp.sum(state[0]), jnp.sum(state[1])
 
