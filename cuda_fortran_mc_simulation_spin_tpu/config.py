@@ -65,6 +65,11 @@ class RunConfig:
     use_pallas: bool | None = None   # None = auto (True on TPU)
     samples_per_call: int = 1        # batch of samples folded per dispatch
 
+    # multi-chip mesh (parallel/): replicas shard over `dp`, the lattice's
+    # leading spatial dim over `y`.  (1, 1) = single-device execution.
+    mesh_dp: int = 1
+    mesh_y: int = 1
+
     def __post_init__(self):
         if self.measure_times is not None:
             object.__setattr__(

@@ -113,7 +113,28 @@ def _run_accumulating(cfg, model, accumulators, fold, err,
     if cfg.tot_sample % max(batch, 1):
         raise ValueError("tot_sample must be divisible by the batch size")
     runner_kwargs = runner_kwargs or {}
-    if _multisweep_eligible(cfg, model, runner_kwargs):
+    if cfg.mesh_dp * cfg.mesh_y > 1:
+        # domain-sharded multi-chip execution (parallel/domain.py):
+        # replicas over dp, lattice rows/planes over y
+        if runner_kwargs:
+            raise ValueError(
+                "mesh execution currently supports plain relaxation "
+                "(no over-relaxation schedule)"
+            )
+        from cuda_fortran_mc_simulation_spin_tpu.parallel import (
+            domain,
+            mesh as mesh_mod,
+        )
+        msh = mesh_mod.make_mesh(cfg.mesh_dp, cfg.mesh_y)
+        runner = domain.make_sharded_sample_runner(
+            model, msh, cfg.mcs, max(batch, 1), cfg.init_state
+        )
+        if batch == 1:
+            inner = runner
+            runner = jax.jit(
+                lambda k: jax.tree.map(lambda v: v[0], inner(k))
+            )
+    elif _multisweep_eligible(cfg, model, runner_kwargs):
         runner = jax.jit(
             sweep_mod.make_multisweep_runner(
                 model, cfg.mcs, max(batch, 1), cfg.init_state

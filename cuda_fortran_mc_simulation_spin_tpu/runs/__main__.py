@@ -61,11 +61,17 @@ def parse_args(argv=None) -> argparse.Namespace:
     p.add_argument("--checkpoint-every", type=int, default=0)
     p.add_argument("--profile-dir", default=None,
                    help="write a JAX profiler trace of the run here")
+    p.add_argument("--mesh", default=None, metavar="DP,Y",
+                   help="multi-chip mesh: replicas over DP devices, "
+                        "lattice rows over Y devices (e.g. 2,4)")
     return p.parse_args(argv)
 
 
 def config_from_args(a: argparse.Namespace) -> RunConfig:
     use_pallas = {"auto": None, "jnp": False, "pallas": True}[a.backend]
+    mesh_dp, mesh_y = 1, 1
+    if a.mesh:
+        mesh_dp, mesh_y = (int(v) for v in a.mesh.split(","))
     return RunConfig(
         model=a.model, nx=a.nx, ny=a.ny, nz=a.nz, q=a.q, kbt=a.kbt,
         mcs=a.mcs, tot_sample=a.samples, seed=a.seed, stream=a.stream,
@@ -74,6 +80,7 @@ def config_from_args(a: argparse.Namespace) -> RunConfig:
         rotate_after_first_mcs=a.fix1mcs, replicas=a.replicas,
         samples_per_call=a.samples_per_call,
         measure_times=a.measure_times, use_pallas=use_pallas,
+        mesh_dp=mesh_dp, mesh_y=mesh_y,
     )
 
 

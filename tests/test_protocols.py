@@ -111,6 +111,25 @@ def test_finite_magne_samples_output():
     np.testing.assert_array_equal(table[:, 1], [1, 1, 1, 2, 2, 2])
 
 
+def test_mesh_relaxation_protocol():
+    """Domain-sharded relaxation through the protocol layer on the
+    8-device virtual mesh."""
+    import jax
+
+    if len(jax.devices()) < 8:
+        import pytest as _pytest
+        _pytest.skip("needs 8 virtual devices")
+    cfg = RunConfig(model="ising2d", nx=16, ny=16, kbt=2.26918531421,
+                    mcs=4, tot_sample=4, replicas=2,
+                    mesh_dp=2, mesh_y=4, use_pallas=False)
+    out = io.StringIO()
+    protocols.run_relaxation(cfg, out, io.StringIO())
+    table = _parse_table(out.getvalue())
+    assert table.shape == (4, 10)
+    np.testing.assert_array_equal(table[:, 1], 4)  # Nsample
+    assert np.all(np.isfinite(table[:, 3:]))
+
+
 def test_checkpoint_resume_exact(tmp_path):
     """Interrupted run + resume must equal an uninterrupted run exactly
     (counter-based streams make this bitwise)."""
