@@ -28,6 +28,11 @@ def build_model(cfg):
         return Ising3D(nx=cfg.nx, ny=cfg.ny, nz=cfg.nz, kbt=cfg.kbt,
                        backend=backend)
     if cfg.model == "clock":
+        if cfg.nx % 2 == 1:
+            from cuda_fortran_mc_simulation_spin_tpu.models.\
+                clock_helical import Clock2DHelical
+            return Clock2DHelical(nx=cfg.nx, ny=cfg.ny, kbt=cfg.kbt,
+                                  q=cfg.q)
         return Clock2D(nx=cfg.nx, ny=cfg.ny, kbt=cfg.kbt, q=cfg.q,
                        backend=backend)
     if cfg.model == "xy2d":
