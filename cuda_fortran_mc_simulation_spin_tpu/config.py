@@ -72,9 +72,13 @@ class RunConfig:
 
     def __post_init__(self):
         if self.measure_times is not None:
-            object.__setattr__(
-                self, "measure_times", tuple(int(t) for t in self.measure_times)
-            )
+            times = tuple(int(t) for t in self.measure_times)
+            bad = [t for t in times if not (1 <= t <= self.mcs)]
+            if bad:
+                raise ValueError(
+                    f"measure_times {bad} outside [1, mcs={self.mcs}]"
+                )
+            object.__setattr__(self, "measure_times", times)
 
     @property
     def nsites(self) -> int:
