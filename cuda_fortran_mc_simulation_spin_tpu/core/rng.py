@@ -36,8 +36,29 @@ def sample_key(key: jax.Array, sample: jax.Array | int) -> jax.Array:
     return jr.fold_in(key, sample)
 
 
+# Purpose domains under a sample key.  Sweep-t keys live one tree level
+# below the _DOM_SWEEP child, so an init/prepare key can never collide
+# with the key of any sweep index t (previously init = fold_in(k, 1000)
+# was bit-identical to the t=1000 sweep key, replaying the initial-state
+# uniforms as Metropolis candidates at t=1000 in every mcs >= 1000 run).
+# Disjointness across purposes holds by construction: at each tree node
+# the child indices used for distinct purposes are distinct integers.
+_DOM_SWEEP, _DOM_INIT, _DOM_PREPARE = 0, 1, 2
+
+
 def sweep_key(key: jax.Array, t: jax.Array | int) -> jax.Array:
-    return jr.fold_in(key, t)
+    """Key for sweep t of the history keyed by ``key``."""
+    return jr.fold_in(jr.fold_in(key, _DOM_SWEEP), t)
+
+
+def init_key(key: jax.Array) -> jax.Array:
+    """Key for the initial-state draw of the history keyed by ``key``."""
+    return jr.fold_in(key, _DOM_INIT)
+
+
+def prepare_key(key: jax.Array) -> jax.Array:
+    """Key for post-init preparation draws (finite-magne etc.)."""
+    return jr.fold_in(key, _DOM_PREPARE)
 
 
 def phase_key(key: jax.Array, phase: int) -> jax.Array:

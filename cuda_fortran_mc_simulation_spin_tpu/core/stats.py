@@ -75,9 +75,12 @@ class VarianceKahan:
     def add_data(self, v: np.ndarray) -> None:
         v = np.asarray(v, dtype=np.float64)
         if v.ndim == len(self._sum.s.shape) + 1:
-            # batch of samples (replicas first axis): fold each
-            for row in v:
-                self.add_data(row)
+            # batch of samples (replicas first axis): reduce the replica
+            # axis with numpy's pairwise summation, then one compensated
+            # fold — one host pass regardless of batch size
+            self._n += v.shape[0]
+            self._sum.add(v.sum(axis=0))
+            self._sumsq.add((v * v).sum(axis=0))
             return
         self._n += 1
         self._sum.add(v)
@@ -136,8 +139,13 @@ class VarianceCovarianceKahan:
         v1 = np.asarray(v1, dtype=np.float64)
         v2 = np.asarray(v2, dtype=np.float64)
         if v1.ndim == len(self._sum1.s.shape) + 1:
-            for r1, r2 in zip(v1, v2):
-                self.add_data(r1, r2)
+            # replica batch: pairwise-sum the replica axis, fold once
+            self._n += v1.shape[0]
+            self._sum1.add(v1.sum(axis=0))
+            self._sum2.add(v2.sum(axis=0))
+            self._sumsq1.add((v1 * v1).sum(axis=0))
+            self._sumsq2.add((v2 * v2).sum(axis=0))
+            self._sum12.add((v1 * v2).sum(axis=0))
             return
         self._n += 1
         self._sum1.add(v1)

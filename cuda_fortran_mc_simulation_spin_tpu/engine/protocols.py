@@ -43,8 +43,6 @@ from cuda_fortran_mc_simulation_spin_tpu.models import build_model
 
 def _header_fields(cfg: RunConfig, model, extra: dict | None = None
                    ) -> dict:
-    method = ("Metropolis and OverRelaxation" if cfg.n_over_relax > 0
-              else "Metropolis")
     fields = {
         "size": model.nsites,
         "nx, ny": (cfg.nx, cfg.ny) if cfg.model != "ising3d"
@@ -54,8 +52,14 @@ def _header_fields(cfg: RunConfig, model, extra: dict | None = None
         "kbt": cfg.kbt,
         "initial seed": cfg.seed,
         "n_skip": cfg.stream,
-        "method": method,
     }
+    if cfg.n_over_relax > 0:
+        # match the reference OR app headers: separate schedule fields,
+        # method stays "Metropolis"
+        # (/root/reference/app/xy2d_gpu_over_relaxation.f90:35-37)
+        fields["mcs_over_relax"] = cfg.mcs_over_relax or cfg.mcs
+        fields["n_over_relax"] = cfg.n_over_relax
+    fields["method"] = "Metropolis"
     if extra:
         fields.update(extra)
     return fields
@@ -249,7 +253,7 @@ def _xy_disorder_runner(model, cfg: RunConfig, prep: str):
     mcs_or = cfg.mcs_over_relax or mcs
 
     def run(sample_key: jax.Array) -> dict[str, jax.Array]:
-        k_init = rng.phase_key(sample_key, 1000)
+        k_init = rng.init_key(sample_key)
         if prep == "rotate_first":
             state = model.init_state("random", k_init)
             state = model.rotate_magne_toward_xaxis(state)
@@ -360,7 +364,7 @@ def _xy_disorder_batched_runner(model, cfg: RunConfig, prep: str,
 
     def run(call_key: jax.Array) -> dict[str, jax.Array]:
         init_keys = jax.vmap(
-            lambda r: jax.random.fold_in(rng.phase_key(call_key, 1000), r)
+            lambda r: jax.random.fold_in(rng.init_key(call_key), r)
         )(jnp.arange(batch))
         state, snap = jax.vmap(
             lambda k: _xy_init_for_prep(model, cfg, prep, k)
@@ -411,6 +415,8 @@ def _run_xy_disorder(cfg: RunConfig, prep: str, out, err,
     ac = stats.VarianceKahan((L,))
     accs = {"op_abs": op_abs, "op_xy": op_xy, "op": op, "op_y": op_y,
             "ac": ac}
+    if cfg.track_correlation:
+        accs["corr"] = stats.VarianceKahan((L,))
 
     base = rng.base_key(cfg.seed, cfg.stream)
     batch = max(cfg.replicas, 1)
@@ -438,6 +444,8 @@ def _run_xy_disorder(cfg: RunConfig, prep: str, out, err,
         op.add_data(series["mx"], series["e"])
         op_y.add_data(series["my"], series["e"])
         ac.add_data(series["A"])
+        if cfg.track_correlation:
+            accs["corr"].add_data(series["corr"])
 
     progress = _progress(err, cfg.tot_sample)
     t0 = time.time()
@@ -467,7 +475,7 @@ def run_from_disorder(cfg: RunConfig, out: IO[str] = sys.stdout,
     datfmt.write_abs_parameters_from_disorder(
         out, model.nsites, _series_len(cfg),
         accs["op_abs"], accs["op_xy"], accs["ac"],
-        times=cfg.measure_times,
+        times=cfg.measure_times, correlation=accs.get("corr"),
     )
     return accs
 
@@ -484,7 +492,7 @@ def run_finite_magne(cfg: RunConfig, out: IO[str] = sys.stdout,
     datfmt.write_parameters_from_disorder(
         out, model.nsites, _series_len(cfg),
         accs["op"], accs["op_y"], accs["ac"],
-        times=cfg.measure_times,
+        times=cfg.measure_times, correlation=accs.get("corr"),
     )
     return accs
 
@@ -503,9 +511,15 @@ def run_samples(cfg: RunConfig, out: IO[str] = sys.stdout,
     (/root/reference/app/
     xy2d_periodic_gpu_relaxation_from_disorder_finite_magne_samples.f90:
     40-58 and the scripts-only ..._from_disorder_samples).  Preparation
-    follows cfg.init_state.  Row: N, sample, t, m_x, e, m_y, A."""
-    prep = _PREP_FOR_INIT.get(cfg.init_state, "rotate_first")
+    follows cfg.init_state.  Row: N, sample, t, m_x, e, m_y, A for the
+    periodic XY engine; N, sample, t, m, e [, m_y] for the other models
+    (the samples concept is not XY-specific, but autocorrelation and the
+    rotation preps are)."""
     model = build_model(cfg)
+    if not hasattr(model, "rotate_magne_toward_xaxis"):
+        _run_samples_generic(cfg, model, out, err)
+        return
+    prep = _PREP_FOR_INIT.get(cfg.init_state, "rotate_first")
     extra = {"initial state": "disorder"}
     if prep == "finite_magne":
         extra["Initial finite magne"] = cfg.init_magne
@@ -513,13 +527,45 @@ def run_samples(cfg: RunConfig, out: IO[str] = sys.stdout,
     base = rng.base_key(cfg.seed, cfg.stream)
     runner = jax.jit(_xy_disorder_runner(model, cfg, prep))
     progress = _progress(err, cfg.tot_sample)
+    order = ("mx", "e", "my", "A")
+    if cfg.track_correlation:
+        order += ("corr",)
     for s in range(cfg.tot_sample):
         series = jax.device_get(runner(rng.sample_key(base, s)))
         series = {k: np.asarray(v, np.float64) for k, v in series.items()}
         series = _filter_times(series, cfg)
         datfmt.write_sample_series(
             out, model.nsites, s + 1, series,
-            order=("mx", "e", "my", "A"), times=cfg.measure_times,
+            order=order, times=cfg.measure_times,
+        )
+        progress(s + 1, cfg.tot_sample)
+
+
+def _run_samples_generic(cfg: RunConfig, model, out, err) -> None:
+    """Per-sample raw series for Ising/clock/helical engines: plain
+    Metropolis histories, columns m, e (+ m_y for planar spins)."""
+    if cfg.init_state not in ("allup", "random"):
+        raise ValueError(
+            f"init_state={cfg.init_state!r} requires the periodic XY "
+            f"engine (--model xy2d with even nx); model {cfg.model!r} "
+            "supports allup/random starts"
+        )
+    _emit_headers(cfg, model, out, err)
+    base = rng.base_key(cfg.seed, cfg.stream)
+    runner = jax.jit(
+        sweep_mod.make_sample_runner(model, cfg.mcs, cfg.init_state)
+    )
+    progress = _progress(err, cfg.tot_sample)
+    order = None
+    for s in range(cfg.tot_sample):
+        series = jax.device_get(runner(rng.sample_key(base, s)))
+        series = {k: np.asarray(v, np.float64) for k, v in series.items()}
+        series = _filter_times(series, cfg)
+        if order is None:
+            order = ("m", "e") + (("my",) if "my" in series else ())
+        datfmt.write_sample_series(
+            out, model.nsites, s + 1, series,
+            order=order, times=cfg.measure_times,
         )
         progress(s + 1, cfg.tot_sample)
 

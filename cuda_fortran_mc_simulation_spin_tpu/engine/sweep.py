@@ -8,9 +8,11 @@ measurement — runs inside one `lax.scan` under `jit`; the only
 device→host transfer is the (mcs, n_obs) observable series per sample
 (or per batch of vmapped samples).
 
-Keying: sweep t of sample s draws from fold_in(fold_in(base, s), t) —
-the declarative replacement of the reference's sequential XORWOW stream
-with `skip_curand` offsets (core/rng.py).
+Keying: sweep t of sample s draws from the (base -> s -> sweep-domain
+-> t) fold_in chain; initial-state and preparation draws live under
+their own purpose domains of the sample key (core/rng.py) so no sweep
+index can alias them.  This is the declarative replacement of the
+reference's sequential XORWOW stream with `skip_curand` offsets.
 """
 
 from __future__ import annotations
@@ -48,9 +50,9 @@ def make_sample_runner(
     measure = measure or model.observables
 
     def run(sample_key: jax.Array) -> dict[str, jax.Array]:
-        state = model.init_state(init_kind, rng.phase_key(sample_key, 1000))
+        state = model.init_state(init_kind, rng.init_key(sample_key))
         if prepare is not None:
-            state = prepare(state, rng.phase_key(sample_key, 2000))
+            state = prepare(state, rng.prepare_key(sample_key))
 
         def body(state, t):
             state = model.sweep(state, rng.sweep_key(sample_key, t))
@@ -93,12 +95,12 @@ def make_batch_runner(
 
     def run(call_key: jax.Array) -> dict[str, jax.Array]:
         init_keys = jax.vmap(
-            lambda r: jax.random.fold_in(rng.phase_key(call_key, 1000), r)
+            lambda r: jax.random.fold_in(rng.init_key(call_key), r)
         )(jnp.arange(batch))
         state = jax.vmap(lambda k: model.init_state(init_kind, k))(init_keys)
         if prepare is not None:
             prep_keys = jax.vmap(
-                lambda r: jax.random.fold_in(rng.phase_key(call_key, 2000), r)
+                lambda r: jax.random.fold_in(rng.prepare_key(call_key), r)
             )(jnp.arange(batch))
             state = jax.vmap(prepare)(state, prep_keys)
 
@@ -161,7 +163,7 @@ def make_multisweep_runner(
 
     def run(call_key: jax.Array) -> dict[str, jax.Array]:
         init_keys = jax.vmap(
-            lambda r: jax.random.fold_in(rng.phase_key(call_key, 1000), r)
+            lambda r: jax.random.fold_in(rng.init_key(call_key), r)
         )(jnp.arange(batch))
         state = jax.vmap(lambda k: model.init_state(init_kind, k))(init_keys)
 

@@ -63,13 +63,21 @@ def write_parameters_from_disorder(
     order_parameter_y: VarianceCovarianceKahan,  # (my, e)
     autocorrelation: VarianceKahan,
     times=None,
+    correlation: VarianceKahan | None = None,
 ) -> None:
     """output_parameters_from_disorder
-    (/root/reference/src/output_utilities_m.f90:7-25)."""
-    out.write(
+    (/root/reference/src/output_utilities_m.f90:7-25).
+
+    ``correlation``: optional two-point correlation accumulator (the
+    in-module observable of /root/reference/src/xy2d_periodic_gpu_m.f90:
+    551-567 that no reference app printed); appends <corr>, <corr^2>."""
+    cols = (
         "# N, Nsample, time, <m>, <e>, <m^2>, <e^2>, N*Var[mx], N*Var[e],"
-        " N*Cov[mx,e], <A>, <A^2>, N*Var[A], <m_y>\n"
+        " N*Cov[mx,e], <A>, <A^2>, N*Var[A], <m_y>"
     )
+    if correlation is not None:
+        cols += ", <corr>, <corr^2>"
+    out.write(cols + "\n")
     n = order_parameter.num_sample()
     m1, m2 = order_parameter.mean1(), order_parameter.mean2()
     s1, s2 = order_parameter.square_mean1(), order_parameter.square_mean2()
@@ -83,6 +91,8 @@ def write_parameters_from_disorder(
         row = [nall, n, int(t), m1[i], m2[i], s1[i], s2[i],
                nall * v1[i], nall * v2[i], nall * cv[i],
                am[i], asq[i], nall * av[i], my1[i]]
+        if correlation is not None:
+            row += [correlation.mean()[i], correlation.square_mean()[i]]
         out.write(" ".join(g0(v) for v in row) + "\n")
 
 
@@ -94,15 +104,20 @@ def write_abs_parameters_from_disorder(
     order_parameter_xy: VarianceCovarianceKahan,   # (mx, my)
     autocorrelation: VarianceKahan,
     times=None,
+    correlation: VarianceKahan | None = None,
 ) -> None:
     """output_abs_parameters_from_disorder
     (/root/reference/src/output_utilities_m.f90:27-51), including
-    χ = <m²> - (<mx>² + <my>²) (:42)."""
-    out.write(
+    χ = <m²> - (<mx>² + <my>²) (:42).  ``correlation``: optional
+    two-point correlation accumulator, appends <corr>, <corr^2>."""
+    cols = (
         "# N, Nsample, time, <|m|>, <e>, <m^2>, <e^2>, <|m|e>,"
         " (<m^2> - (<mx>^2 + <my>^2)), <A>, <A^2>, <mx>, <my>, <mx^2>,"
-        " <my^2>, <mx*my>\n"
+        " <my^2>, <mx*my>"
     )
+    if correlation is not None:
+        cols += ", <corr>, <corr^2>"
+    out.write(cols + "\n")
     n = order_parameter_abs.num_sample()
     a1, a2 = order_parameter_abs.mean1(), order_parameter_abs.mean2()
     as1 = order_parameter_abs.square_mean1()
@@ -118,6 +133,8 @@ def write_abs_parameters_from_disorder(
         chi = as1[i] - (xm[i] ** 2 + ym[i] ** 2)
         row = [nall, n, int(t), a1[i], a2[i], as1[i], as2[i], a12[i], chi,
                am[i], asq[i], xm[i], ym[i], xs[i], ys[i], xy[i]]
+        if correlation is not None:
+            row += [correlation.mean()[i], correlation.square_mean()[i]]
         out.write(" ".join(g0(v) for v in row) + "\n")
 
 

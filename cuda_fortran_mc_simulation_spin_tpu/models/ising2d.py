@@ -18,8 +18,8 @@ TPU-native design (not a translation):
   shard_map body, and the CPU test oracle.
 
 Boundary conditions: periodic (canonical).  The reference's helical
-("norishiro") BC (:52-54,95-106) is available for cross-checks via
-ops/checkerboard.py helical engine.
+("norishiro") BC (:52-54,95-106) is available for cross-checks via the
+models/ising2d_helical.py engine.
 """
 
 from __future__ import annotations

@@ -59,14 +59,38 @@ def _vp(fn):
     return jax.vmap(fn)
 
 
+def _site_uniforms(pkey, rep0, row0, rep_loc, rows_loc, tail_shape,
+                   n_draws):
+    """Per-site uniforms for one checkerboard phase of a local block,
+    keyed by GLOBAL replica and row indices (pkey -> replica -> row).
+
+    Every mesh shape that covers the same global lattice draws the same
+    uniform at the same global site, so (1,1), (1,4) and (2,4) meshes
+    produce bit-identical trajectories for one seed — the bitwise
+    shard-vs-single-chip requirement of SURVEY.md §4.  Returns
+    ``n_draws`` arrays of shape (rep_loc, rows_loc, *tail_shape)."""
+    reps = rep0 + jnp.arange(rep_loc)
+    rows = row0 + jnp.arange(rows_loc)
+    u = jax.vmap(
+        lambda r: jax.vmap(
+            lambda g: rng.uniform(
+                jr.fold_in(jr.fold_in(pkey, r), g),
+                (n_draws,) + tuple(tail_shape),
+            )
+        )(rows)
+    )(reps)
+    return [u[:, :, i] for i in range(n_draws)]
+
+
 # --------------------------------------------------------------------------
 # per-model local sweeps + observables (all on (R, ny_loc, half) blocks)
 # --------------------------------------------------------------------------
 
-def _ising_local_sweep(model: Ising2D, a, b, key, ysh):
+def _ising_local_sweep(model: Ising2D, a, b, key, ysh, rep0, row0):
     def phase(x, o, color, pkey):
         hu, hd = _xch(o, ysh)
-        u = rng.uniform(pkey, x.shape)
+        (u,) = _site_uniforms(pkey, rep0, row0, x.shape[0], x.shape[1],
+                              x.shape[2:], 1)
         return _vp(
             lambda x1, o1, h1, h2, u1: model._phase(
                 x1, o1, color, u1, halos=(h1, h2)
@@ -99,13 +123,13 @@ def _ising_local_obs(model: Ising2D, a, b, ysh):
     return {"m": m.astype(jnp.float32), "e": e.astype(jnp.float32)}
 
 
-def _clock_local_sweep(model: Clock2D, a, b, key, ysh):
+def _clock_local_sweep(model: Clock2D, a, b, key, ysh, rep0, row0):
     q = model.q
 
     def phase(x, o, color, pkey):
         hu, hd = _xch(o, ysh)
-        u_c = rng.uniform(jr.fold_in(pkey, 0), x.shape)
-        u_a = rng.uniform(jr.fold_in(pkey, 1), x.shape)
+        u_c, u_a = _site_uniforms(pkey, rep0, row0, x.shape[0],
+                                  x.shape[1], x.shape[2:], 2)
 
         def one(x1, o1, h1, h2, uc, ua):
             co, so = tables.state_cos_sin(o1, q)
@@ -155,12 +179,13 @@ def _vector_bond_energy(cax, say, cbx, sby, ysh):
     return -(bond(cax, cbx) + bond(say, sby))
 
 
-def _ising3d_local_sweep(model, a, b, key, ysh):
+def _ising3d_local_sweep(model, a, b, key, ysh, rep0, row0):
     """z-sharded 3-D sweep: local blocks (R, nz_loc, ny, half); halo
     planes exchanged over the mesh's domain axis."""
     def phase(x, o, color, pkey):
         hzm, hzp = exchange_halo_rows(o, "y", ysh, row_axis=1)
-        u = rng.uniform(pkey, x.shape)
+        (u,) = _site_uniforms(pkey, rep0, row0, x.shape[0], x.shape[1],
+                              x.shape[2:], 1)
         return _vp(
             lambda x1, o1, h1, h2, u1: model._phase(
                 x1, o1, color, u1, halos=(h1, h2)
@@ -203,12 +228,12 @@ def _ising3d_local_obs(model, a, b, ysh):
     return {"m": m.astype(jnp.float32), "e": e.astype(jnp.float32)}
 
 
-def _xy_local_sweep(model: XY2D, st: XYState, key, ysh):
+def _xy_local_sweep(model: XY2D, st: XYState, key, ysh, rep0, row0):
     def phase(sx, sy, ox, oy, color, pkey):
         hux, hdx = _xch(ox, ysh)
         huy, hdy = _xch(oy, ysh)
-        u_c = rng.uniform(jr.fold_in(pkey, 0), sx.shape)
-        u_a = rng.uniform(jr.fold_in(pkey, 1), sx.shape)
+        u_c, u_a = _site_uniforms(pkey, rep0, row0, sx.shape[0],
+                                  sx.shape[1], sx.shape[2:], 2)
         return _vp(
             lambda a1, a2, b1, b2, h1, h2, h3, h4, uc, ua: model._phase(
                 a1, a2, b1, b2, color, uc, ua,
@@ -250,7 +275,7 @@ def make_sharded_sample_runner(model, mesh: Mesh, mcs: int,
     step = _make_local_step(model, mesh)
 
     def run(key: jax.Array):
-        init_keys = jr.split(rng.phase_key(key, 1000), replicas)
+        init_keys = jr.split(rng.init_key(key), replicas)
         state = jax.vmap(lambda k: model.init_state(init_kind, k))(
             init_keys
         )
@@ -285,25 +310,28 @@ def _make_local_step(model, mesh: Mesh):
     is_3d = isinstance(model, Ising3D)
 
     def local_step(state, key):
-        shard_key = jr.fold_in(
-            jr.fold_in(key, lax.axis_index("dp")), lax.axis_index("y")
-        )
+        # draws are keyed by GLOBAL replica/row ids inside the local
+        # sweeps (_site_uniforms), so the trajectory is bitwise invariant
+        # to the mesh shape; the shard indices only locate the block
+        first = state[0]
+        rep0 = lax.axis_index("dp") * first.shape[0]
+        row0 = lax.axis_index("y") * first.shape[1]
         if is_xy:
-            state = _xy_local_sweep(model, state, shard_key, ysh)
+            state = _xy_local_sweep(model, state, key, ysh, rep0, row0)
             obs = _xy_local_obs(model, state, ysh)
         elif is_clock:
-            a, b = _clock_local_sweep(model, state.a, state.b, shard_key,
-                                      ysh)
+            a, b = _clock_local_sweep(model, state.a, state.b, key,
+                                      ysh, rep0, row0)
             state = CheckerboardState(a, b)
             obs = _clock_local_obs(model, a, b, ysh)
         elif is_3d:
             a, b = _ising3d_local_sweep(model, state.a, state.b,
-                                        shard_key, ysh)
+                                        key, ysh, rep0, row0)
             state = CheckerboardState(a, b)
             obs = _ising3d_local_obs(model, a, b, ysh)
         else:
-            a, b = _ising_local_sweep(model, state.a, state.b, shard_key,
-                                      ysh)
+            a, b = _ising_local_sweep(model, state.a, state.b, key,
+                                      ysh, rep0, row0)
             state = CheckerboardState(a, b)
             obs = _ising_local_obs(model, a, b, ysh)
         obs = {k: lax.psum(v, "y") * n_inv for k, v in obs.items()}

@@ -49,6 +49,9 @@ def parse_args(argv=None) -> argparse.Namespace:
     p.add_argument("--mcs-over-relax", type=int, default=0)
     p.add_argument("--fix1mcs", action="store_true",
                    help="rotate to x-axis after the first MCS")
+    p.add_argument("--track-correlation", action="store_true",
+                   help="record the two-point correlation at offset "
+                        "(nx/2-1, ny/2-1) (XY disorder protocols)")
     p.add_argument("--replicas", type=int, default=1)
     p.add_argument("--samples-per-call", type=int, default=1)
     p.add_argument("--measure-times", type=int, nargs="*", default=None,
@@ -77,7 +80,8 @@ def config_from_args(a: argparse.Namespace) -> RunConfig:
         mcs=a.mcs, tot_sample=a.samples, seed=a.seed, stream=a.stream,
         init_state=a.init_state, init_magne=a.init_magne,
         n_over_relax=a.n_over_relax, mcs_over_relax=a.mcs_over_relax,
-        rotate_after_first_mcs=a.fix1mcs, replicas=a.replicas,
+        rotate_after_first_mcs=a.fix1mcs,
+        track_correlation=a.track_correlation, replicas=a.replicas,
         samples_per_call=a.samples_per_call,
         measure_times=a.measure_times, use_pallas=use_pallas,
         mesh_dp=mesh_dp, mesh_y=mesh_y,
@@ -89,7 +93,10 @@ def main(argv=None) -> int:
     cfg = config_from_args(a)
     protocol = PROTOCOLS[a.protocol]
     kwargs = {}
-    if a.checkpoint and a.protocol != "finite_magne_samples":
+    # the per-sample raw-series protocols emit rows as they go and keep
+    # no accumulator state — nothing to checkpoint
+    if a.checkpoint and a.protocol not in ("samples",
+                                           "finite_magne_samples"):
         kwargs = {"checkpoint_path": a.checkpoint,
                   "checkpoint_every": a.checkpoint_every}
     from cuda_fortran_mc_simulation_spin_tpu.utils.timing import profile

@@ -1,10 +1,10 @@
 """Multi-chip sharding tests on the 8-device virtual CPU mesh.
 
-Validates SURVEY.md §5.7's requirement: a domain-sharded sweep must agree
-with the single-device engine — identical physics, and *identical bits*
-given the same per-shard key derivation (which is mesh-shape dependent,
-so bitwise equality is checked shard-vs-shard at fixed mesh, and
-statistical/structural equality across mesh shapes).
+Validates SURVEY.md §5.7/§4's requirements: a domain-sharded sweep must
+preserve the physics (psum observables equal direct reductions on the
+gathered state) and be *bitwise invariant to the mesh shape* — draws are
+keyed by global replica/row ids (parallel/domain.py _site_uniforms), so
+(1,1), (1,4) and (2,4) meshes produce identical trajectories per seed.
 """
 
 import jax
@@ -51,26 +51,44 @@ def test_sharded_step_runs_and_observables_match_state(model, dp, ysh):
 
 @requires_8dev
 @pytest.mark.multichip
-def test_sharded_matches_singleshard_bitwise(model):
-    """y=1 sharded step must equal the unsharded jnp sweep bit-for-bit
-    when fed the same derived key."""
-    m1 = mesh_mod.make_mesh(1, 1)
-    state = domain.replicated_init(model, m1, 1, "random", rng.base_key(3))
-    step = domain.make_sharded_step(model, m1)
-    key = rng.base_key(7)
-    state2, _ = step(state, key)
+@pytest.mark.parametrize("model_name", ["ising2d", "clock", "xy2d",
+                                        "ising3d"])
+def test_mesh_shape_invariant_bitwise(model_name):
+    """(1,1), (1,4), (2,4) meshes must produce bit-identical trajectories
+    for the same seed (SURVEY.md §4): draws are keyed by global
+    replica/row ids, not shard ids."""
+    from cuda_fortran_mc_simulation_spin_tpu.models.clock import Clock2D
+    from cuda_fortran_mc_simulation_spin_tpu.models.ising3d import Ising3D
+    from cuda_fortran_mc_simulation_spin_tpu.models.xy2d import XY2D
 
-    # replicate the shard-local key derivation: fold_in dp=0, y=0
-    import jax.random as jr
-    shard_key = jr.fold_in(jr.fold_in(key, 0), 0)
-    single = jax.tree.map(lambda x: x[0], state)
-    expect = model.sweep_jnp(single, shard_key)
-    np.testing.assert_array_equal(
-        np.asarray(state2.a[0]), np.asarray(expect.a)
-    )
-    np.testing.assert_array_equal(
-        np.asarray(state2.b[0]), np.asarray(expect.b)
-    )
+    mdl = {
+        "ising2d": lambda: Ising2D(nx=16, ny=16, kbt=2.26918531421,
+                                   backend="jnp"),
+        "clock": lambda: Clock2D(nx=16, ny=16, kbt=0.91, q=6,
+                                 backend="jnp"),
+        "xy2d": lambda: XY2D(nx=16, ny=16, kbt=0.89, backend="jnp"),
+        "ising3d": lambda: Ising3D(nx=8, ny=8, nz=16, kbt=4.51152,
+                                   backend="jnp"),
+    }[model_name]()
+
+    states = {}
+    for dp, ysh in [(1, 1), (1, 4), (2, 4)]:
+        msh = mesh_mod.make_mesh(dp, ysh)
+        state = domain.replicated_init(mdl, msh, 2, "random",
+                                       rng.base_key(3))
+        step = domain.make_sharded_step(mdl, msh)
+        for t in (1, 2, 3):
+            state, _ = step(state, rng.sweep_key(rng.base_key(7), t))
+        states[(dp, ysh)] = jax.device_get(state)
+
+    ref = states[(1, 1)]
+    for shape, st in states.items():
+        for leaf_ref, leaf in zip(jax.tree.leaves(ref),
+                                  jax.tree.leaves(st)):
+            np.testing.assert_array_equal(
+                np.asarray(leaf), np.asarray(leaf_ref),
+                err_msg=f"mesh {shape} diverged from (1,1)",
+            )
 
 
 @requires_8dev
@@ -158,11 +176,10 @@ def test_sharded_sample_runner(model):
 
 @requires_8dev
 @pytest.mark.multichip
-def test_halo_stencil_matches_unsharded_stencil(model):
-    """Domain-sharded neighbor sums must agree with roll-based sums:
-    run one phase with uniforms==1 (never accept ⇒ state unchanged) and
-    uniforms==0 at T→∞ (always accept ⇒ deterministic flip), then compare
-    energies across mesh shapes."""
+def test_halo_stencil_deterministic_flip_across_mesh_shapes(model):
+    """Known-answer halo check: at T→∞ from allup every site flips
+    deterministically each phase (m=-1, e=-2 after one sweep), on every
+    mesh shape, and the final states agree bitwise."""
     hot = Ising2D(nx=16, ny=16, kbt=1e8, backend="jnp")
     results = {}
     for dp, ysh in [(1, 1), (1, 4), (1, 8)]:
@@ -170,9 +187,13 @@ def test_halo_stencil_matches_unsharded_stencil(model):
         state = domain.replicated_init(hot, msh, 1, "allup", rng.base_key(0))
         step = domain.make_sharded_step(hot, msh)
         st, obs = step(state, rng.base_key(5))
+        results[(dp, ysh)] = jax.device_get(st)
         # at T=∞ from allup, every site flips deterministically
-        results[(dp, ysh)] = np.asarray(
-            jax.tree.map(lambda x: np.asarray(x), st)
-        , dtype=object)
         np.testing.assert_allclose(jax.device_get(obs["m"]), [-1.0])
         np.testing.assert_allclose(jax.device_get(obs["e"]), [-2.0])
+    ref = results[(1, 1)]
+    for shape, st in results.items():
+        np.testing.assert_array_equal(np.asarray(st.a), np.asarray(ref.a),
+                                      err_msg=f"mesh {shape}")
+        np.testing.assert_array_equal(np.asarray(st.b), np.asarray(ref.b),
+                                      err_msg=f"mesh {shape}")

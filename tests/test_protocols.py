@@ -82,6 +82,64 @@ def test_from_disorder_output():
     assert np.all(table[:, 9] <= 1.0 + 1e-6)
 
 
+def test_samples_generic_models():
+    """The samples protocol must work for non-XY models (raw m/e rows),
+    not crash with an AttributeError."""
+    cfg = RunConfig(model="ising2d", nx=8, ny=8, kbt=2.5, mcs=3,
+                    tot_sample=2, use_pallas=False)
+    out = io.StringIO()
+    protocols.run_samples(cfg, out, io.StringIO())
+    table = _parse_table(out.getvalue())
+    assert table.shape == (6, 5)        # N, sample, t, m, e
+    np.testing.assert_array_equal(table[:, 1], [1, 1, 1, 2, 2, 2])
+
+    cfg = RunConfig(model="clock", nx=8, ny=8, q=6, kbt=0.91, mcs=2,
+                    tot_sample=1, use_pallas=False)
+    out = io.StringIO()
+    protocols.run_samples(cfg, out, io.StringIO())
+    table = _parse_table(out.getvalue())
+    assert table.shape == (2, 6)        # N, sample, t, m, e, my
+
+
+def test_samples_generic_rejects_xy_only_prep():
+    cfg = RunConfig(model="ising2d", nx=8, ny=8, kbt=2.5, mcs=2,
+                    tot_sample=1, init_state="finite_magne",
+                    use_pallas=False)
+    with pytest.raises(ValueError, match="periodic XY engine"):
+        protocols.run_samples(cfg, io.StringIO(), io.StringIO())
+
+
+def test_from_disorder_correlation_columns():
+    cfg = RunConfig(model="xy2d", nx=8, ny=8, kbt=0.89, mcs=3,
+                    tot_sample=2, init_state="random",
+                    track_correlation=True, use_pallas=False)
+    out = io.StringIO()
+    protocols.run_from_disorder(cfg, out, io.StringIO())
+    text = out.getvalue()
+    assert "<corr>" in text and "<corr^2>" in text
+    table = _parse_table(text)
+    assert table.shape == (3, 18)       # 16 standard + corr, corr^2
+    assert np.all(np.isfinite(table[:, 16:]))
+    # <corr^2> >= <corr>^2 (Jensen)
+    assert np.all(table[:, 17] >= table[:, 16] ** 2 - 1e-12)
+
+
+def test_over_relaxation_header_parity():
+    """OR runs keep `# method: Metropolis` and emit the separate schedule
+    fields, matching /root/reference/app/xy2d_gpu_over_relaxation.f90:
+    35-37."""
+    cfg = RunConfig(model="xy2d", nx=8, ny=8, kbt=0.89, mcs=3,
+                    tot_sample=1, n_over_relax=1, mcs_over_relax=2,
+                    use_pallas=False)
+    out = io.StringIO()
+    protocols.run_relaxation(cfg, out, io.StringIO())
+    text = out.getvalue()
+    assert "# method: Metropolis\n" in text
+    assert "# mcs_over_relax: 2" in text
+    assert "# n_over_relax: 1" in text
+    assert "OverRelaxation" not in text
+
+
 def test_fix1mcs_runs():
     cfg = RunConfig(model="xy2d", nx=8, ny=8, kbt=0.89, mcs=3,
                     tot_sample=1, rotate_after_first_mcs=True,

@@ -25,6 +25,25 @@ def test_stream_separation():
     assert len(seen) == 2 * 2 * 3 * 2 * 2
 
 
+def test_init_prepare_keys_never_alias_sweep_keys():
+    """Regression: init used to be fold_in(sample_key, 1000), colliding
+    bitwise with the t=1000 sweep key — at t=1000 the Metropolis uniforms
+    replayed the initial-state draws (every reference workload has
+    mcs >= 1000).  Purpose-domain keys must be disjoint from every sweep
+    index."""
+    import jax
+
+    def data(k):
+        return tuple(np.asarray(jax.random.key_data(k)))
+
+    sk = rng.sample_key(rng.base_key(42), 3)
+    forbidden = {data(rng.init_key(sk)), data(rng.prepare_key(sk))}
+    assert len(forbidden) == 2
+    sweep_keys = {data(rng.sweep_key(sk, t)) for t in range(0, 4097)}
+    assert len(sweep_keys) == 4097
+    assert not (forbidden & sweep_keys)
+
+
 def test_uniform_range_and_determinism():
     k = rng.base_key(1)
     u1 = np.asarray(rng.uniform(k, (1000,)))
