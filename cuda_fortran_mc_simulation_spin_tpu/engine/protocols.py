@@ -120,18 +120,27 @@ def _run_accumulating(cfg, model, accumulators, fold, err,
     if cfg.mesh_dp * cfg.mesh_y > 1:
         # domain-sharded multi-chip execution (parallel/domain.py):
         # replicas over dp, lattice rows/planes over y
-        if runner_kwargs:
-            raise ValueError(
-                "mesh execution currently supports plain relaxation "
-                "(no over-relaxation schedule)"
-            )
         from cuda_fortran_mc_simulation_spin_tpu.parallel import (
             domain,
             mesh as mesh_mod,
         )
         msh = mesh_mod.make_mesh(cfg.mesh_dp, cfg.mesh_y)
         runner = domain.make_sharded_sample_runner(
-            model, msh, cfg.mcs, max(batch, 1), cfg.init_state
+            model, msh, cfg.mcs, max(batch, 1), cfg.init_state,
+            **runner_kwargs,
+        )
+        if batch == 1:
+            inner = runner
+            runner = jax.jit(
+                lambda k: jax.tree.map(lambda v: v[0], inner(k))
+            )
+    elif sweep_mod.helical_pallas_eligible(
+            model, runner_kwargs.get("n_over_relax", 0)):
+        runner = jax.jit(
+            sweep_mod.make_helical_runner(
+                model, cfg.mcs, max(batch, 1), cfg.init_state,
+                **runner_kwargs,
+            )
         )
         if batch == 1:
             inner = runner
@@ -397,6 +406,137 @@ def _xy_disorder_batched_runner(model, cfg: RunConfig, prep: str,
     return run
 
 
+def _xy_multisweep_eligible(cfg: RunConfig, model, prep: str) -> bool:
+    """Route to the VMEM-resident int16-angle multisweep kernel
+    (ops/xy2d_multisweep.py) when the whole state+snapshot fits VMEM and
+    the run has no feature the kernel doesn't fuse."""
+    if cfg.track_correlation or cfg.mesh_dp * cfg.mesh_y > 1:
+        return False
+    if cfg.n_over_relax > 0:
+        # kernel applies OR on every sweep; partial schedules and the
+        # fix1mcs+OR combination fall back to the f32 path
+        full = cfg.mcs_over_relax in (0, cfg.mcs)
+        if not full or prep == "fix1mcs":
+            return False
+    try:
+        if model.resolved_backend != "pallas":
+            return False
+    except ValueError:
+        return False
+    from cuda_fortran_mc_simulation_spin_tpu.ops import xy2d_multisweep
+    ny, half = model.color_shape
+    return xy2d_multisweep.fits_vmem(ny, half) and ny % 16 == 0
+
+
+def _xy_disorder_multisweep_runner(model, cfg: RunConfig, prep: str,
+                                   batch: int, chunk: int = 64):
+    """run(call_key) -> {mx, my, e, A: (batch, mcs)} on the VMEM int16-
+    angle multisweep kernel: S sweeps + fused measurement per kernel
+    invocation, the fast path for the reference's flagship 1500²-class
+    from-disorder protocol
+    (/root/reference/app/xy2d_periodic_gpu_relaxation_from_disorder
+    .f90:9-15)."""
+    from cuda_fortran_mc_simulation_spin_tpu.ops import (
+        xy2d_multisweep as ms,
+    )
+
+    mcs = cfg.mcs
+    fix1 = prep == "fix1mcs"
+    n_or = cfg.n_over_relax
+    n_inv = 1.0 / model.nsites
+
+    def measure_t1(state, snap):
+        mx, my = model.magne_sums(state)
+        return {
+            "mx": mx * n_inv,
+            "my": my * n_inv,
+            "e": model.energy_sum(state) * n_inv,
+            "A": model.autocorrelation_sum(state, snap) * n_inv,
+        }
+
+    def rot_one(state, snap):
+        mx, my = model.magne_sums(state)
+        th = -jnp.arctan2(my, mx)
+        return model.rotate(state, th), model.rotate(snap, th)
+
+    def run(call_key: jax.Array) -> dict[str, jax.Array]:
+        init_keys = jax.vmap(
+            lambda r: jax.random.fold_in(rng.init_key(call_key), r)
+        )(jnp.arange(batch))
+        state, snap = jax.vmap(
+            lambda k: _xy_init_for_prep(model, cfg, prep, k)
+        )(init_keys)
+        first = None
+        t0 = 0
+        if fix1:
+            # sweep 1 + rotation + its measurement run on the f32 path;
+            # the kernel takes over from t=2 on the rotated state
+            state = model.sweep_batched(state, rng.sweep_key(call_key, 1))
+            state, snap = jax.vmap(rot_one)(state, snap)
+            first = jax.vmap(measure_t1)(state, snap)
+            t0 = 1
+        pa, pb = ms.state_to_angles(state)
+        sa, sb = ms.state_to_angles(snap)
+        remaining = mcs - t0
+        c_sz = min(chunk, remaining)
+        n_chunks = -(-remaining // c_sz)
+
+        def body(carry, c):
+            pa, pb = carry
+            pa, pb, series = ms.multisweep(
+                model, pa, pb, sa, sb, rng.sweep_key(call_key, c + 2),
+                c_sz, n_or=n_or,
+            )
+            return (pa, pb), series
+
+        _, series = lax.scan(body, (pa, pb), jnp.arange(n_chunks))
+        out = {}
+        for k, v in series.items():
+            v = jnp.moveaxis(v, 0, 1).reshape(batch, n_chunks * c_sz)
+            v = v[:, :remaining]
+            if first is not None:
+                v = jnp.concatenate([first[k][:, None], v], axis=1)
+            out[k] = v
+        return out
+
+    return run
+
+
+def _xy_disorder_mesh_runner(model, cfg: RunConfig, prep: str,
+                             batch: int):
+    """Domain-sharded XY disorder runner: sweeps in shard_map, prep /
+    rotation / measurement as global jnp on the sharded arrays
+    (parallel/domain.make_sharded_xy_disorder_runner)."""
+    from cuda_fortran_mc_simulation_spin_tpu.parallel import (
+        domain,
+        mesh as mesh_mod,
+    )
+
+    n_inv = 1.0 / model.nsites
+
+    def measure_one(state, snap):
+        mx, my = model.magne_sums(state)
+        obs = {
+            "mx": mx * n_inv,
+            "my": my * n_inv,
+            "e": model.energy_sum(state) * n_inv,
+            "A": model.autocorrelation_sum(state, snap) * n_inv,
+        }
+        if cfg.track_correlation:
+            obs["corr"] = model.correlation_sum(state) * n_inv
+        return obs
+
+    msh = mesh_mod.make_mesh(cfg.mesh_dp, cfg.mesh_y)
+    return domain.make_sharded_xy_disorder_runner(
+        model, msh, cfg.mcs, batch,
+        init_fn=lambda k: _xy_init_for_prep(model, cfg, prep, k),
+        measure_fn=measure_one,
+        fix1mcs=(prep == "fix1mcs"),
+        n_over_relax=cfg.n_over_relax,
+        mcs_over_relax=cfg.mcs_over_relax or cfg.mcs,
+    )
+
+
 def _run_xy_disorder(cfg: RunConfig, prep: str, out, err,
                      header_extra: dict,
                      checkpoint_path=None, checkpoint_every=0):
@@ -422,7 +562,13 @@ def _run_xy_disorder(cfg: RunConfig, prep: str, out, err,
     batch = max(cfg.replicas, 1)
     if cfg.tot_sample % batch:
         raise ValueError("tot_sample must be divisible by replicas")
-    if batch == 1:
+    if cfg.mesh_dp * cfg.mesh_y > 1:
+        runner = _xy_disorder_mesh_runner(model, cfg, prep, batch)
+    elif _xy_multisweep_eligible(cfg, model, prep):
+        runner = jax.jit(
+            _xy_disorder_multisweep_runner(model, cfg, prep, batch)
+        )
+    elif batch == 1:
         runner = jax.jit(_xy_disorder_runner(model, cfg, prep))
     else:
         runner = jax.jit(

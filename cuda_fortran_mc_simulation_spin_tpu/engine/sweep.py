@@ -184,6 +184,122 @@ def make_multisweep_runner(
     return run
 
 
+def helical_pallas_eligible(model, n_over_relax: int = 0) -> bool:
+    """True when the fused helical Pallas path (ops/helical_pallas.py)
+    serves this model on this backend."""
+    from cuda_fortran_mc_simulation_spin_tpu.models.clock_helical import (
+        Clock2DHelical,
+    )
+    from cuda_fortran_mc_simulation_spin_tpu.models.ising2d_helical import (
+        Ising2DHelical,
+    )
+    from cuda_fortran_mc_simulation_spin_tpu.models.xy2d_helical import (
+        XY2DHelical,
+    )
+    from cuda_fortran_mc_simulation_spin_tpu.ops import helical_pallas
+
+    if jax.default_backend() in ("cpu", "gpu"):
+        return False
+    if model.ny % 8 != 0:
+        return False
+    if isinstance(model, (Ising2DHelical, Clock2DHelical)):
+        return (n_over_relax == 0
+                and helical_pallas.ising_fits_vmem(model.ny, model.nx))
+    return isinstance(model, XY2DHelical)
+
+
+def make_helical_runner(
+    model,
+    mcs: int,
+    batch: int,
+    init_kind: str = "allup",
+    n_over_relax: int = 0,
+    mcs_over_relax: int = 0,
+    chunk: int = 64,
+) -> Callable[[jax.Array], dict[str, jax.Array]]:
+    """`run(call_key) -> {obs: (batch, mcs)}` on the fused helical
+    Pallas kernels — the fast path for the reference's committed odd-nx
+    geometries (1001×1000 Ising, 501×500 clock, 10001×10000 XY;
+    /root/reference/app/ising2d_gpu_relaxation.f90:8-9,
+    /root/reference/app/clock_gpu_relaxation.f90:6-13,
+    /root/reference/app/xy2d_gpu_relaxation.f90:9-10).
+
+    Ising/clock run the whole-lattice VMEM multisweep (no OR — it's an
+    XY feature); XY runs streaming masked phase kernels on lane-padded
+    planes with the OR schedule and per-sweep packed measurement.
+    """
+    from cuda_fortran_mc_simulation_spin_tpu.models.xy2d_helical import (
+        XY2DHelical,
+    )
+    from cuda_fortran_mc_simulation_spin_tpu.ops import helical_pallas as hp
+
+    if isinstance(model, XY2DHelical):
+        mcs_or = mcs_over_relax or mcs
+
+        def run(call_key: jax.Array) -> dict[str, jax.Array]:
+            init_keys = jax.vmap(
+                lambda r: jax.random.fold_in(rng.init_key(call_key), r)
+            )(jnp.arange(batch))
+            state = jax.vmap(lambda k: model.init_state(init_kind, k))(
+                init_keys
+            )
+            sx, sy = hp.xy_pack_state(state, model.ny, model.nx)
+
+            def body(carry, t):
+                sx, sy = carry
+                sx, sy = hp.xy_sweep_packed(
+                    model, sx, sy, rng.sweep_key(call_key, t)
+                )
+                if n_over_relax > 0:
+                    def do_or(c):
+                        return lax.fori_loop(
+                            0, n_over_relax,
+                            lambda i, c2: hp.xy_over_relax_sweep_packed(
+                                model, *c2
+                            ),
+                            c,
+                        )
+                    sx, sy = lax.cond(
+                        t <= mcs_or, do_or, lambda c: c, (sx, sy)
+                    )
+                return (sx, sy), hp.xy_observables_packed(model, sx, sy)
+
+            _, series = lax.scan(body, (sx, sy), jnp.arange(1, mcs + 1))
+            return jax.tree.map(lambda x: jnp.swapaxes(x, 0, 1), series)
+
+        return run
+
+    from cuda_fortran_mc_simulation_spin_tpu.models.clock_helical import (
+        Clock2DHelical,
+    )
+
+    ms = (hp.clock_multisweep if isinstance(model, Clock2DHelical)
+          else hp.ising_multisweep)
+    chunk = min(chunk, mcs)
+    n_chunks = -(-mcs // chunk)
+    padded = n_chunks * chunk
+
+    def run(call_key: jax.Array) -> dict[str, jax.Array]:
+        init_keys = jax.vmap(
+            lambda r: jax.random.fold_in(rng.init_key(call_key), r)
+        )(jnp.arange(batch))
+        state = jax.vmap(lambda k: model.init_state(init_kind, k))(
+            init_keys
+        )
+
+        def body(state, c):
+            return ms(model, state, rng.sweep_key(call_key, c), chunk)
+
+        _, series = lax.scan(body, state, jnp.arange(n_chunks))
+        out = {}
+        for k, v in series.items():
+            v = jnp.moveaxis(v, 0, 1).reshape(batch, padded)
+            out[k] = v[:, :mcs]
+        return out
+
+    return run
+
+
 def run_ensemble(
     model,
     mcs: int,

@@ -188,3 +188,155 @@ def sweep(model, state: CheckerboardState, key: jax.Array
 
     Accepts (ny, half) color arrays or replica-batched (R, ny, half)."""
     return _sweep_nd(model, state, key)
+
+
+# ---------------------------------------------------------------------------
+# halo-aware phase for the domain-sharded (shard_map) path
+# ---------------------------------------------------------------------------
+
+def _halo_phase_kernel(seed_ref, offs_ref, x_ref, oc_ref, oup_ref,
+                       odn_ref, hup_ref, hdn_ref, *rest,
+                       color: int, ty: int, nblk: int, t4: int, t8: int,
+                       has_bits: bool):
+    """Like _phase_kernel, but the first/last row-blocks of the LOCAL
+    shard take their y-halo row from explicitly exchanged operands
+    (parallel/halo.exchange_halo_rows → ppermute over ICI) instead of a
+    periodic wrap of the local array — the in-kernel half of the
+    promotion of the reference's update_norishiro_sub
+    (/root/reference/src/ising2d_gpu_m.f90:86-106) to multi-chip.
+
+    offs_ref = (global replica offset, global row offset) of this shard:
+    seeds and checkerboard parity are derived from GLOBAL coordinates so
+    shards never share a stream and x-neighbor geometry survives the
+    row split.  ``has_bits``: use a random-bits operand instead of the
+    hardware PRNG (CPU interpret-mode validation against the jnp path).
+    """
+    if has_bits:
+        bits_ref, out_ref = rest
+    else:
+        (out_ref,) = rest
+    r = pl.program_id(0)
+    i = pl.program_id(1)
+    row_g = offs_ref[1] + i * ty
+
+    x = x_ref[0].astype(jnp.int32)
+    o = oc_ref[0].astype(jnp.int32)
+
+    up_row = jnp.where(i == 0, hup_ref[0, 7:8, :], oup_ref[0, 7:8, :])
+    dn_row = jnp.where(i == nblk - 1, hdn_ref[0, 0:1, :],
+                       odn_ref[0, 0:1, :])
+    parity = stencil.row_parity_mask(ty, row_g)
+    nsum = stencil.nbr_sum(
+        o, up_row.astype(jnp.int32), dn_row.astype(jnp.int32),
+        color, parity,
+    )
+    half_de = x * nsum
+
+    if has_bits:
+        bits = bits_ref[0]
+    else:
+        rep_g = offs_ref[0] + r
+        tile_tag = (row_g * jnp.int32(-1640531527)
+                    + rep_g * jnp.int32(0x3C6EF35F))
+        pltpu.prng_seed(seed_ref[0], seed_ref[1] ^ tile_tag)
+        bits = pltpu.bitcast(pltpu.prng_random_bits(x.shape), jnp.uint32)
+    thresh = jnp.where(half_de == 2, jnp.uint32(t4), jnp.uint32(t8))
+    accept = (half_de <= 0) | (bits < thresh)
+    out_ref[0] = jnp.where(accept, -x, x).astype(jnp.int8)
+
+
+def sharded_phase(
+    x: jax.Array,
+    other: jax.Array,
+    halo_up: jax.Array,
+    halo_dn: jax.Array,
+    seeds: jax.Array,
+    offs: jax.Array,
+    *,
+    color: int,
+    beta: float,
+    bits: jax.Array | None = None,
+    interpret: bool = False,
+) -> jax.Array:
+    """One checkerboard phase of a y-sharded local block.
+
+    x, other: (R, L, half) int8 local color blocks; halo_up/halo_dn:
+    (R, 1, half) exchanged boundary rows (up = global row above row 0,
+    dn = global row below row L-1); offs: (2,) int32 (rep0, row0) global
+    offsets.  Call inside shard_map; the halo rows ride ICI, everything
+    else stays in VMEM.
+    """
+    nrep, L, half = x.shape
+    t4, t8 = accept_thresholds_u32(beta)
+    ty = _pick_tile_rows(L, half)
+    n = L // ty
+    nb8 = L // 8
+
+    if interpret and bits is None:
+        # CPU interpret mode has no lowering for the hardware PRNG;
+        # derive the acceptance bits with threefry outside the kernel
+        # (identical statistics, different stream than on TPU)
+        kb = jax.random.fold_in(
+            jax.random.fold_in(
+                jax.random.PRNGKey(seeds[0].astype(jnp.uint32)), seeds[1]
+            ),
+            offs[0] * jnp.int32(65537) + offs[1],
+        )
+        bits = jax.random.bits(kb, (nrep, L, half), dtype=jnp.uint32)
+
+    # 8-row sublane alignment for the halo operands: real row sits where
+    # the in-array neighbor blocks place theirs (up → row 7, dn → row 0)
+    hup = jnp.pad(halo_up, ((0, 0), (7, 0), (0, 0)))
+    hdn = jnp.pad(halo_dn, ((0, 0), (0, 7), (0, 0)))
+
+    kernel = functools.partial(
+        _halo_phase_kernel, color=color, ty=ty, nblk=n, t4=t4, t8=t8,
+        has_bits=bits is not None,
+    )
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.SMEM),  # seeds (2,)
+        pl.BlockSpec(memory_space=pltpu.SMEM),  # offs (2,)
+        pl.BlockSpec((1, ty, half), lambda r, i: (r, i, 0),
+                     memory_space=pltpu.VMEM),  # x
+        pl.BlockSpec((1, ty, half), lambda r, i: (r, i, 0),
+                     memory_space=pltpu.VMEM),  # other, centered
+        pl.BlockSpec(
+            (1, 8, half),
+            lambda r, i: (r, (i * ty // 8 - 1 + nb8) % nb8, 0),
+            memory_space=pltpu.VMEM,
+        ),  # other: block whose LAST row is the in-shard halo row above
+        pl.BlockSpec(
+            (1, 8, half),
+            lambda r, i: (r, ((i + 1) * ty // 8) % nb8, 0),
+            memory_space=pltpu.VMEM,
+        ),  # other: block whose FIRST row is the in-shard halo row below
+        pl.BlockSpec((1, 8, half), lambda r, i: (r, 0, 0),
+                     memory_space=pltpu.VMEM),  # exchanged up halo
+        pl.BlockSpec((1, 8, half), lambda r, i: (r, 0, 0),
+                     memory_space=pltpu.VMEM),  # exchanged dn halo
+    ]
+    operands = [seeds, offs, x, other, other, other, hup, hdn]
+    if bits is not None:
+        in_specs.append(
+            pl.BlockSpec((1, ty, half), lambda r, i: (r, i, 0),
+                         memory_space=pltpu.VMEM)
+        )
+        operands.append(bits)
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((nrep, L, half), jnp.int8),
+        grid=(nrep, n),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, ty, half), lambda r, i: (r, i, 0),
+                               memory_space=pltpu.VMEM),
+        input_output_aliases={2: 0},
+        interpret=interpret,
+    )(*operands)
+
+
+def shard_pallas_ok(local_shape: tuple[int, ...]) -> bool:
+    """Local (R, L, half) block shape is tileable by the halo kernel."""
+    if len(local_shape) != 3:
+        return False
+    _, L, half = local_shape
+    return half % 128 == 0 and L % _MIN_TY == 0

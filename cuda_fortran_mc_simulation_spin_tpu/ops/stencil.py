@@ -13,16 +13,17 @@ import jax.numpy as jnp
 from jax.experimental.pallas import tpu as pltpu
 
 
-def load_row_aligned(ref, base, sel: int):
+def load_row_aligned(ref, base, sel: int, gran: int = 8):
     """One lattice row from a VMEM ref at dynamic row index base+sel.
 
-    Mosaic requires dynamic sublane indices provably divisible by 8:
-    callers pass an 8-aligned ``base`` (a modular expression of
-    8-multiples) plus a static in-block offset ``sel`` ∈ [0, 8).
+    Mosaic requires dynamic sublane indices provably divisible by the
+    sublane granule (8 for f32/int32, 16 for int16 storage): callers
+    pass a ``gran``-aligned ``base`` (a modular expression of
+    gran-multiples) plus a static in-block offset ``sel`` ∈ [0, gran).
     Returns shape (1, w)."""
     import jax.experimental.pallas as pl
 
-    blk = ref[0, pl.ds(pl.multiple_of(base, 8), 8), :]
+    blk = ref[0, pl.ds(pl.multiple_of(base, gran), gran), :]
     return blk[sel:sel + 1, :]
 
 

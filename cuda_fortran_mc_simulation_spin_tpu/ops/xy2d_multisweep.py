@@ -1,0 +1,319 @@
+"""Whole-lattice-in-VMEM multi-sweep XY kernel (int16 angle storage).
+
+The reference's flagship protocol is from-disorder XY relaxation at
+1500² × 10⁵ MCS × 2222 samples
+(/root/reference/app/xy2d_periodic_gpu_relaxation_from_disorder.f90:9-15)
+with per-sweep mx/my/e/A(t) measurement.  Four f32 component planes at
+that size are ~19 MB — beyond VMEM — so the phase-per-pallas_call path
+(ops/xy2d_pallas.py) pays full HBM round trips per phase plus a separate
+measurement pass: ~20 plane transfers per MCS, HBM-bound at ~10ⁱ⁰
+site-updates/s.
+
+TPU-native redesign: spins stored as **16-bit fixed-point angles**
+θ = k·2π/2¹⁶ (one int16 plane per checkerboard color).  Equivalent to a
+q = 65536 clock model — statistically indistinguishable from continuous
+XY for every observable here (candidate-angle resolution 9.6e-5 rad,
+far below f32 acceptance rounding), and strictly *better* behaved than
+the reference's f64 component storage in one respect: |S| = 1 holds
+exactly by construction, so the renormalization the reference needs
+after every over-relaxation step
+(/root/reference/src/xy2d_periodic_gpu_m.f90:434-438) is unnecessary,
+and global rotations are exact int16 adds (mod 2¹⁶ = mod 2π).
+
+State+snapshot at 1536² is 4×2.36 MB — everything lives in VMEM across
+``S`` sweeps per kernel invocation; HBM sees only the (S, 128)
+observable rows.  Measurement (mx, my, e, A) is fused into phase b:
+e = -Σ_b S_b·h_b covers every bond once, A(t) = Σ cos(θ₀-θ_t) is one
+transcendental per site.
+
+Grid = (replicas,).  Over-relaxation in angle space is θ' = 2φ - θ with
+φ = atan2(h_y, h_x) — one atan2 per site, no renorm.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from cuda_fortran_mc_simulation_spin_tpu.models.xy2d import XYState
+from cuda_fortran_mc_simulation_spin_tpu.ops import stencil
+from cuda_fortran_mc_simulation_spin_tpu.ops.ising2d_pallas import (
+    seeds_from_key,
+)
+
+_TWO_PI = float(2.0 * np.pi)
+_TO_RAD = np.float32(_TWO_PI / 65536.0)
+_GRAN = 16  # int16 sublane granule
+
+# int16 angle planes: state (2) + snapshot (2), plus f32 block temps
+VMEM_ANGLE_BUDGET = 9 << 20
+
+
+def fits_vmem(ny: int, half: int) -> bool:
+    return 4 * ny * half * 2 <= VMEM_ANGLE_BUDGET
+
+
+def to_angles(sx: jax.Array, sy: jax.Array) -> jax.Array:
+    """f32 component planes -> int16 fixed-point angle plane."""
+    th = jnp.arctan2(sy, sx) * jnp.float32(65536.0 / _TWO_PI)
+    k = jnp.round(th).astype(jnp.int32)
+    return k.astype(jnp.int16)  # wraps mod 2^16
+
+
+def from_angles(k: jax.Array) -> tuple[jax.Array, jax.Array]:
+    th = k.astype(jnp.float32) * _TO_RAD
+    return jnp.cos(th), jnp.sin(th)
+
+
+def rotate_angles(k: jax.Array, theta: jax.Array) -> jax.Array:
+    """Exact global rotation by theta (radians): int16 add mod 2^16."""
+    dk = jnp.round(theta * jnp.float32(65536.0 / _TWO_PI)).astype(
+        jnp.int32
+    ).astype(jnp.int16)
+    return k + dk  # int16 wraparound == mod 2π
+
+
+def _pick_ty(ny: int, half: int) -> int:
+    ty = max(_GRAN, min(ny, (128 << 10) // max(half, 1)))
+    ty = (ty // _GRAN) * _GRAN
+    while ty >= _GRAN:
+        if ny % ty == 0:
+            return ty
+        ty -= _GRAN
+    raise ValueError(f"ny={ny} not tileable into multiples of {_GRAN}")
+
+
+def _cs(k_i32):
+    th = k_i32.astype(jnp.float32) * _TO_RAD
+    return jnp.cos(th), jnp.sin(th)
+
+
+def _kernel(seed_ref, pa_in, pb_in, sa_ref, sb_ref,
+            pa_ref, pb_ref, obs_ref,
+            *, sweeps: int, ty: int, ny: int, half: int, beta: float,
+            n_or: int):
+    r = pl.program_id(0)
+    pltpu.prng_seed(seed_ref[0], seed_ref[1] ^ (r * jnp.int32(0x3C6EF35F)))
+    nblk = ny // ty
+    pa_ref[0] = pa_in[0]
+    pb_ref[0] = pb_in[0]
+
+    def halo_rows(ref, i):
+        up = stencil.load_row_aligned(
+            ref, (i * ty - _GRAN + ny) % ny, _GRAN - 1, gran=_GRAN
+        ).astype(jnp.int32)
+        dn = stencil.load_row_aligned(
+            ref, (i * ty + ty) % ny, 0, gran=_GRAN
+        ).astype(jnp.int32)
+        return up, dn
+
+    def field(o_ref, i, color, parity):
+        """(hx, hy) from the other-color angle block + its halo rows."""
+        o = o_ref[0, pl.ds(pl.multiple_of(i * ty, _GRAN), ty), :].astype(
+            jnp.int32
+        )
+        up, dn = halo_rows(o_ref, i)
+        co, so = _cs(o)
+        cu, su = _cs(up)
+        cd, sd = _cs(dn)
+        hx = stencil.nbr_sum(co, cu, cd, color, parity)
+        hy = stencil.nbr_sum(so, su, sd, color, parity)
+        return hx, hy
+
+    def metropolis_block(x_ref, o_ref, i, color):
+        y0 = pl.multiple_of(i * ty, _GRAN)
+        parity = stencil.row_parity_mask(ty, y0)
+        hx, hy = field(o_ref, i, color, parity)
+        k = x_ref[0, pl.ds(y0, ty), :].astype(jnp.int32)
+        cx, sx = _cs(k)
+        bits = pltpu.bitcast(pltpu.prng_random_bits((ty, half)),
+                             jnp.uint32)
+        cand = (bits >> jnp.uint32(16)).astype(jnp.int32)
+        cc, cs_ = _cs(cand)
+        de = -((cc - cx) * hx + (cs_ - sx) * hy)
+        p = jnp.exp(jnp.float32(-beta) * jnp.maximum(de, 0.0))
+        u = stencil.bits_to_uniform(
+            pltpu.bitcast(pltpu.prng_random_bits((ty, half)), jnp.uint32)
+        )
+        accept = u < p
+        newk = jnp.where(accept, cand, k)
+        x_ref[0, pl.ds(y0, ty), :] = newk.astype(jnp.int16)
+        return newk, accept, cc, cs_, cx, sx, hx, hy
+
+    def phase_a(i, _):
+        metropolis_block(pa_ref, pb_ref, i, 0)
+        return 0
+
+    def phase_b_measure(i, carry):
+        mx, my, e, A = carry
+        y0 = pl.multiple_of(i * ty, _GRAN)
+        newk, accept, cc, cs_, cbx, cby, hx, hy = metropolis_block(
+            pb_ref, pa_ref, i, 1
+        )
+        # new b components via the already-computed candidate/old values
+        bx = jnp.where(accept, cc, cbx)
+        by = jnp.where(accept, cs_, cby)
+        ka = pa_ref[0, pl.ds(y0, ty), :].astype(jnp.int32)
+        cax, cay = _cs(ka)
+        # every a-b bond counted once from the b side: e = -Σ_b S_b·h_b
+        e = e - jnp.sum(bx * hx + by * hy)
+        mx = mx + jnp.sum(cax) + jnp.sum(bx)
+        my = my + jnp.sum(cay) + jnp.sum(by)
+        # A = Σ cos(θ0 - θt), one transcendental per site
+        ksa = sa_ref[0, pl.ds(y0, ty), :].astype(jnp.int32)
+        ksb = sb_ref[0, pl.ds(y0, ty), :].astype(jnp.int32)
+        A = A + jnp.sum(jnp.cos((ksa - ka).astype(jnp.float32) * _TO_RAD))
+        A = A + jnp.sum(
+            jnp.cos((ksb - newk).astype(jnp.float32) * _TO_RAD)
+        )
+        return mx, my, e, A
+
+    def or_phase(x_ref, o_ref, i, color):
+        """θ' = 2φ - θ, φ = atan2(hy, hx) — exact-norm reflection."""
+        y0 = pl.multiple_of(i * ty, _GRAN)
+        parity = stencil.row_parity_mask(ty, y0)
+        hx, hy = field(o_ref, i, color, parity)
+        k = x_ref[0, pl.ds(y0, ty), :].astype(jnp.int32)
+        phi = jnp.arctan2(hy, hx) * jnp.float32(65536.0 / _TWO_PI)
+        newk = 2 * jnp.round(phi).astype(jnp.int32) - k
+        x_ref[0, pl.ds(y0, ty), :] = newk.astype(jnp.int16)
+        return 0
+
+    def sweep_body(s, _):
+        zeros4 = (jnp.float32(0), jnp.float32(0), jnp.float32(0),
+                  jnp.float32(0))
+        jax.lax.fori_loop(0, nblk, phase_a, 0)
+        if n_or == 0:
+            mx, my, e, A = jax.lax.fori_loop(
+                0, nblk, phase_b_measure, zeros4
+            )
+        else:
+            jax.lax.fori_loop(
+                0, nblk,
+                lambda i, c: (metropolis_block(pb_ref, pa_ref, i, 1), 0)[1],
+                0,
+            )
+
+            def one_or(j, _):
+                jax.lax.fori_loop(
+                    0, nblk, lambda i, c: or_phase(pa_ref, pb_ref, i, 0),
+                    0,
+                )
+                jax.lax.fori_loop(
+                    0, nblk, lambda i, c: or_phase(pb_ref, pa_ref, i, 1),
+                    0,
+                )
+                return 0
+
+            jax.lax.fori_loop(0, n_or, one_or, 0)
+            # measure after OR: the reference records the post-OR state
+            # (/root/reference/app/xy2d_gpu_over_relaxation.f90:45-49)
+            mx, my, e, A = jax.lax.fori_loop(
+                0, nblk, _measure_only, zeros4
+            )
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+        row = jnp.where(
+            lane == 0, mx,
+            jnp.where(lane == 1, my,
+                      jnp.where(lane == 2, e,
+                                jnp.where(lane == 3, A, 0.0))),
+        )
+        obs_ref[0, pl.ds(s, 1), :] = row
+        return 0
+
+    def _measure_only(i, carry):
+        mx, my, e, A = carry
+        y0 = pl.multiple_of(i * ty, _GRAN)
+        parity = stencil.row_parity_mask(ty, y0)
+        hx, hy = field(pa_ref, i, 1, parity)   # field at b sites from a
+        kb = pb_ref[0, pl.ds(y0, ty), :].astype(jnp.int32)
+        bx, by = _cs(kb)
+        ka = pa_ref[0, pl.ds(y0, ty), :].astype(jnp.int32)
+        cax, cay = _cs(ka)
+        e = e - jnp.sum(bx * hx + by * hy)
+        mx = mx + jnp.sum(cax) + jnp.sum(bx)
+        my = my + jnp.sum(cay) + jnp.sum(by)
+        ksa = sa_ref[0, pl.ds(y0, ty), :].astype(jnp.int32)
+        ksb = sb_ref[0, pl.ds(y0, ty), :].astype(jnp.int32)
+        A = A + jnp.sum(jnp.cos((ksa - ka).astype(jnp.float32) * _TO_RAD))
+        A = A + jnp.sum(jnp.cos((ksb - kb).astype(jnp.float32) * _TO_RAD))
+        return mx, my, e, A
+
+    jax.lax.fori_loop(0, sweeps, sweep_body, 0)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("sweeps", "beta", "nrep", "ny", "half", "n_or"),
+)
+def _multisweep(pa, pb, sa, sb, seeds, *, sweeps, beta, nrep, ny, half,
+                n_or):
+    ty = _pick_ty(ny, half)
+    kernel = functools.partial(
+        _kernel, sweeps=sweeps, ty=ty, ny=ny, half=half, beta=beta,
+        n_or=n_or,
+    )
+    ang = pl.BlockSpec((1, ny, half), lambda r: (r, 0, 0),
+                       memory_space=pltpu.VMEM)
+    obs = pl.BlockSpec((1, sweeps, 128), lambda r: (r, 0, 0),
+                       memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((nrep, ny, half), jnp.int16),
+            jax.ShapeDtypeStruct((nrep, ny, half), jnp.int16),
+            jax.ShapeDtypeStruct((nrep, sweeps, 128), jnp.float32),
+        ),
+        grid=(nrep,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            ang, ang, ang, ang,
+        ],
+        out_specs=(ang, ang, obs),
+        input_output_aliases={1: 0, 2: 1},
+    )(seeds, pa, pb, sa, sb)
+
+
+def multisweep(model, pa, pb, sa, sb, key, sweeps: int, n_or: int = 0):
+    """Advance ``sweeps`` MCS (each + ``n_or`` over-relaxation sweeps)
+    on int16 angle planes; returns (pa, pb, {mx, my, e, A}) with
+    per-sweep observable *densities* of shape (R, sweeps).
+
+    pa/pb: (R, ny, half) int16 angle planes; sa/sb: the autocorrelation
+    snapshot planes (state at t=0).
+    """
+    ny, half = model.color_shape
+    if not fits_vmem(ny, half):
+        raise ValueError(
+            f"lattice {ny}x{2 * half} does not fit the VMEM-resident XY "
+            "multisweep kernel; use the phase-kernel path"
+        )
+    pa, pb, obs = _multisweep(
+        pa, pb, sa, sb, seeds_from_key(key, 0),
+        sweeps=sweeps, beta=float(model.beta), nrep=pa.shape[0],
+        ny=ny, half=half, n_or=n_or,
+    )
+    n_inv = jnp.float32(1.0 / model.nsites)
+    series = {
+        "mx": obs[:, :, 0] * n_inv,
+        "my": obs[:, :, 1] * n_inv,
+        "e": obs[:, :, 2] * n_inv,
+        "A": obs[:, :, 3] * n_inv,
+    }
+    return pa, pb, series
+
+
+def state_to_angles(state: XYState) -> tuple[jax.Array, jax.Array]:
+    """(R, ny, half) XYState component planes -> int16 angle planes."""
+    return to_angles(state.ax, state.ay), to_angles(state.bx, state.by)
+
+
+def angles_to_state(pa: jax.Array, pb: jax.Array) -> XYState:
+    ax, ay = from_angles(pa.astype(jnp.int32))
+    bx, by = from_angles(pb.astype(jnp.int32))
+    return XYState(ax, ay, bx, by)

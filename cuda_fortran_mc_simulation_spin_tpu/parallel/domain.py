@@ -86,7 +86,45 @@ def _site_uniforms(pkey, rep0, row0, rep_loc, rows_loc, tail_shape,
 # per-model local sweeps + observables (all on (R, ny_loc, half) blocks)
 # --------------------------------------------------------------------------
 
+def _shard_pallas_mode(model, local_shape) -> tuple[bool, bool]:
+    """(use_pallas, interpret) for the domain-sharded sweep.
+
+    The fused halo kernel runs when the model resolves to the Pallas
+    backend (TPU) and the local block is tileable; setting
+    SPINLAT_SHARD_PALLAS_INTERPRET=1 forces the kernel in interpret mode
+    on CPU (validation of the halo kernel inside shard_map)."""
+    import os
+
+    from cuda_fortran_mc_simulation_spin_tpu.ops import ising2d_pallas
+
+    if not ising2d_pallas.shard_pallas_ok(tuple(local_shape)):
+        return False, False
+    if os.environ.get("SPINLAT_SHARD_PALLAS_INTERPRET") == "1":
+        return True, True
+    try:
+        return model.resolved_backend == "pallas", False
+    except ValueError:
+        return False, False
+
+
 def _ising_local_sweep(model: Ising2D, a, b, key, ysh, rep0, row0):
+    use_pallas, interpret = _shard_pallas_mode(model, a.shape)
+    if use_pallas:
+        from cuda_fortran_mc_simulation_spin_tpu.ops import ising2d_pallas
+
+        offs = jnp.stack([jnp.int32(rep0), jnp.int32(row0)])
+        hu, hd = _xch(b, ysh)
+        a = ising2d_pallas.sharded_phase(
+            a, b, hu, hd, ising2d_pallas.seeds_from_key(key, 0), offs,
+            color=0, beta=float(model.beta), interpret=interpret,
+        )
+        hu, hd = _xch(a, ysh)
+        b = ising2d_pallas.sharded_phase(
+            b, a, hu, hd, ising2d_pallas.seeds_from_key(key, 1), offs,
+            color=1, beta=float(model.beta), interpret=interpret,
+        )
+        return a, b
+
     def phase(x, o, color, pkey):
         hu, hd = _xch(o, ysh)
         (u,) = _site_uniforms(pkey, rep0, row0, x.shape[0], x.shape[1],
@@ -247,6 +285,26 @@ def _xy_local_sweep(model: XY2D, st: XYState, key, ysh, rep0, row0):
     return XYState(ax, ay, bx, by)
 
 
+def _xy_local_or_sweep(model: XY2D, st: XYState, ysh):
+    """One over-relaxation sweep on y-sharded local blocks (deterministic
+    reflection about the local field, halos over ICI) — the multi-chip
+    form of update_over_relaxation
+    (/root/reference/src/xy2d_periodic_gpu_m.f90:418-439)."""
+    def phase(sx, sy, ox, oy, color):
+        hux, hdx = _xch(ox, ysh)
+        huy, hdy = _xch(oy, ysh)
+        return _vp(
+            lambda a1, a2, b1, b2, h1, h2, h3, h4: model._or_phase(
+                a1, a2, b1, b2, color, halos=((h1, h2), (h3, h4))
+            )
+        )(sx, sy, ox, oy, hux, hdx, huy, hdy)
+
+    ax, ay, bx, by = st
+    ax, ay = phase(ax, ay, bx, by, 0)
+    bx, by = phase(bx, by, ax, ay, 1)
+    return XYState(ax, ay, bx, by)
+
+
 def _xy_local_obs(model: XY2D, st: XYState, ysh):
     mx = jnp.sum(st.ax, axis=(1, 2)) + jnp.sum(st.bx, axis=(1, 2))
     my = jnp.sum(st.ay, axis=(1, 2)) + jnp.sum(st.by, axis=(1, 2))
@@ -263,16 +321,26 @@ def make_sharded_step(model, mesh: Mesh):
 
     Supports Ising2D, Clock2D and XY2D states.
     """
-    return jax.jit(_make_local_step(model, mesh))
+    step = _make_local_step(model, mesh)
+    return jax.jit(lambda state, key: step(state, key, False))
 
 
 def make_sharded_sample_runner(model, mesh: Mesh, mcs: int,
-                               replicas: int, init_kind: str = "allup"):
+                               replicas: int, init_kind: str = "allup",
+                               n_over_relax: int = 0,
+                               mcs_over_relax: int = 0):
     """run(key) -> {obs: (replicas, mcs)}: full MC histories for a
     replica batch, domain-sharded over the mesh, in ONE jitted program —
     the multi-chip production driver (ensemble × lattice sharding).
+
+    ``n_over_relax``/``mcs_over_relax``: XY over-relaxation schedule
+    (n_over_relax reflection sweeps after each Metropolis sweep with
+    t <= mcs_over_relax, /root/reference/app/xy2d_gpu_over_relaxation
+    .f90:45-47), with halo exchange per OR phase.
     """
-    step = _make_local_step(model, mesh)
+    step = _make_local_step(model, mesh, n_over_relax=n_over_relax)
+    _check_replicas(replicas, mesh)
+    mcs_or = mcs_over_relax or mcs
 
     def run(key: jax.Array):
         init_keys = jr.split(rng.init_key(key), replicas)
@@ -281,7 +349,7 @@ def make_sharded_sample_runner(model, mesh: Mesh, mcs: int,
         )
 
         def body(state, t):
-            return step(state, rng.sweep_key(key, t))
+            return step(state, rng.sweep_key(key, t), t <= mcs_or)
 
         _, series = lax.scan(body, state, jnp.arange(1, mcs + 1))
         return jax.tree.map(lambda x: jnp.swapaxes(x, 0, 1), series)
@@ -289,11 +357,75 @@ def make_sharded_sample_runner(model, mesh: Mesh, mcs: int,
     return jax.jit(run)
 
 
-def _make_local_step(model, mesh: Mesh):
-    """Non-jitted shard_map step (for composing inside scans).
+def make_sharded_xy_disorder_runner(model, mesh: Mesh, mcs: int,
+                                    replicas: int, init_fn, measure_fn,
+                                    fix1mcs: bool = False,
+                                    n_over_relax: int = 0,
+                                    mcs_over_relax: int = 0):
+    """run(key) -> {mx, my, e, A, ...: (replicas, mcs)} — the XY disorder
+    protocols (from_disorder/fix1mcs/finite_magne) domain-sharded over
+    the mesh.
+
+    Architecture: the Metropolis/OR sweeps run inside shard_map (global-
+    row-keyed draws, explicit ppermute halos); preparation (``init_fn``,
+    returning (state, snapshot) per replica), the fix1mcs global
+    rotation, and ``measure_fn(state, snap) -> dict`` stay *global* jnp
+    on the sharded arrays — XLA's partitioner inserts the collectives
+    for the sums/rolls they contain, so no protocol feature is lost to
+    the mesh path.
+    """
+    sweep = _make_local_step(model, mesh, n_over_relax=n_over_relax,
+                             with_obs=False)
+    _check_replicas(replicas, mesh)
+    mcs_or = mcs_over_relax or mcs
+    shard = NamedSharding(mesh, P("dp", "y", None))
+
+    def rot_one(state, snap):
+        mx, my = model.magne_sums(state)
+        th = -jnp.arctan2(my, mx)
+        return model.rotate(state, th), model.rotate(snap, th)
+
+    def run(key: jax.Array):
+        init_keys = jr.split(rng.init_key(key), replicas)
+        state, snap = jax.vmap(init_fn)(init_keys)
+        state = jax.lax.with_sharding_constraint(state, shard)
+        snap = jax.lax.with_sharding_constraint(snap, shard)
+
+        def body(carry, t):
+            state, snap = carry
+            state = sweep(state, rng.sweep_key(key, t), t <= mcs_or)
+            if fix1mcs:
+                state, snap = lax.cond(
+                    t == 1,
+                    lambda a: jax.vmap(rot_one)(*a),
+                    lambda a: a,
+                    (state, snap),
+                )
+            return (state, snap), jax.vmap(measure_fn)(state, snap)
+
+        _, series = lax.scan(body, (state, snap), jnp.arange(1, mcs + 1))
+        return jax.tree.map(lambda x: jnp.swapaxes(x, 0, 1), series)
+
+    return jax.jit(run)
+
+
+def _check_replicas(replicas: int, mesh: Mesh) -> None:
+    dp = mesh.shape["dp"]
+    if replicas % dp != 0:
+        raise ValueError(
+            f"replica batch {replicas} must be divisible by the mesh's "
+            f"dp={dp} (each dp shard holds replicas/dp histories)"
+        )
+
+
+def _make_local_step(model, mesh: Mesh, n_over_relax: int = 0,
+                     with_obs: bool = True):
+    """Non-jitted shard_map step (for composing inside scans):
+    (state, key, do_or) -> (state, {obs}) or just state (with_obs=False).
 
     The ``y`` mesh axis shards the lattice's leading spatial dimension:
-    rows for 2-D models, z-planes for Ising3D.
+    rows for 2-D models, z-planes for Ising3D.  ``do_or``: apply the
+    n_over_relax over-relaxation sweeps this step (XY only).
     """
     from cuda_fortran_mc_simulation_spin_tpu.models.ising3d import Ising3D
 
@@ -308,32 +440,52 @@ def _make_local_step(model, mesh: Mesh):
     is_xy = isinstance(model, XY2D)
     is_clock = isinstance(model, Clock2D)
     is_3d = isinstance(model, Ising3D)
+    if n_over_relax > 0 and not is_xy:
+        raise ValueError(
+            "over-relaxation is an XY-model feature "
+            "(/root/reference/src/xy2d_periodic_gpu_m.f90:418-439); "
+            f"got model {type(model).__name__}"
+        )
 
-    def local_step(state, key):
+    def local_step(state, key, do_or):
         # draws are keyed by GLOBAL replica/row ids inside the local
         # sweeps (_site_uniforms), so the trajectory is bitwise invariant
         # to the mesh shape; the shard indices only locate the block
         first = state[0]
         rep0 = lax.axis_index("dp") * first.shape[0]
         row0 = lax.axis_index("y") * first.shape[1]
+        obs = None
         if is_xy:
             state = _xy_local_sweep(model, state, key, ysh, rep0, row0)
-            obs = _xy_local_obs(model, state, ysh)
+            if n_over_relax > 0:
+                def do(s):
+                    return lax.fori_loop(
+                        0, n_over_relax,
+                        lambda i, x: _xy_local_or_sweep(model, x, ysh), s,
+                    )
+                state = lax.cond(do_or, do, lambda s: s, state)
+            if with_obs:
+                obs = _xy_local_obs(model, state, ysh)
         elif is_clock:
             a, b = _clock_local_sweep(model, state.a, state.b, key,
                                       ysh, rep0, row0)
             state = CheckerboardState(a, b)
-            obs = _clock_local_obs(model, a, b, ysh)
+            if with_obs:
+                obs = _clock_local_obs(model, a, b, ysh)
         elif is_3d:
             a, b = _ising3d_local_sweep(model, state.a, state.b,
                                         key, ysh, rep0, row0)
             state = CheckerboardState(a, b)
-            obs = _ising3d_local_obs(model, a, b, ysh)
+            if with_obs:
+                obs = _ising3d_local_obs(model, a, b, ysh)
         else:
             a, b = _ising_local_sweep(model, state.a, state.b, key,
                                       ysh, rep0, row0)
             state = CheckerboardState(a, b)
-            obs = _ising_local_obs(model, a, b, ysh)
+            if with_obs:
+                obs = _ising_local_obs(model, a, b, ysh)
+        if not with_obs:
+            return state
         obs = {k: lax.psum(v, "y") * n_inv for k, v in obs.items()}
         return state, obs
 
@@ -343,10 +495,11 @@ def _make_local_step(model, mesh: Mesh):
         spec = P("dp", "y", None)
     state_struct = (XYState(spec, spec, spec, spec) if is_xy
                     else CheckerboardState(spec, spec))
+    out_specs = ((state_struct, P("dp")) if with_obs else state_struct)
     return jax.shard_map(
         local_step,
         mesh=mesh,
-        in_specs=(state_struct, P()),
-        out_specs=(state_struct, P("dp")),
+        in_specs=(state_struct, P(), P()),
+        out_specs=out_specs,
         check_vma=False,
     )

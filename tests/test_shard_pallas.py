@@ -1,0 +1,130 @@
+"""Halo-aware Pallas phase kernel (interpret mode, CPU) vs the jnp
+sharded stencil — bit-identical physics given the same random bits.
+
+The kernel is the in-VMEM half of the multi-chip promotion of the
+reference's update_norishiro_sub
+(/root/reference/src/ising2d_gpu_m.f90:86-106): explicit exchanged halo
+rows at the shard boundary, in-array rows elsewhere.
+"""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cuda_fortran_mc_simulation_spin_tpu.core import lattice, rng
+from cuda_fortran_mc_simulation_spin_tpu.models.ising2d import Ising2D
+from cuda_fortran_mc_simulation_spin_tpu.ops import ising2d_pallas as i2p
+
+R, L, HALF = 2, 64, 128
+
+
+def _oracle_phase(x, o, hu, hd, color, bits, t4, t8):
+    """jnp reference for one phase under the integer-threshold rule the
+    kernel uses (flip iff ΔE<=0 or bits < round(exp(-βΔE)·2³²))."""
+    nsum = jax.vmap(
+        lambda o1, h1, h2: lattice.neighbor_sums_halo(o1, h1, h2, color)
+    )(o, hu, hd)
+    half_de = x.astype(jnp.int32) * nsum.astype(jnp.int32)
+    thresh = jnp.where(half_de == 2, jnp.uint32(t4), jnp.uint32(t8))
+    accept = (half_de <= 0) | (bits < thresh)
+    return jnp.where(accept, -x.astype(jnp.int32), x).astype(jnp.int8)
+
+
+def _random_state(key):
+    ka, kb = jax.random.split(key)
+    a = jnp.where(rng.uniform(ka, (R, L, HALF)) < 0.5, 1, -1)
+    b = jnp.where(rng.uniform(kb, (R, L, HALF)) < 0.5, 1, -1)
+    return a.astype(jnp.int8), b.astype(jnp.int8)
+
+
+def _bits(key):
+    return jax.random.bits(key, (R, L, HALF), dtype=jnp.uint32)
+
+
+@pytest.mark.parametrize("color", [0, 1])
+def test_halo_kernel_matches_jnp_stencil_bitwise(color):
+    """Same random bits -> same flips, for non-trivial halo rows (taken
+    from an independent random array, so splice errors can't cancel)."""
+    a, b = _random_state(rng.base_key(0))
+    hx, _ = _random_state(rng.base_key(9))
+    hu, hd = hx[:, :1], hx[:, 1:2]
+    bits = _bits(rng.base_key(1))
+    model = Ising2D(nx=2 * HALF, ny=L, kbt=2.26918531421, backend="jnp")
+    t4, t8 = i2p.accept_thresholds_u32(model.beta)
+    offs = jnp.array([0, 0], jnp.int32)
+
+    got = i2p.sharded_phase(
+        a, b, hu, hd, i2p.seeds_from_key(rng.base_key(2), 0), offs,
+        color=color, beta=float(model.beta), bits=bits, interpret=True,
+    )
+    want = _oracle_phase(a, b, hu, hd, color, bits, t4, t8)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_halo_kernel_row0_parity():
+    """A shard starting at global row row0 must use global row parity for
+    the x-neighbor direction (row0 is always even by construction)."""
+    a, b = _random_state(rng.base_key(3))
+    hu, hd = b[:, -1:], b[:, :1]
+    bits = _bits(rng.base_key(4))
+    model = Ising2D(nx=2 * HALF, ny=4 * L, kbt=2.26918531421,
+                    backend="jnp")
+    t4, t8 = i2p.accept_thresholds_u32(model.beta)
+    # row0 = 2L (even): local parity == global parity, same answer as
+    # row0 = 0 — this pins the invariant the jnp path relies on
+    for row0 in (0, 2 * L):
+        got = i2p.sharded_phase(
+            a, b, hu, hd, i2p.seeds_from_key(rng.base_key(5), 0),
+            jnp.array([0, row0], jnp.int32),
+            color=0, beta=float(model.beta), bits=bits, interpret=True,
+        )
+        want = _oracle_phase(a, b, hu, hd, 0, bits, t4, t8)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+@pytest.mark.multichip
+def test_halo_kernel_inside_shard_map_interpret():
+    """Full domain-sharded sweep with the Pallas halo kernel (interpret
+    mode) inside shard_map on the virtual CPU mesh: physics matches the
+    known answer (T→0 absorbing allup; T→∞ psum observables exact)."""
+    if len(jax.devices()) < 4:
+        pytest.skip("needs 4 virtual devices")
+    from cuda_fortran_mc_simulation_spin_tpu.parallel import (
+        domain,
+        mesh as mesh_mod,
+    )
+
+    os.environ["SPINLAT_SHARD_PALLAS_INTERPRET"] = "1"
+    try:
+        msh = mesh_mod.make_mesh(1, 4)
+        cold = Ising2D(nx=2 * HALF, ny=4 * L, kbt=0.05, backend="jnp")
+        state = domain.replicated_init(cold, msh, 2, "allup",
+                                       rng.base_key(0))
+        step = domain.make_sharded_step(cold, msh)
+        state, obs = step(state, rng.base_key(1))
+        obs = jax.device_get(obs)
+        # T→0 from allup is absorbing: thresholds underflow to 0
+        np.testing.assert_allclose(obs["m"], [1.0, 1.0])
+        np.testing.assert_allclose(obs["e"], [-2.0, -2.0])
+        assert np.all(np.asarray(jax.device_get(state.a)) == 1)
+
+        tc = Ising2D(nx=2 * HALF, ny=4 * L, kbt=2.26918531421,
+                     backend="jnp")
+        state = domain.replicated_init(tc, msh, 2, "random",
+                                       rng.base_key(2))
+        step = domain.make_sharded_step(tc, msh)
+        for t in (1, 2):
+            state, obs = step(state, rng.sweep_key(rng.base_key(3), t))
+        obs = jax.device_get(obs)
+        # psum observables equal direct reductions on the gathered state
+        for r in range(2):
+            sub = jax.tree.map(lambda x: x[r], state)
+            m_direct = float(tc.magne_sum(sub)) / tc.nsites
+            e_direct = float(tc.energy_sum(sub)) / tc.nsites
+            assert obs["m"][r] == pytest.approx(m_direct, abs=1e-6)
+            assert obs["e"][r] == pytest.approx(e_direct, abs=1e-6)
+    finally:
+        os.environ.pop("SPINLAT_SHARD_PALLAS_INTERPRET", None)

@@ -194,6 +194,254 @@ def test_clock_fused_measure_matches_jnp():
 
 
 @requires_tpu
+def test_xy_multisweep_cold_known_answer():
+    """β→∞ from allup: every candidate raises energy, acceptance exp
+    underflows to 0 → state absorbing; mx=1, my=0, e=-2, A=1 exactly
+    (to f32 measurement rounding) every sweep."""
+    from cuda_fortran_mc_simulation_spin_tpu.core import rng
+    from cuda_fortran_mc_simulation_spin_tpu.models.xy2d import XY2D
+    from cuda_fortran_mc_simulation_spin_tpu.ops import (
+        xy2d_multisweep as ms,
+    )
+
+    m = XY2D(nx=256, ny=256, kbt=1e-4)
+    st = jax.tree.map(lambda x: x[None], m.init_state("allup"))
+    pa, pb = ms.state_to_angles(st)
+    pa2, pb2, obs = ms.multisweep(m, pa, pb, pa, pb, rng.base_key(0), 8)
+    obs = jax.device_get(obs)
+    np.testing.assert_allclose(obs["mx"], 1.0, atol=1e-5)
+    np.testing.assert_allclose(obs["my"], 0.0, atol=1e-5)
+    np.testing.assert_allclose(obs["e"], -2.0, atol=1e-5)
+    np.testing.assert_allclose(obs["A"], 1.0, atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(pa2), np.asarray(pa))
+
+
+@requires_tpu
+def test_xy_multisweep_measurement_cross_check():
+    """Fused in-kernel (mx, my, e, A) of the final sweep must equal
+    direct jnp reductions on the final returned state."""
+    from cuda_fortran_mc_simulation_spin_tpu.core import rng
+    from cuda_fortran_mc_simulation_spin_tpu.models.xy2d import XY2D
+    from cuda_fortran_mc_simulation_spin_tpu.ops import (
+        xy2d_multisweep as ms,
+    )
+
+    m = XY2D(nx=256, ny=256, kbt=0.89)
+    st = jax.tree.map(
+        lambda x: x[None], m.init_state("random", rng.base_key(0))
+    )
+    pa, pb = ms.state_to_angles(st)
+    sa, sb = pa, pb
+    pa2, pb2, obs = ms.multisweep(m, pa, pb, sa, sb, rng.base_key(1), 6)
+    obs = {k: float(np.asarray(jax.device_get(v))[0, -1])
+           for k, v in obs.items()}
+    fin = ms.angles_to_state(pa2, pb2)
+    fin1 = jax.tree.map(lambda x: x[0], fin)
+    snap1 = jax.tree.map(lambda x: x[0], ms.angles_to_state(sa, sb))
+    n_inv = 1.0 / m.nsites
+    mx, my = m.magne_sums(fin1)
+    assert obs["mx"] == pytest.approx(float(mx) * n_inv, abs=3e-4)
+    assert obs["my"] == pytest.approx(float(my) * n_inv, abs=3e-4)
+    assert obs["e"] == pytest.approx(
+        float(m.energy_sum(fin1)) * n_inv, abs=3e-4)
+    assert obs["A"] == pytest.approx(
+        float(m.autocorrelation_sum(fin1, snap1)) * n_inv, abs=3e-4)
+
+
+@requires_tpu
+def test_xy_multisweep_or_conserves_energy():
+    """With Metropolis frozen (β→∞ from a random start never accepts a
+    candidate... it can, rarely — so use a modest β and compare the OR
+    effect directly): over-relaxation is microcanonical, so running the
+    kernel with n_or=2 at β→∞ from a random state keeps e(t) constant."""
+    from cuda_fortran_mc_simulation_spin_tpu.core import rng
+    from cuda_fortran_mc_simulation_spin_tpu.models.xy2d import XY2D
+    from cuda_fortran_mc_simulation_spin_tpu.ops import (
+        xy2d_multisweep as ms,
+    )
+
+    m = XY2D(nx=256, ny=256, kbt=1e-6)
+    st = jax.tree.map(
+        lambda x: x[None], m.init_state("random", rng.base_key(2))
+    )
+    pa, pb = ms.state_to_angles(st)
+    _, _, obs = ms.multisweep(m, pa, pb, pa, pb, rng.base_key(3), 8,
+                              n_or=2)
+    e = np.asarray(jax.device_get(obs["e"]))[0]
+    np.testing.assert_allclose(e, e[0], atol=2e-3)
+
+
+@requires_tpu
+def test_xy_multisweep_matches_f32_path_statistically():
+    """From-disorder m(t)/e(t)/A(t) curves from the int16-angle kernel
+    agree with the f32 phase-kernel path within ensemble noise."""
+    from cuda_fortran_mc_simulation_spin_tpu.config import RunConfig
+    from cuda_fortran_mc_simulation_spin_tpu.core import rng
+    from cuda_fortran_mc_simulation_spin_tpu.engine import protocols
+    from cuda_fortran_mc_simulation_spin_tpu.models import build_model
+
+    mcs, nsamp = 16, 12
+    curves = {}
+    for name, force_ms in (("f32", False), ("angle", True)):
+        cfg = RunConfig(model="xy2d", nx=256, ny=256, kbt=0.89, mcs=mcs,
+                        tot_sample=nsamp, init_state="random")
+        model = build_model(cfg)
+        if force_ms:
+            assert protocols._xy_multisweep_eligible(cfg, model,
+                                                     "rotate_first")
+            runner = jax.jit(protocols._xy_disorder_multisweep_runner(
+                model, cfg, "rotate_first", 1))
+        else:
+            runner = jax.jit(protocols._xy_disorder_runner(
+                model, cfg, "rotate_first"))
+        base = rng.base_key(cfg.seed, cfg.stream)
+        rows = []
+        for s in range(nsamp):
+            series = jax.device_get(runner(rng.sample_key(base, s)))
+            a = np.asarray(series["A"], np.float64).reshape(-1)
+            rows.append(a)
+        curves[name] = np.stack(rows)
+    sem = curves["f32"].std(0, ddof=1) / np.sqrt(nsamp)
+    diff = np.abs(curves["f32"].mean(0) - curves["angle"].mean(0))
+    assert np.all(diff < 6 * sem + 3e-3)
+
+
+@requires_tpu
+def test_helical_ising_multisweep_cross_check():
+    """Fused helical multisweep: in-kernel (m, e) of the final sweep must
+    equal exact integer reductions on the returned flat state, and the
+    NER decay must statistically match the jnp helical engine."""
+    from cuda_fortran_mc_simulation_spin_tpu.core import rng
+    from cuda_fortran_mc_simulation_spin_tpu.models.ising2d_helical import (
+        Ising2DHelical,
+    )
+    from cuda_fortran_mc_simulation_spin_tpu.ops import helical_pallas as hp
+
+    m = Ising2DHelical(nx=129, ny=128, kbt=2.26918531421)
+    st = m.init_state("allup")
+    st2, obs = hp.ising_multisweep(m, st, rng.base_key(0), 12)
+    obs = jax.device_get(obs)
+    m_direct = float(m.magne_sum(st2)) / m.nsites
+    e_direct = float(m.energy_sum(st2)) / m.nsites
+    assert obs["m"][-1] == pytest.approx(m_direct, abs=1e-6)
+    assert obs["e"][-1] == pytest.approx(e_direct, abs=1e-6)
+    full = np.asarray(jax.device_get(st2))
+    assert set(np.unique(full)) <= {-1, 1}
+
+    # statistical match vs the jnp helical engine
+    nsamp, mcs = 8, 12
+    curves = []
+    for i in range(nsamp):
+        _, o = hp.ising_multisweep(
+            m, m.init_state("allup"),
+            rng.sample_key(rng.base_key(1), i), mcs,
+        )
+        curves.append(np.asarray(jax.device_get(o["m"]), np.float64))
+    from cuda_fortran_mc_simulation_spin_tpu.engine import sweep as sw
+    runner = jax.jit(sw.make_sample_runner(m, mcs))
+    jnp_curves = np.stack([
+        np.asarray(jax.device_get(
+            runner(rng.sample_key(rng.base_key(2), i)))["m"], np.float64)
+        for i in range(nsamp)
+    ])
+    sem = jnp_curves.std(0, ddof=1) / np.sqrt(nsamp)
+    diff = np.abs(jnp_curves.mean(0) - np.stack(curves).mean(0))
+    assert np.all(diff < 9 * sem + 5e-3)
+
+
+@requires_tpu
+def test_helical_clock_multisweep_cross_check():
+    from cuda_fortran_mc_simulation_spin_tpu.core import rng
+    from cuda_fortran_mc_simulation_spin_tpu.models.clock_helical import (
+        Clock2DHelical,
+    )
+    from cuda_fortran_mc_simulation_spin_tpu.ops import helical_pallas as hp
+
+    m = Clock2DHelical(nx=129, ny=128, kbt=0.80, q=6)
+    st = m.init_state("allup")
+    st2, obs = hp.clock_multisweep(m, st, rng.base_key(0), 10)
+    obs = jax.device_get(obs)
+    mx, my = m.magne_sums(st2)
+    assert obs["m"][-1] == pytest.approx(
+        float(mx) / m.nsites, abs=3e-4)
+    assert obs["my"][-1] == pytest.approx(
+        float(my) / m.nsites, abs=3e-4)
+    assert obs["e"][-1] == pytest.approx(
+        float(m.energy_sum(st2)) / m.nsites, abs=3e-4)
+    full = np.asarray(jax.device_get(st2))
+    assert full.min() >= 0 and full.max() < 6
+
+
+@requires_tpu
+def test_helical_xy_packed_sweep_and_or():
+    from cuda_fortran_mc_simulation_spin_tpu.core import rng
+    from cuda_fortran_mc_simulation_spin_tpu.models.xy2d_helical import (
+        XY2DHelical,
+    )
+    from cuda_fortran_mc_simulation_spin_tpu.ops import helical_pallas as hp
+
+    m = XY2DHelical(nx=129, ny=128, kbt=0.89)
+    st = m.init_state("random", rng.base_key(0))
+    stb = (st[0][None], st[1][None])
+    sx, sy = hp.xy_pack_state(stb, m.ny, m.nx)
+    sx, sy = hp.xy_sweep_packed(m, sx, sy, rng.base_key(1))
+    obs = {k: float(np.asarray(jax.device_get(v))[0])
+           for k, v in hp.xy_observables_packed(m, sx, sy).items()}
+    flat = hp.xy_unpack_state(sx, sy, m.nx)
+    flat1 = (flat[0][0], flat[1][0])
+    ref = jax.device_get(m.observables(flat1))
+    for k in ("m", "my", "e"):
+        assert obs[k] == pytest.approx(float(ref[k]), abs=3e-4), k
+    # unit norms preserved; pads still zero
+    norms = np.hypot(np.asarray(flat1[0]), np.asarray(flat1[1]))
+    np.testing.assert_allclose(norms, 1.0, atol=1e-5)
+
+    # OR conserves energy
+    e0 = float(ref["e"])
+    sx, sy = hp.xy_over_relax_sweep_packed(m, sx, sy)
+    e1 = float(np.asarray(jax.device_get(
+        hp.xy_observables_packed(m, sx, sy)["e"]))[0])
+    assert e1 == pytest.approx(e0, abs=2e-3)
+
+
+@requires_tpu
+def test_sharded_halo_phase_compiles_on_tpu():
+    """The halo-aware Pallas phase kernel must compile with Mosaic and
+    run inside shard_map on a (1,1) mesh on real hardware (multi-chip
+    correctness is covered by the CPU interpret tests)."""
+    import os
+
+    import jax.numpy as jnp
+
+    from cuda_fortran_mc_simulation_spin_tpu.core import rng
+    from cuda_fortran_mc_simulation_spin_tpu.models.ising2d import Ising2D
+    from cuda_fortran_mc_simulation_spin_tpu.ops import ising2d_pallas
+    from cuda_fortran_mc_simulation_spin_tpu.parallel import (
+        domain,
+        mesh as mesh_mod,
+    )
+
+    model = Ising2D(nx=256, ny=256, kbt=2.26918531421)
+    assert model.resolved_backend == "pallas"
+    msh = mesh_mod.make_mesh(1, 1)
+    state = domain.replicated_init(model, msh, 2, "random",
+                                   rng.base_key(0))
+    assert ising2d_pallas.shard_pallas_ok(tuple(state.a.shape[:1])
+                                          + tuple(state.a.shape[1:]))
+    step = domain.make_sharded_step(model, msh)
+    state2, obs = step(state, rng.base_key(1))
+    obs = jax.device_get(obs)
+    for r in range(2):
+        sub = jax.tree.map(lambda x: x[r], state2)
+        assert obs["m"][r] == pytest.approx(
+            float(model.magne_sum(sub)) / model.nsites, abs=1e-6)
+        assert obs["e"][r] == pytest.approx(
+            float(model.energy_sum(sub)) / model.nsites, abs=1e-6)
+    # states actually moved (the kernel isn't a no-op)
+    assert not np.array_equal(np.asarray(state2.a), np.asarray(state.a))
+
+
+@requires_tpu
 def test_ising3d_pallas_matches_jnp_statistically():
     from cuda_fortran_mc_simulation_spin_tpu.core import rng
     from cuda_fortran_mc_simulation_spin_tpu.engine import sweep as sw
