@@ -345,6 +345,10 @@ def _xy_disorder_batched_runner(model, cfg: RunConfig, prep: str,
     mcs_or = cfg.mcs_over_relax or mcs
     use_fused = (model.resolved_backend == "pallas"
                  and not cfg.track_correlation)
+    # with no OR schedule, measurement fuses INTO phase b (saves the
+    # separate measurement kernel's full re-read of state+snapshot —
+    # the protocol is HBM-bound); with OR, measure after the OR sweeps
+    fuse_in_phase = use_fused and n_or == 0
 
     def measure_one(state, snap):
         mx, my = model.magne_sums(state)
@@ -381,6 +385,26 @@ def _xy_disorder_batched_runner(model, cfg: RunConfig, prep: str,
 
         def body(carry, t):
             state, snap = carry
+            if fuse_in_phase:
+                from cuda_fortran_mc_simulation_spin_tpu.ops import (
+                    xy2d_pallas,
+                )
+                state, obs = xy2d_pallas.sweep_measure(
+                    model, state, snap, rng.sweep_key(call_key, t)
+                )
+                if prep == "fix1mcs":
+                    # rotation applies after the first MCS; re-measure
+                    # the rotated state so the t=1 row matches
+                    def rot_and_remeasure(args):
+                        state, snap, _ = args
+                        state, snap = jax.vmap(rot_one)(state, snap)
+                        return state, snap, measure_batch(state, snap)
+
+                    state, snap, obs = lax.cond(
+                        t == 1, rot_and_remeasure, lambda a: a,
+                        (state, snap, obs),
+                    )
+                return (state, snap), obs
             state = model.sweep_batched(state, rng.sweep_key(call_key, t))
             if prep == "fix1mcs":
                 state, snap = lax.cond(
@@ -408,8 +432,17 @@ def _xy_disorder_batched_runner(model, cfg: RunConfig, prep: str,
 
 def _xy_multisweep_eligible(cfg: RunConfig, model, prep: str) -> bool:
     """Route to the VMEM-resident int16-angle multisweep kernel
-    (ops/xy2d_multisweep.py) when the whole state+snapshot fits VMEM and
-    the run has no feature the kernel doesn't fuse."""
+    (ops/xy2d_multisweep.py) — OPT-IN via SPINLAT_XY_ANGLE_MS=1.
+
+    Measured negative result (BENCHMARKS.md): the angle representation
+    is transcendental-bound (~7.7×10⁹ site-updates/s at 1536²) and
+    loses to the f32 phase kernels with fused in-phase measurement, so
+    it is not the default despite its elegance (exact |S|=1, int16
+    rotations, zero HBM lattice traffic)."""
+    import os
+
+    if os.environ.get("SPINLAT_XY_ANGLE_MS") != "1":
+        return False
     if cfg.track_correlation or cfg.mesh_dp * cfg.mesh_y > 1:
         return False
     if cfg.n_over_relax > 0:

@@ -200,12 +200,15 @@ def helical_pallas_eligible(model, n_over_relax: int = 0) -> bool:
 
     if jax.default_backend() in ("cpu", "gpu"):
         return False
-    if model.ny % 8 != 0:
-        return False
     if isinstance(model, (Ising2DHelical, Clock2DHelical)):
-        return (n_over_relax == 0
-                and helical_pallas.ising_fits_vmem(model.ny, model.nx))
-    return isinstance(model, XY2DHelical)
+        if n_over_relax != 0:
+            return False
+        if not helical_pallas.ising_fits_vmem(model.ny, model.nx):
+            return False
+        # ny without a multiple-of-8 divisor runs in single-block mode
+        return (model.ny % 8 == 0
+                or helical_pallas.single_block_ok(model.ny, model.nx))
+    return isinstance(model, XY2DHelical) and model.ny % 8 == 0
 
 
 def make_helical_runner(

@@ -271,14 +271,18 @@ class XY2D:
         Deliberate redesign of the search (same prepared ensemble): the
         reference doubles the field on undershoot and halves-with-sign-
         flip on overshoot, which empirically limit-cycles through field
-        magnitudes {1, 2} and only converges by luck; here the field
-        magnitude is *bisected* against the one-field-sweep response from
-        the fixed random base state, which is monotone in the field, so
-        convergence is guaranteed in ~max_iter ≈ log2 steps.  The
-        prepared state has the same structure as the reference's
-        (independent sites tilted toward +x by field-only acceptance
-        sweeps, `u ≤ 1 - exp(ΔE)`).  Supported m0 up to the single-sweep
-        saturation (≈0.6); the reference's committed use is m0 = 0.02
+        magnitudes {1, 2} and only converges by luck; here stage 1
+        *bisects* the field magnitude against the one-field-sweep
+        response from the fixed random base state (monotone in the
+        field, guaranteed ~log2 convergence), and stage 2 — only when
+        the target exceeds the single-sweep response (saturation ≈0.6)
+        — iterates damped field sweeps on the evolving state, the
+        reference's own loop structure
+        (/root/reference/src/xy2d_periodic_gpu_m.f90:134-150), until
+        |m| is within eps of m0.  The prepared state has the same
+        structure as the reference's (independent sites tilted toward
+        the field by `u ≤ 1 - exp(ΔE)` acceptance sweeps); the
+        reference's committed use is m0 = 0.02
         (/root/reference/app/..._finite_magne.f90:16).
         """
         base = self.init_state("random", key)
@@ -323,6 +327,39 @@ class XY2D:
             cond, body, (jnp.float32(0.0), hi, jnp.int32(0))
         )
         _, state = mabs_after(0.5 * (lo + hi), jax.random.fold_in(k0, it))
+
+        # stage 2: iterated field sweeps on the evolving state for
+        # targets beyond the single-sweep saturation; field along the
+        # current magnetization, strength damped on overshoot
+        k2 = rng.phase_key(key, 2)
+
+        def mabs_of(st):
+            mx, my = self.magne_sums(st)
+            return mx * n_inv, my * n_inv
+
+        def cond2(carry):
+            st, f, it = carry
+            mx, my = mabs_of(st)
+            mabs = jnp.hypot(mx, my)
+            return (jnp.abs(mabs - m0) / m0 >= eps) & (it < 512)
+
+        def body2(carry):
+            st, f, it = carry
+            mx, my = mabs_of(st)
+            mabs = jnp.maximum(jnp.hypot(mx, my), jnp.float32(1e-9))
+            under = mabs < m0
+            s = jnp.where(under, f, -0.5 * f)
+            st = self.field_sweep(
+                st, jax.random.fold_in(k2, it),
+                s * mx / mabs, s * my / mabs,
+            )
+            f = jnp.maximum(jnp.where(under, f, 0.5 * f),
+                            jnp.float32(1e-3))
+            return st, f, it + 1
+
+        state, _, _ = jax.lax.while_loop(
+            cond2, body2, (state, jnp.float32(1.0), jnp.int32(0))
+        )
         return self.rotate_magne_toward_xaxis(state)
 
     def prep_small_magne(self, key: jax.Array, near_magne: float,

@@ -125,6 +125,119 @@ def _metropolis_phase(x, other, seeds, *, color, q, beta, nrep, ny, half):
     )(seeds, x, other, other, other)
 
 
+# ---------------------------------------------------------------------------
+# halo-aware phase for the domain-sharded (shard_map) path
+# ---------------------------------------------------------------------------
+
+def _halo_phase_kernel(seed_ref, offs_ref, x_ref, oc_ref, oup_ref,
+                       odn_ref, hup_ref, hdn_ref, *rest,
+                       color: int, ty: int, nblk: int, q: int,
+                       beta: float, has_u: bool):
+    """_phase_kernel with exchanged halo operands (see
+    ops/ising2d_pallas._halo_phase_kernel for the scheme)."""
+    if has_u:
+        ucand_ref, uacc_ref, out_ref = rest
+    else:
+        (out_ref,) = rest
+    r = pl.program_id(0)
+    i = pl.program_id(1)
+    row_g = offs_ref[1] + i * ty
+    x = x_ref[0].astype(jnp.int32)
+    parity = stencil.row_parity_mask(ty, row_g)
+
+    o = oc_ref[0].astype(jnp.int32)
+    up = jnp.where(i == 0, hup_ref[0, 7:8, :],
+                   oup_ref[0, 7:8, :]).astype(jnp.int32)
+    dn = jnp.where(i == nblk - 1, hdn_ref[0, 0:1, :],
+                   odn_ref[0, 0:1, :]).astype(jnp.int32)
+    co, so = _cos_sin_chain(o, q)
+    cu, su = _cos_sin_chain(up, q)
+    cd, sd = _cos_sin_chain(dn, q)
+    hx = stencil.nbr_sum(co, cu, cd, color, parity)
+    hy = stencil.nbr_sum(so, su, sd, color, parity)
+
+    if has_u:
+        u_cand = ucand_ref[0]
+        u_acc = uacc_ref[0]
+    else:
+        rep_g = offs_ref[0] + r
+        tile_tag = (row_g * jnp.int32(-1640531527)
+                    + rep_g * jnp.int32(0x3C6EF35F))
+        pltpu.prng_seed(seed_ref[0], seed_ref[1] ^ tile_tag)
+        u_cand = stencil.bits_to_uniform(pltpu.bitcast(
+            pltpu.prng_random_bits(x.shape), jnp.uint32))
+        u_acc = stencil.bits_to_uniform(pltpu.bitcast(
+            pltpu.prng_random_bits(x.shape), jnp.uint32))
+    off = (u_cand * (q - 1)).astype(jnp.int32) + 1
+    new = x + off
+    new = jnp.where(new >= q, new - q, new)
+    cx, sx = _cos_sin_chain(x, q)
+    cn, sn = _cos_sin_chain(new, q)
+    de = -((cn - cx) * hx + (sn - sx) * hy)
+    p = jnp.exp(jnp.float32(-beta) * jnp.maximum(de, 0.0))
+    out_ref[0] = jnp.where(u_acc < p, new, x).astype(jnp.int8)
+
+
+def sharded_phase(x, other, halo_up, halo_dn, seeds, offs, *,
+                  color: int, q: int, beta: float,
+                  u_cand=None, u_acc=None, interpret: bool = False):
+    """One clock phase on y-sharded (R, L, half) int8 blocks with
+    exchanged halo rows.  Call inside shard_map."""
+    nrep, L, half = x.shape
+    ty = _pick_tile_rows(L, half, budget_bytes=256 << 10)
+    n = L // ty
+    nb8 = L // 8
+    if interpret and u_cand is None:
+        kb = jax.random.fold_in(
+            jax.random.fold_in(
+                jax.random.PRNGKey(seeds[0].astype(jnp.uint32)), seeds[1]
+            ),
+            offs[0] * jnp.int32(65537) + offs[1],
+        )
+        u_cand = jax.random.uniform(kb, x.shape, jnp.float32)
+        u_acc = jax.random.uniform(jax.random.fold_in(kb, 1), x.shape,
+                                   jnp.float32)
+    has_u = u_cand is not None
+    hup = jnp.pad(halo_up, ((0, 0), (7, 0), (0, 0)))
+    hdn = jnp.pad(halo_dn, ((0, 0), (0, 7), (0, 0)))
+    kernel = functools.partial(
+        _halo_phase_kernel, color=color, ty=ty, nblk=n, q=q, beta=beta,
+        has_u=has_u,
+    )
+    center = pl.BlockSpec((1, ty, half), lambda r, i: (r, i, 0),
+                          memory_space=pltpu.VMEM)
+    up = pl.BlockSpec(
+        (1, 8, half), lambda r, i: (r, (i * ty // 8 - 1 + nb8) % nb8, 0),
+        memory_space=pltpu.VMEM,
+    )
+    dn = pl.BlockSpec(
+        (1, 8, half), lambda r, i: (r, ((i + 1) * ty // 8) % nb8, 0),
+        memory_space=pltpu.VMEM,
+    )
+    halo = pl.BlockSpec((1, 8, half), lambda r, i: (r, 0, 0),
+                        memory_space=pltpu.VMEM)
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.SMEM),
+        pl.BlockSpec(memory_space=pltpu.SMEM),
+        center, center, up, dn, halo, halo,
+    ]
+    operands = [seeds, offs, x, other, other, other, hup, hdn]
+    if has_u:
+        fcenter = pl.BlockSpec((1, ty, half), lambda r, i: (r, i, 0),
+                               memory_space=pltpu.VMEM)
+        in_specs += [fcenter, fcenter]
+        operands += [u_cand, u_acc]
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((nrep, L, half), jnp.int8),
+        grid=(nrep, n),
+        in_specs=in_specs,
+        out_specs=center,
+        input_output_aliases={2: 0},
+        interpret=interpret,
+    )(*operands)
+
+
 def sweep(model, state: CheckerboardState, key: jax.Array
           ) -> CheckerboardState:
     """One full MCS via the fused Pallas clock kernel; accepts (ny, half)

@@ -53,15 +53,21 @@ def lane_width(nx: int) -> int:
     return -(-nx // 128) * 128
 
 
-def pick_ty(ny: int, width: int, budget: int = 128 << 10) -> int:
-    """Row-tile: multiple of 8 dividing ny, f32/int32 block ≤ budget."""
-    ty = max(8, min(ny, budget // max(4 * width, 1)))
-    ty = (ty // 8) * 8
-    while ty >= 8:
+def pick_ty(ny: int, width: int, budget: int = 1 << 20) -> int:
+    """Row-tile for the block loops: the LARGEST multiple of 8 dividing
+    ny with an f32/int32 block ≤ budget (small divisors like ty=8 make
+    the fori overhead dominate — ny=1000 tiles as 200, not 8).
+
+    Returns ny itself when ny has no multiple-of-8 divisor (e.g. the
+    reference's 501×500 clock): the kernels then run in single-block
+    mode with roll-based periodic halos (no dynamic row slicing, so no
+    sublane-alignment constraint)."""
+    cap = max(8, min(ny, budget // max(4 * width, 1)))
+    best = 0
+    for ty in range(8, cap + 1, 8):
         if ny % ty == 0:
-            return ty
-        ty -= 8
-    raise ValueError(f"ny={ny} not tileable into multiples of 8")
+            best = ty
+    return best if best else ny
 
 
 def pack(flat: jax.Array, ny: int, nx: int, dtype=jnp.int32) -> jax.Array:
@@ -89,12 +95,47 @@ def _helical_nbrs(o, up_row, dn_row, nx, col):
     return up, dn, left, right
 
 
+def _block_nbrs(g_ref, i, ty, ny, nx, col):
+    """(o, up, dn, left, right, y0) of row-block i of a whole-lattice
+    VMEM ref.  ty == ny (single-block mode, used when ny has no
+    multiple-of-8 divisor) takes pure-roll periodic halos — no dynamic
+    row slices, so no sublane-alignment requirement on ny."""
+    if ty == ny:
+        o = g_ref[0]
+        up = pltpu.roll(o, 1, axis=0)
+        dn = pltpu.roll(o, ny - 1, axis=0)
+        left = pltpu.roll(o, 1, axis=1)
+        right = pltpu.roll(o, o.shape[1] - 1, axis=1)
+        left = jnp.where(col == 0, up[:, nx - 1:nx], left)
+        right = jnp.where(col == nx - 1, dn[:, 0:1], right)
+        return o, up, dn, left, right, 0
+    y0 = pl.multiple_of(i * ty, 8)
+    o = g_ref[0, pl.ds(y0, ty), :]
+    up_row = stencil.load_row_aligned(g_ref, (i * ty - 8 + ny) % ny, 7)
+    dn_row = stencil.load_row_aligned(g_ref, (i * ty + ty) % ny, 0)
+    up, dn, left, right = _helical_nbrs(o, up_row, dn_row, nx, col)
+    return o, up, dn, left, right, y0
+
+
+def _block_write(g_ref, i, ty, ny, new):
+    if ty == ny:
+        g_ref[0] = new
+    else:
+        g_ref[0, pl.ds(pl.multiple_of(i * ty, 8), ty), :] = new
+
+
 # ---------------------------------------------------------------------------
 # Ising helical: VMEM-resident multisweep (the 1001×1000 workload class)
 # ---------------------------------------------------------------------------
 
 def ising_fits_vmem(ny: int, nx: int) -> bool:
     return 4 * ny * lane_width(nx) <= VMEM_LATTICE_BUDGET
+
+
+def single_block_ok(ny: int, nx: int) -> bool:
+    """Single-block mode (ny % 8 != 0) keeps ~12 whole-lattice f32/int32
+    temporaries live; require them to fit VMEM."""
+    return 12 * 4 * ny * lane_width(nx) <= (14 << 20)
 
 
 def _ising_kernel(seed_ref, g_in, g_ref, obs_ref,
@@ -107,17 +148,12 @@ def _ising_kernel(seed_ref, g_in, g_ref, obs_ref,
     col = jax.lax.broadcasted_iota(jnp.int32, (ty, W), 1)
     valid = col < nx
 
-    def nbrs(i):
-        y0 = pl.multiple_of(i * ty, 8)
-        o = g_ref[0, pl.ds(y0, ty), :]
-        up_row = stencil.load_row_aligned(g_ref, (i * ty - 8 + ny) % ny, 7)
-        dn_row = stencil.load_row_aligned(g_ref, (i * ty + ty) % ny, 0)
-        up, dn, left, right = _helical_nbrs(o, up_row, dn_row, nx, col)
-        return o, up, dn, left, right, y0
-
-    def phase(offset):
-        def blk(i, _):
-            o, up, dn, left, right, y0 = nbrs(i)
+    def phase(offset, measuring, carry):
+        def blk(i, acc):
+            m_acc, e_acc = acc
+            o, up, dn, left, right, y0 = _block_nbrs(
+                g_ref, i, ty, ny, nx, col
+            )
             nsum = up + dn + left + right
             half_de = o * nsum
             bits = pltpu.bitcast(
@@ -128,34 +164,30 @@ def _ising_kernel(seed_ref, g_in, g_ref, obs_ref,
             rowi = jax.lax.broadcasted_iota(jnp.int32, (ty, 1), 0) + y0
             pmask = (((rowi + col) & 1) == offset) & valid
             accept = pmask & ((half_de <= 0) | (bits < thresh))
-            g_ref[0, pl.ds(y0, ty), :] = jnp.where(accept, -o, o)
-            return 0
-
-        jax.lax.fori_loop(0, nblk, blk, 0)
-
-    def measure(s):
-        def blk(i, carry):
-            m_acc, e_acc = carry
-            o, up, dn, left, right, y0 = nbrs(i)
-            m_acc = m_acc + jnp.sum(o)
-            # e = -Σ s·(s_{idx+1} + s_{idx+nx})
-            # (/root/reference/src/ising2d_gpu_m.f90:202-211)
-            e_acc = e_acc - jnp.sum(o * (right + dn))
+            out = jnp.where(accept, -o, o)
+            _block_write(g_ref, i, ty, ny, out)
+            if measuring:
+                # phase-1 nsum is the FINAL neighbor value (parity-0
+                # sites are untouched by this phase) and bonds connect
+                # opposite parities, so -Σ_{p1} s_new·nsum is the exact
+                # final bond energy (each bond once) — the measurement
+                # pass fuses away
+                m_acc = m_acc + jnp.sum(out)
+                e_acc = e_acc - jnp.sum(jnp.where(pmask, out * nsum, 0))
             return m_acc, e_acc
 
-        m, e = jax.lax.fori_loop(0, nblk, blk,
-                                 (jnp.int32(0), jnp.int32(0)))
+        return jax.lax.fori_loop(0, nblk, blk, carry)
+
+    def sweep_body(s, _):
+        zero2 = (jnp.int32(0), jnp.int32(0))
+        phase(0, False, zero2)
+        m, e = phase(1, True, zero2)
         lane = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
         row = jnp.where(
             lane == 0, m.astype(jnp.float32),
             jnp.where(lane == 1, e.astype(jnp.float32), 0.0),
         )
         obs_ref[0, pl.ds(s, 1), :] = row
-
-    def sweep_body(s, _):
-        phase(0)
-        phase(1)
-        measure(s)
         return 0
 
     jax.lax.fori_loop(0, sweeps, sweep_body, 0)
@@ -167,7 +199,9 @@ def _ising_kernel(seed_ref, g_in, g_ref, obs_ref,
 def _ising_multisweep(g, seeds, *, sweeps, beta, nrep, ny, nx):
     W = lane_width(nx)
     t4, t8 = accept_thresholds_u32(beta)
-    ty = pick_ty(ny, W)
+    # 512K block budget: ty=200 at 1000x1024 put the whole-lattice
+    # in/out + pipeline + temps at 17.6M scoped VMEM (16M limit)
+    ty = pick_ty(ny, W, budget=512 << 10)
     kernel = functools.partial(
         _ising_kernel, sweeps=sweeps, ty=ty, ny=ny, nx=nx, W=W,
         t4=t4, t8=t8,
@@ -232,28 +266,46 @@ def _clock_kernel(seed_ref, g_in, g_ref, obs_ref,
         th = k.astype(jnp.float32) * to_rad
         return jnp.cos(th), jnp.sin(th)
 
-    def nbrs(i):
-        y0 = pl.multiple_of(i * ty, 8)
-        o = g_ref[0, pl.ds(y0, ty), :]
-        up_row = stencil.load_row_aligned(g_ref, (i * ty - 8 + ny) % ny, 7)
-        dn_row = stencil.load_row_aligned(g_ref, (i * ty + ty) % ny, 0)
-        up, dn, left, right = _helical_nbrs(o, up_row, dn_row, nx, col)
-        return o, up, dn, left, right, y0
+    def decoded_nbrs(i):
+        """Decode the block's (cos, sin) ONCE and derive all four
+        neighbor planes by rolling the decoded planes (the naive form
+        decodes five int planes per phase — transcendental-bound)."""
+        if ty == ny:
+            o = g_ref[0]
+            co, so = cs(o)
+            up_c = pltpu.roll(co, 1, axis=0)
+            up_s = pltpu.roll(so, 1, axis=0)
+            dn_c = pltpu.roll(co, ny - 1, axis=0)
+            dn_s = pltpu.roll(so, ny - 1, axis=0)
+        else:
+            y0 = pl.multiple_of(i * ty, 8)
+            o = g_ref[0, pl.ds(y0, ty), :]
+            co, so = cs(o)
+            up_row = stencil.load_row_aligned(
+                g_ref, (i * ty - 8 + ny) % ny, 7)
+            dn_row = stencil.load_row_aligned(
+                g_ref, (i * ty + ty) % ny, 0)
+            cu, su = cs(up_row)
+            cdr, sdr = cs(dn_row)
+            up_c, dn_c = stencil.splice_updown(co, cu, cdr)
+            up_s, dn_s = stencil.splice_updown(so, su, sdr)
+        l_c = pltpu.roll(co, 1, axis=1)
+        l_s = pltpu.roll(so, 1, axis=1)
+        r_c = pltpu.roll(co, W - 1, axis=1)
+        r_s = pltpu.roll(so, W - 1, axis=1)
+        l_c = jnp.where(col == 0, up_c[:, nx - 1:nx], l_c)
+        l_s = jnp.where(col == 0, up_s[:, nx - 1:nx], l_s)
+        r_c = jnp.where(col == nx - 1, dn_c[:, 0:1], r_c)
+        r_s = jnp.where(col == nx - 1, dn_s[:, 0:1], r_s)
+        hx = up_c + dn_c + l_c + r_c
+        hy = up_s + dn_s + l_s + r_s
+        y0 = 0 if ty == ny else pl.multiple_of(i * ty, 8)
+        return o, co, so, hx, hy, (r_c, r_s, dn_c, dn_s), y0
 
-    def field(up, dn, left, right):
-        hx = jnp.float32(0.0)
-        hy = jnp.float32(0.0)
-        for nb in (up, dn, left, right):
-            c, s = cs(nb)
-            hx = hx + c
-            hy = hy + s
-        return hx, hy
-
-    def phase(offset):
-        def blk(i, _):
-            o, up, dn, left, right, y0 = nbrs(i)
-            hx, hy = field(up, dn, left, right)
-            cx, sx = cs(o)
+    def phase(offset, measuring, carry):
+        def blk(i, acc):
+            mx_a, my_a, e_a = acc
+            o, cx, sx, hx, hy, _, y0 = decoded_nbrs(i)
             # candidate excludes the current state: c + ceil(u(q-1)) mod q
             # (/root/reference/src/clock/clock_tableall_gpu_m.f90:142-143)
             u_c = stencil.bits_to_uniform(pltpu.bitcast(
@@ -269,39 +321,31 @@ def _clock_kernel(seed_ref, g_in, g_ref, obs_ref,
             rowi = jax.lax.broadcasted_iota(jnp.int32, (ty, 1), 0) + y0
             pmask = (((rowi + col) & 1) == offset) & valid
             accept = pmask & (u_a < p)
-            g_ref[0, pl.ds(y0, ty), :] = jnp.where(accept, new, o)
-            return 0
-
-        jax.lax.fori_loop(0, nblk, blk, 0)
-
-    def measure(s):
-        def blk(i, carry):
-            mx_a, my_a, e_a = carry
-            o, up, dn, left, right, y0 = nbrs(i)
-            cx, sx = cs(o)
-            cr, sr = cs(right)
-            cd, sd = cs(dn)
-            vm = valid.astype(jnp.float32)
-            mx_a = mx_a + jnp.sum(cx * vm)
-            my_a = my_a + jnp.sum(sx * vm)
-            e_a = e_a - jnp.sum((cx * (cr + cd) + sx * (sr + sd)) * vm)
+            _block_write(g_ref, i, ty, ny, jnp.where(accept, new, o))
+            if measuring:
+                # as in the Ising kernel: phase-1 h is the final field,
+                # bonds connect opposite parities — measure in-phase
+                fin_c = jnp.where(accept, cn, cx)
+                fin_s = jnp.where(accept, sn, sx)
+                vm = valid.astype(jnp.float32)
+                mx_a = mx_a + jnp.sum(fin_c * vm)
+                my_a = my_a + jnp.sum(fin_s * vm)
+                e_a = e_a - jnp.sum(jnp.where(
+                    pmask, fin_c * hx + fin_s * hy, 0.0))
             return mx_a, my_a, e_a
 
-        mx, my, e = jax.lax.fori_loop(
-            0, nblk, blk,
-            (jnp.float32(0), jnp.float32(0), jnp.float32(0)),
-        )
+        return jax.lax.fori_loop(0, nblk, blk, carry)
+
+    def sweep_body(s, _):
+        zero3 = (jnp.float32(0), jnp.float32(0), jnp.float32(0))
+        phase(0, False, zero3)
+        mx, my, e = phase(1, True, zero3)
         lane = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
         row = jnp.where(
             lane == 0, mx,
             jnp.where(lane == 1, my, jnp.where(lane == 2, e, 0.0)),
         )
         obs_ref[0, pl.ds(s, 1), :] = row
-
-    def sweep_body(s, _):
-        phase(0)
-        phase(1)
-        measure(s)
         return 0
 
     jax.lax.fori_loop(0, sweeps, sweep_body, 0)
@@ -312,7 +356,7 @@ def _clock_kernel(seed_ref, g_in, g_ref, obs_ref,
 )
 def _clock_multisweep(g, seeds, *, sweeps, beta, q, nrep, ny, nx):
     W = lane_width(nx)
-    ty = pick_ty(ny, W)
+    ty = pick_ty(ny, W, budget=512 << 10)
     kernel = functools.partial(
         _clock_kernel, sweeps=sweeps, ty=ty, ny=ny, nx=nx, W=W,
         q=q, beta=beta,
@@ -462,7 +506,7 @@ def _xy_specs(ty: int, ny: int, W: int):
 )
 def _xy_phase(sx, sy, seeds, *, offset, beta, nrep, ny, nx):
     W = sx.shape[-1]
-    ty = pick_ty(ny, W, budget=256 << 10)
+    ty = pick_ty(ny, W, budget=1 << 20)
     n = ny // ty
     center, up, dn = _xy_specs(ty, ny, W)
     kernel = functools.partial(
@@ -489,7 +533,7 @@ def _xy_phase(sx, sy, seeds, *, offset, beta, nrep, ny, nx):
 )
 def _xy_or_phase(sx, sy, *, offset, nrep, ny, nx):
     W = sx.shape[-1]
-    ty = pick_ty(ny, W, budget=256 << 10)
+    ty = pick_ty(ny, W, budget=1 << 20)
     n = ny // ty
     center, up, dn = _xy_specs(ty, ny, W)
     kernel = functools.partial(

@@ -79,7 +79,9 @@ def rotate_angles(k: jax.Array, theta: jax.Array) -> jax.Array:
 
 
 def _pick_ty(ny: int, half: int) -> int:
-    ty = max(_GRAN, min(ny, (128 << 10) // max(half, 1)))
+    # small row tiles: the f32 temporaries (~12 live (ty, half) arrays)
+    # must fit beside the resident angle+snapshot planes
+    ty = max(_GRAN, min(ny, (48 << 10) // max(half, 1)))
     ty = (ty // _GRAN) * _GRAN
     while ty >= _GRAN:
         if ny % ty == 0:
@@ -93,10 +95,34 @@ def _cs(k_i32):
     return jnp.cos(th), jnp.sin(th)
 
 
+def _atan2_units(y, x):
+    """atan2(y, x) in 2^16 angle units (f32) — Mosaic has no atan2
+    lowering, so this is the classic octant-reduced polynomial
+    (Abramowitz & Stegun 4.4.49 truncation; |err| < 1e-5 rad, an order
+    below the 9.6e-5 rad angle quantum the result is rounded to)."""
+    ax = jnp.abs(x)
+    ay = jnp.abs(y)
+    lo = jnp.minimum(ax, ay)
+    hi = jnp.maximum(ax, ay)
+    z = lo / jnp.maximum(hi, jnp.float32(1e-30))
+    z2 = z * z
+    a = z * (jnp.float32(0.99997726)
+             + z2 * (jnp.float32(-0.33262347)
+                     + z2 * (jnp.float32(0.19354346)
+                             + z2 * (jnp.float32(-0.11643287)
+                                     + z2 * (jnp.float32(0.05265332)
+                                             + z2 * jnp.float32(
+                                                 -0.01172120))))))
+    a = jnp.where(ay > ax, jnp.float32(np.pi / 2) - a, a)
+    a = jnp.where(x < 0, jnp.float32(np.pi) - a, a)
+    a = jnp.where(y < 0, -a, a)
+    return a * jnp.float32(65536.0 / _TWO_PI)
+
+
 def _kernel(seed_ref, pa_in, pb_in, sa_ref, sb_ref,
             pa_ref, pb_ref, obs_ref,
             *, sweeps: int, ty: int, ny: int, half: int, beta: float,
-            n_or: int):
+            n_or: int, or_only: bool):
     r = pl.program_id(0)
     pltpu.prng_seed(seed_ref[0], seed_ref[1] ^ (r * jnp.int32(0x3C6EF35F)))
     nblk = ny // ty
@@ -113,7 +139,9 @@ def _kernel(seed_ref, pa_in, pb_in, sa_ref, sb_ref,
         return up, dn
 
     def field(o_ref, i, color, parity):
-        """(hx, hy) from the other-color angle block + its halo rows."""
+        """(hx, hy, co, so): neighbor field from the other-color angle
+        block + its halo rows, plus the block's decoded components
+        (reused by the fused measurement — decode once per block)."""
         o = o_ref[0, pl.ds(pl.multiple_of(i * ty, _GRAN), ty), :].astype(
             jnp.int32
         )
@@ -123,12 +151,12 @@ def _kernel(seed_ref, pa_in, pb_in, sa_ref, sb_ref,
         cd, sd = _cs(dn)
         hx = stencil.nbr_sum(co, cu, cd, color, parity)
         hy = stencil.nbr_sum(so, su, sd, color, parity)
-        return hx, hy
+        return hx, hy, co, so
 
     def metropolis_block(x_ref, o_ref, i, color):
         y0 = pl.multiple_of(i * ty, _GRAN)
         parity = stencil.row_parity_mask(ty, y0)
-        hx, hy = field(o_ref, i, color, parity)
+        hx, hy, co, so = field(o_ref, i, color, parity)
         k = x_ref[0, pl.ds(y0, ty), :].astype(jnp.int32)
         cx, sx = _cs(k)
         bits = pltpu.bitcast(pltpu.prng_random_bits((ty, half)),
@@ -143,7 +171,7 @@ def _kernel(seed_ref, pa_in, pb_in, sa_ref, sb_ref,
         accept = u < p
         newk = jnp.where(accept, cand, k)
         x_ref[0, pl.ds(y0, ty), :] = newk.astype(jnp.int16)
-        return newk, accept, cc, cs_, cx, sx, hx, hy
+        return newk, accept, cc, cs_, cx, sx, hx, hy, co, so
 
     def phase_a(i, _):
         metropolis_block(pa_ref, pb_ref, i, 0)
@@ -152,19 +180,18 @@ def _kernel(seed_ref, pa_in, pb_in, sa_ref, sb_ref,
     def phase_b_measure(i, carry):
         mx, my, e, A = carry
         y0 = pl.multiple_of(i * ty, _GRAN)
-        newk, accept, cc, cs_, cbx, cby, hx, hy = metropolis_block(
-            pb_ref, pa_ref, i, 1
-        )
+        (newk, accept, cc, cs_, cbx, cby, hx, hy,
+         cax, cay) = metropolis_block(pb_ref, pa_ref, i, 1)
         # new b components via the already-computed candidate/old values
         bx = jnp.where(accept, cc, cbx)
         by = jnp.where(accept, cs_, cby)
-        ka = pa_ref[0, pl.ds(y0, ty), :].astype(jnp.int32)
-        cax, cay = _cs(ka)
-        # every a-b bond counted once from the b side: e = -Σ_b S_b·h_b
+        # every a-b bond counted once from the b side: e = -Σ_b S_b·h_b;
+        # (cax, cay) reuse the field's decode of the a block
         e = e - jnp.sum(bx * hx + by * hy)
         mx = mx + jnp.sum(cax) + jnp.sum(bx)
         my = my + jnp.sum(cay) + jnp.sum(by)
         # A = Σ cos(θ0 - θt), one transcendental per site
+        ka = pa_ref[0, pl.ds(y0, ty), :].astype(jnp.int32)
         ksa = sa_ref[0, pl.ds(y0, ty), :].astype(jnp.int32)
         ksb = sb_ref[0, pl.ds(y0, ty), :].astype(jnp.int32)
         A = A + jnp.sum(jnp.cos((ksa - ka).astype(jnp.float32) * _TO_RAD))
@@ -177,9 +204,9 @@ def _kernel(seed_ref, pa_in, pb_in, sa_ref, sb_ref,
         """θ' = 2φ - θ, φ = atan2(hy, hx) — exact-norm reflection."""
         y0 = pl.multiple_of(i * ty, _GRAN)
         parity = stencil.row_parity_mask(ty, y0)
-        hx, hy = field(o_ref, i, color, parity)
+        hx, hy, _, _ = field(o_ref, i, color, parity)
         k = x_ref[0, pl.ds(y0, ty), :].astype(jnp.int32)
-        phi = jnp.arctan2(hy, hx) * jnp.float32(65536.0 / _TWO_PI)
+        phi = _atan2_units(hy, hx)
         newk = 2 * jnp.round(phi).astype(jnp.int32) - k
         x_ref[0, pl.ds(y0, ty), :] = newk.astype(jnp.int16)
         return 0
@@ -187,6 +214,33 @@ def _kernel(seed_ref, pa_in, pb_in, sa_ref, sb_ref,
     def sweep_body(s, _):
         zeros4 = (jnp.float32(0), jnp.float32(0), jnp.float32(0),
                   jnp.float32(0))
+        if or_only:
+            # pure over-relaxation sweeps (microcanonical-conservation
+            # testing): no Metropolis phases
+            def one_or(j, _):
+                jax.lax.fori_loop(
+                    0, nblk, lambda i, c: or_phase(pa_ref, pb_ref, i, 0),
+                    0,
+                )
+                jax.lax.fori_loop(
+                    0, nblk, lambda i, c: or_phase(pb_ref, pa_ref, i, 1),
+                    0,
+                )
+                return 0
+
+            jax.lax.fori_loop(0, max(n_or, 1), one_or, 0)
+            mx, my, e, A = jax.lax.fori_loop(
+                0, nblk, _measure_only, zeros4
+            )
+            lane = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+            row = jnp.where(
+                lane == 0, mx,
+                jnp.where(lane == 1, my,
+                          jnp.where(lane == 2, e,
+                                    jnp.where(lane == 3, A, 0.0))),
+            )
+            obs_ref[0, pl.ds(s, 1), :] = row
+            return 0
         jax.lax.fori_loop(0, nblk, phase_a, 0)
         if n_or == 0:
             mx, my, e, A = jax.lax.fori_loop(
@@ -230,11 +284,11 @@ def _kernel(seed_ref, pa_in, pb_in, sa_ref, sb_ref,
         mx, my, e, A = carry
         y0 = pl.multiple_of(i * ty, _GRAN)
         parity = stencil.row_parity_mask(ty, y0)
-        hx, hy = field(pa_ref, i, 1, parity)   # field at b sites from a
+        # field at b sites from a; (cax, cay) reuse the decode
+        hx, hy, cax, cay = field(pa_ref, i, 1, parity)
         kb = pb_ref[0, pl.ds(y0, ty), :].astype(jnp.int32)
         bx, by = _cs(kb)
         ka = pa_ref[0, pl.ds(y0, ty), :].astype(jnp.int32)
-        cax, cay = _cs(ka)
         e = e - jnp.sum(bx * hx + by * hy)
         mx = mx + jnp.sum(cax) + jnp.sum(bx)
         my = my + jnp.sum(cay) + jnp.sum(by)
@@ -249,14 +303,15 @@ def _kernel(seed_ref, pa_in, pb_in, sa_ref, sb_ref,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("sweeps", "beta", "nrep", "ny", "half", "n_or"),
+    static_argnames=("sweeps", "beta", "nrep", "ny", "half", "n_or",
+                     "or_only"),
 )
 def _multisweep(pa, pb, sa, sb, seeds, *, sweeps, beta, nrep, ny, half,
-                n_or):
+                n_or, or_only=False):
     ty = _pick_ty(ny, half)
     kernel = functools.partial(
         _kernel, sweeps=sweeps, ty=ty, ny=ny, half=half, beta=beta,
-        n_or=n_or,
+        n_or=n_or, or_only=or_only,
     )
     ang = pl.BlockSpec((1, ny, half), lambda r: (r, 0, 0),
                        memory_space=pltpu.VMEM)
@@ -279,7 +334,8 @@ def _multisweep(pa, pb, sa, sb, seeds, *, sweeps, beta, nrep, ny, half,
     )(seeds, pa, pb, sa, sb)
 
 
-def multisweep(model, pa, pb, sa, sb, key, sweeps: int, n_or: int = 0):
+def multisweep(model, pa, pb, sa, sb, key, sweeps: int, n_or: int = 0,
+               or_only: bool = False):
     """Advance ``sweeps`` MCS (each + ``n_or`` over-relaxation sweeps)
     on int16 angle planes; returns (pa, pb, {mx, my, e, A}) with
     per-sweep observable *densities* of shape (R, sweeps).
@@ -296,7 +352,7 @@ def multisweep(model, pa, pb, sa, sb, key, sweeps: int, n_or: int = 0):
     pa, pb, obs = _multisweep(
         pa, pb, sa, sb, seeds_from_key(key, 0),
         sweeps=sweeps, beta=float(model.beta), nrep=pa.shape[0],
-        ny=ny, half=half, n_or=n_or,
+        ny=ny, half=half, n_or=n_or, or_only=or_only,
     )
     n_inv = jnp.float32(1.0 / model.nsites)
     series = {

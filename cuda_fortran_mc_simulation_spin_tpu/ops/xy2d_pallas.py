@@ -202,3 +202,338 @@ def over_relax_sweep(model, state: XYState) -> XYState:
     bx, by = _over_relax_phase(bx, by, ax, ay, color=1, **kw)
     out = XYState(ax, ay, bx, by)
     return out if batched else XYState(*(p[0] for p in out))
+
+
+# ---------------------------------------------------------------------------
+# phase b with fused measurement: the from-disorder fast path
+# ---------------------------------------------------------------------------
+
+def _metropolis_measure_kernel(seed_ref, sx_ref, sy_ref,
+                               ox_ref, oxu_ref, oxd_ref,
+                               oy_ref, oyu_ref, oyd_ref,
+                               snax_ref, snay_ref, snbx_ref, snby_ref,
+                               outx_ref, outy_ref, obs_ref,
+                               *, ty: int, beta: float):
+    """Phase b (color 1) + fused (mx, my, e, A) measurement.
+
+    Measuring inside the phase saves the separate measurement kernel's
+    re-read of all state+snapshot planes (~20 → 16 plane transfers per
+    MCS — the protocol is HBM-bound).  e = -Σ_b S_b·h_b counts every
+    bond once; mx/my reuse the a-planes already fetched for the field;
+    the obs output accumulates across the row-block grid axis (constant
+    out index → the block stays resident until the grid finishes)."""
+    r = pl.program_id(0)
+    i = pl.program_id(1)
+    tile_tag = i * jnp.int32(-1640531527) + r * jnp.int32(0x3C6EF35F)
+    pltpu.prng_seed(seed_ref[0], seed_ref[1] ^ tile_tag)
+
+    parity = stencil.row_parity_mask(ty, i * ty)
+    hx, hy = _field(ox_ref, oxu_ref, oxd_ref, oy_ref, oyu_ref, oyd_ref,
+                    1, parity)
+    sx = sx_ref[0]
+    sy = sy_ref[0]
+    u_cand = stencil.bits_to_uniform(
+        pltpu.bitcast(pltpu.prng_random_bits(sx.shape), jnp.uint32)
+    )
+    ang = _TWO_PI * u_cand
+    cx = jnp.cos(ang)
+    cy = jnp.sin(ang)
+    de = -((cx - sx) * hx + (cy - sy) * hy)
+    p = jnp.exp(jnp.float32(-beta) * jnp.maximum(de, 0.0))
+    u_acc = stencil.bits_to_uniform(
+        pltpu.bitcast(pltpu.prng_random_bits(sx.shape), jnp.uint32)
+    )
+    accept = u_acc < p
+    bx = jnp.where(accept, cx, sx)
+    by = jnp.where(accept, cy, sy)
+    outx_ref[0] = bx
+    outy_ref[0] = by
+
+    ax = ox_ref[0]
+    ay = oy_ref[0]
+    mx = jnp.sum(ax) + jnp.sum(bx)
+    my = jnp.sum(ay) + jnp.sum(by)
+    e = -jnp.sum(bx * hx + by * hy)
+    A = (jnp.sum(snax_ref[0] * ax) + jnp.sum(snay_ref[0] * ay)
+         + jnp.sum(snbx_ref[0] * bx) + jnp.sum(snby_ref[0] * by))
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+    row = jnp.where(
+        lane == 0, mx,
+        jnp.where(lane == 1, my,
+                  jnp.where(lane == 2, e,
+                            jnp.where(lane == 3, A, 0.0))),
+    )
+
+    @pl.when(i == 0)
+    def _():
+        obs_ref[0] = jnp.zeros_like(obs_ref[0])
+
+    obs_ref[0] = obs_ref[0] + row
+
+
+@functools.partial(
+    jax.jit, static_argnames=("beta", "nrep", "ny", "half")
+)
+def _metropolis_phase_b_measure(sx, sy, ox, oy, snax, snay, snbx, snby,
+                                seeds, *, beta, nrep, ny, half):
+    ty = _pick_tile_rows(ny, half, budget_bytes=64 << 10, gran=8)
+    n = ny // ty
+    center, up, dn = _specs(ty, ny, half)
+    kernel = functools.partial(
+        _metropolis_measure_kernel, ty=ty, beta=beta
+    )
+    obs_spec = pl.BlockSpec((1, 1, 128), lambda r, i: (r, 0, 0),
+                            memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((nrep, ny, half), jnp.float32),
+            jax.ShapeDtypeStruct((nrep, ny, half), jnp.float32),
+            jax.ShapeDtypeStruct((nrep, 1, 128), jnp.float32),
+        ),
+        grid=(nrep, n),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            center, center,               # bx, by (color being updated)
+            center, up, dn,               # ax + halos
+            center, up, dn,               # ay + halos
+            center, center, center, center,  # snapshot planes
+        ],
+        out_specs=(center, center, obs_spec),
+        input_output_aliases={1: 0, 2: 1},
+    )(seeds, sx, sy, ox, ox, ox, oy, oy, oy, snax, snay, snbx, snby)
+
+
+def sweep_measure(model, state: XYState, snap: XYState, key: jax.Array):
+    """One MCS with fused per-sweep measurement: phase a (plain kernel),
+    phase b + (mx, my, e, A) in one kernel.  Batched (R, ny, half)
+    planes; returns (state, {mx, my, e, A}) observable densities."""
+    ny, half = model.color_shape
+    ax, ay, bx, by = state
+    kw = dict(beta=float(model.beta), nrep=ax.shape[0], ny=ny, half=half)
+    ax, ay = _metropolis_phase(ax, ay, bx, by, seeds_from_key(key, 0),
+                               color=0, **kw)
+    bx, by, obs = _metropolis_phase_b_measure(
+        bx, by, ax, ay, snap.ax, snap.ay, snap.bx, snap.by,
+        seeds_from_key(key, 1), **kw,
+    )
+    n_inv = jnp.float32(1.0 / model.nsites)
+    series = {
+        "mx": obs[:, 0, 0] * n_inv,
+        "my": obs[:, 0, 1] * n_inv,
+        "e": obs[:, 0, 2] * n_inv,
+        "A": obs[:, 0, 3] * n_inv,
+    }
+    return XYState(ax, ay, bx, by), series
+
+
+# ---------------------------------------------------------------------------
+# halo-aware phase for the domain-sharded (shard_map) path
+# ---------------------------------------------------------------------------
+
+def _halo_field(i, nblk, ox_ref, oxu_ref, oxd_ref, hxu_ref, hxd_ref,
+                oy_ref, oyu_ref, oyd_ref, hyu_ref, hyd_ref,
+                color, parity):
+    """(hx, hy) of a local block: in-array halo rows for interior
+    row-blocks, explicitly exchanged rows at the shard boundary."""
+    upx = jnp.where(i == 0, hxu_ref[0, 7:8, :], oxu_ref[0, 7:8, :])
+    dnx = jnp.where(i == nblk - 1, hxd_ref[0, 0:1, :],
+                    oxd_ref[0, 0:1, :])
+    upy = jnp.where(i == 0, hyu_ref[0, 7:8, :], oyu_ref[0, 7:8, :])
+    dny = jnp.where(i == nblk - 1, hyd_ref[0, 0:1, :],
+                    oyd_ref[0, 0:1, :])
+    hx = stencil.nbr_sum(ox_ref[0], upx, dnx, color, parity)
+    hy = stencil.nbr_sum(oy_ref[0], upy, dny, color, parity)
+    return hx, hy
+
+
+def _halo_metropolis_kernel(seed_ref, offs_ref, sx_ref, sy_ref,
+                            ox_ref, oxu_ref, oxd_ref,
+                            oy_ref, oyu_ref, oyd_ref,
+                            hxu_ref, hxd_ref, hyu_ref, hyd_ref,
+                            *rest, color: int, ty: int, nblk: int,
+                            beta: float, has_u: bool):
+    """Like _metropolis_kernel with exchanged halo operands — the XY
+    instance of the shard_map promotion of the reference's halo kernels
+    (/root/reference/src/xy2d_periodic_gpu_m.f90:296-326).  ``has_u``:
+    take (u_cand, u_acc) operands instead of the hardware PRNG (CPU
+    interpret validation against the jnp sharded phase)."""
+    if has_u:
+        ucand_ref, uacc_ref, outx_ref, outy_ref = rest
+    else:
+        outx_ref, outy_ref = rest
+    r = pl.program_id(0)
+    i = pl.program_id(1)
+    row_g = offs_ref[1] + i * ty
+    parity = stencil.row_parity_mask(ty, row_g)
+    hx, hy = _halo_field(i, nblk, ox_ref, oxu_ref, oxd_ref, hxu_ref,
+                         hxd_ref, oy_ref, oyu_ref, oyd_ref, hyu_ref,
+                         hyd_ref, color, parity)
+    sx = sx_ref[0]
+    sy = sy_ref[0]
+    if has_u:
+        u_cand = ucand_ref[0]
+        u_acc = uacc_ref[0]
+    else:
+        rep_g = offs_ref[0] + r
+        tile_tag = (row_g * jnp.int32(-1640531527)
+                    + rep_g * jnp.int32(0x3C6EF35F))
+        pltpu.prng_seed(seed_ref[0], seed_ref[1] ^ tile_tag)
+        u_cand = stencil.bits_to_uniform(pltpu.bitcast(
+            pltpu.prng_random_bits(sx.shape), jnp.uint32))
+        u_acc = stencil.bits_to_uniform(pltpu.bitcast(
+            pltpu.prng_random_bits(sx.shape), jnp.uint32))
+    ang = _TWO_PI * u_cand
+    cx = jnp.cos(ang)
+    cy = jnp.sin(ang)
+    de = -((cx - sx) * hx + (cy - sy) * hy)
+    p = jnp.exp(jnp.float32(-beta) * jnp.maximum(de, 0.0))
+    accept = u_acc < p
+    outx_ref[0] = jnp.where(accept, cx, sx)
+    outy_ref[0] = jnp.where(accept, cy, sy)
+
+
+def _halo_or_kernel(offs_ref, sx_ref, sy_ref,
+                    ox_ref, oxu_ref, oxd_ref,
+                    oy_ref, oyu_ref, oyd_ref,
+                    hxu_ref, hxd_ref, hyu_ref, hyd_ref,
+                    outx_ref, outy_ref,
+                    *, color: int, ty: int, nblk: int):
+    i = pl.program_id(1)
+    row_g = offs_ref[1] + i * ty
+    parity = stencil.row_parity_mask(ty, row_g)
+    hx, hy = _halo_field(i, nblk, ox_ref, oxu_ref, oxd_ref, hxu_ref,
+                         hxd_ref, oy_ref, oyu_ref, oyd_ref, hyu_ref,
+                         hyd_ref, color, parity)
+    sx = sx_ref[0]
+    sy = sy_ref[0]
+    inv = jax.lax.rsqrt(jnp.maximum(hx * hx + hy * hy, jnp.float32(1e-30)))
+    nxh = hx * inv
+    nyh = hy * inv
+    d = 2.0 * (sx * nxh + sy * nyh)
+    rx = d * nxh - sx
+    ry = d * nyh - sy
+    rinv = jax.lax.rsqrt(
+        jnp.maximum(rx * rx + ry * ry, jnp.float32(1e-30))
+    )
+    outx_ref[0] = rx * rinv
+    outy_ref[0] = ry * rinv
+
+
+def _halo_specs(ty: int, L: int, half: int):
+    nb8 = L // 8
+    center = pl.BlockSpec((1, ty, half), lambda r, i: (r, i, 0),
+                          memory_space=pltpu.VMEM)
+    up = pl.BlockSpec(
+        (1, 8, half), lambda r, i: (r, (i * ty // 8 - 1 + nb8) % nb8, 0),
+        memory_space=pltpu.VMEM,
+    )
+    dn = pl.BlockSpec(
+        (1, 8, half), lambda r, i: (r, ((i + 1) * ty // 8) % nb8, 0),
+        memory_space=pltpu.VMEM,
+    )
+    halo = pl.BlockSpec((1, 8, half), lambda r, i: (r, 0, 0),
+                        memory_space=pltpu.VMEM)
+    return center, up, dn, halo
+
+
+def _pad_halos(h):
+    """(R,1,half) exchanged rows -> 8-row sublane-aligned operands."""
+    hu, hd = h
+    return (jnp.pad(hu, ((0, 0), (7, 0), (0, 0))),
+            jnp.pad(hd, ((0, 0), (0, 7), (0, 0))))
+
+
+def sharded_phase(sx, sy, ox, oy, halos_x, halos_y, seeds, offs, *,
+                  color: int, beta: float, u_cand=None, u_acc=None,
+                  interpret: bool = False):
+    """One Metropolis phase on y-sharded (R, L, half) component planes
+    with exchanged halo rows ((up, dn) per component).  Call inside
+    shard_map."""
+    nrep, L, half = sx.shape
+    ty = _pick_tile_rows(L, half, budget_bytes=64 << 10, gran=8)
+    n = L // ty
+    if interpret and u_cand is None:
+        kb = jax.random.fold_in(
+            jax.random.fold_in(
+                jax.random.PRNGKey(seeds[0].astype(jnp.uint32)), seeds[1]
+            ),
+            offs[0] * jnp.int32(65537) + offs[1],
+        )
+        u_cand = jax.random.uniform(kb, sx.shape, jnp.float32)
+        u_acc = jax.random.uniform(jax.random.fold_in(kb, 1), sx.shape,
+                                   jnp.float32)
+    has_u = u_cand is not None
+    hxu, hxd = _pad_halos(halos_x)
+    hyu, hyd = _pad_halos(halos_y)
+    center, up, dn, halo = _halo_specs(ty, L, half)
+    kernel = functools.partial(
+        _halo_metropolis_kernel, color=color, ty=ty, nblk=n, beta=beta,
+        has_u=has_u,
+    )
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.SMEM),   # seeds
+        pl.BlockSpec(memory_space=pltpu.SMEM),   # offs
+        center, center,                          # sx, sy
+        center, up, dn,                          # ox + in-array halos
+        center, up, dn,                          # oy + in-array halos
+        halo, halo, halo, halo,                  # exchanged rows
+    ]
+    operands = [seeds, offs, sx, sy, ox, ox, ox, oy, oy, oy,
+                hxu, hxd, hyu, hyd]
+    if has_u:
+        in_specs += [center, center]
+        operands += [u_cand, u_acc]
+    return pl.pallas_call(
+        kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((nrep, L, half), jnp.float32),
+            jax.ShapeDtypeStruct((nrep, L, half), jnp.float32),
+        ),
+        grid=(nrep, n),
+        in_specs=in_specs,
+        out_specs=(center, center),
+        input_output_aliases={2: 0, 3: 1},
+        interpret=interpret,
+    )(*operands)
+
+
+def sharded_or_phase(sx, sy, ox, oy, halos_x, halos_y, offs, *,
+                     color: int, interpret: bool = False):
+    """One over-relaxation phase on y-sharded planes with exchanged
+    halo rows (deterministic)."""
+    nrep, L, half = sx.shape
+    ty = _pick_tile_rows(L, half, budget_bytes=64 << 10, gran=8)
+    n = L // ty
+    hxu, hxd = _pad_halos(halos_x)
+    hyu, hyd = _pad_halos(halos_y)
+    center, up, dn, halo = _halo_specs(ty, L, half)
+    kernel = functools.partial(
+        _halo_or_kernel, color=color, ty=ty, nblk=n
+    )
+    return pl.pallas_call(
+        kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((nrep, L, half), jnp.float32),
+            jax.ShapeDtypeStruct((nrep, L, half), jnp.float32),
+        ),
+        grid=(nrep, n),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            center, center,
+            center, up, dn,
+            center, up, dn,
+            halo, halo, halo, halo,
+        ],
+        out_specs=(center, center),
+        input_output_aliases={1: 0, 2: 1},
+        interpret=interpret,
+    )(offs, sx, sy, ox, ox, ox, oy, oy, oy, hxu, hxd, hyu, hyd)
+
+
+def shard_pallas_ok(local_shape: tuple[int, ...]) -> bool:
+    """Local (R, L, half) f32 block shape is tileable (gran 8)."""
+    if len(local_shape) != 3:
+        return False
+    _, L, half = local_shape
+    return half % 128 == 0 and L % 8 == 0

@@ -86,7 +86,8 @@ def _site_uniforms(pkey, rep0, row0, rep_loc, rows_loc, tail_shape,
 # per-model local sweeps + observables (all on (R, ny_loc, half) blocks)
 # --------------------------------------------------------------------------
 
-def _shard_pallas_mode(model, local_shape) -> tuple[bool, bool]:
+def _shard_pallas_mode(model, local_shape,
+                       kind: str = "ising") -> tuple[bool, bool]:
     """(use_pallas, interpret) for the domain-sharded sweep.
 
     The fused halo kernel runs when the model resolves to the Pallas
@@ -95,9 +96,13 @@ def _shard_pallas_mode(model, local_shape) -> tuple[bool, bool]:
     on CPU (validation of the halo kernel inside shard_map)."""
     import os
 
-    from cuda_fortran_mc_simulation_spin_tpu.ops import ising2d_pallas
-
-    if not ising2d_pallas.shard_pallas_ok(tuple(local_shape)):
+    if kind == "xy":
+        from cuda_fortran_mc_simulation_spin_tpu.ops import xy2d_pallas
+        ok = xy2d_pallas.shard_pallas_ok(tuple(local_shape))
+    else:
+        from cuda_fortran_mc_simulation_spin_tpu.ops import ising2d_pallas
+        ok = ising2d_pallas.shard_pallas_ok(tuple(local_shape))
+    if not ok:
         return False, False
     if os.environ.get("SPINLAT_SHARD_PALLAS_INTERPRET") == "1":
         return True, True
@@ -163,6 +168,25 @@ def _ising_local_obs(model: Ising2D, a, b, ysh):
 
 def _clock_local_sweep(model: Clock2D, a, b, key, ysh, rep0, row0):
     q = model.q
+    use_pallas, interpret = _shard_pallas_mode(model, a.shape)
+    if use_pallas:
+        from cuda_fortran_mc_simulation_spin_tpu.ops import (
+            clock_pallas,
+            ising2d_pallas,
+        )
+
+        offs = jnp.stack([jnp.int32(rep0), jnp.int32(row0)])
+        hu, hd = _xch(b, ysh)
+        a = clock_pallas.sharded_phase(
+            a, b, hu, hd, ising2d_pallas.seeds_from_key(key, 0), offs,
+            color=0, q=q, beta=float(model.beta), interpret=interpret,
+        )
+        hu, hd = _xch(a, ysh)
+        b = clock_pallas.sharded_phase(
+            b, a, hu, hd, ising2d_pallas.seeds_from_key(key, 1), offs,
+            color=1, q=q, beta=float(model.beta), interpret=interpret,
+        )
+        return a, b
 
     def phase(x, o, color, pkey):
         hu, hd = _xch(o, ysh)
@@ -267,6 +291,29 @@ def _ising3d_local_obs(model, a, b, ysh):
 
 
 def _xy_local_sweep(model: XY2D, st: XYState, key, ysh, rep0, row0):
+    use_pallas, interpret = _shard_pallas_mode(
+        model, st.ax.shape, kind="xy"
+    )
+    if use_pallas:
+        from cuda_fortran_mc_simulation_spin_tpu.ops import (
+            ising2d_pallas,
+            xy2d_pallas,
+        )
+
+        offs = jnp.stack([jnp.int32(rep0), jnp.int32(row0)])
+        ax, ay, bx, by = st
+        ax, ay = xy2d_pallas.sharded_phase(
+            ax, ay, bx, by, _xch(bx, ysh), _xch(by, ysh),
+            ising2d_pallas.seeds_from_key(key, 0), offs,
+            color=0, beta=float(model.beta), interpret=interpret,
+        )
+        bx, by = xy2d_pallas.sharded_phase(
+            bx, by, ax, ay, _xch(ax, ysh), _xch(ay, ysh),
+            ising2d_pallas.seeds_from_key(key, 1), offs,
+            color=1, beta=float(model.beta), interpret=interpret,
+        )
+        return XYState(ax, ay, bx, by)
+
     def phase(sx, sy, ox, oy, color, pkey):
         hux, hdx = _xch(ox, ysh)
         huy, hdy = _xch(oy, ysh)
@@ -285,11 +332,30 @@ def _xy_local_sweep(model: XY2D, st: XYState, key, ysh, rep0, row0):
     return XYState(ax, ay, bx, by)
 
 
-def _xy_local_or_sweep(model: XY2D, st: XYState, ysh):
+def _xy_local_or_sweep(model: XY2D, st: XYState, ysh, rep0=None,
+                       row0=None):
     """One over-relaxation sweep on y-sharded local blocks (deterministic
     reflection about the local field, halos over ICI) — the multi-chip
     form of update_over_relaxation
     (/root/reference/src/xy2d_periodic_gpu_m.f90:418-439)."""
+    use_pallas, interpret = _shard_pallas_mode(
+        model, st.ax.shape, kind="xy"
+    )
+    if use_pallas and row0 is not None:
+        from cuda_fortran_mc_simulation_spin_tpu.ops import xy2d_pallas
+
+        offs = jnp.stack([jnp.int32(rep0), jnp.int32(row0)])
+        ax, ay, bx, by = st
+        ax, ay = xy2d_pallas.sharded_or_phase(
+            ax, ay, bx, by, _xch(bx, ysh), _xch(by, ysh), offs,
+            color=0, interpret=interpret,
+        )
+        bx, by = xy2d_pallas.sharded_or_phase(
+            bx, by, ax, ay, _xch(ax, ysh), _xch(ay, ysh), offs,
+            color=1, interpret=interpret,
+        )
+        return XYState(ax, ay, bx, by)
+
     def phase(sx, sy, ox, oy, color):
         hux, hdx = _xch(ox, ysh)
         huy, hdy = _xch(oy, ysh)
@@ -461,7 +527,10 @@ def _make_local_step(model, mesh: Mesh, n_over_relax: int = 0,
                 def do(s):
                     return lax.fori_loop(
                         0, n_over_relax,
-                        lambda i, x: _xy_local_or_sweep(model, x, ysh), s,
+                        lambda i, x: _xy_local_or_sweep(
+                            model, x, ysh, rep0, row0
+                        ),
+                        s,
                     )
                 state = lax.cond(do_or, do, lambda s: s, state)
             if with_obs:

@@ -85,6 +85,105 @@ def test_halo_kernel_row0_parity():
         np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
 
 
+@pytest.mark.parametrize("color", [0, 1])
+def test_xy_halo_kernel_matches_jnp_phase_bitwise(color):
+    """XY sharded Metropolis phase (interpret mode) given explicit
+    uniforms must equal the jnp sharded phase exactly — identical float
+    op sequence."""
+    from cuda_fortran_mc_simulation_spin_tpu.models.xy2d import XY2D
+    from cuda_fortran_mc_simulation_spin_tpu.ops import xy2d_pallas as xyp
+
+    model = XY2D(nx=2 * HALF, ny=4 * L, kbt=0.89, backend="jnp")
+    st = jax.vmap(lambda k: model.init_state("random", k))(
+        jax.random.split(rng.base_key(0), R)
+    )
+    hx_src = jax.vmap(lambda k: model.init_state("random", k))(
+        jax.random.split(rng.base_key(1), R)
+    )
+    halos_x = (hx_src.bx[:, :1], hx_src.bx[:, 1:2])
+    halos_y = (hx_src.by[:, :1], hx_src.by[:, 1:2])
+    u_c = rng.uniform(rng.base_key(2), (R, L, HALF))
+    u_a = rng.uniform(rng.base_key(3), (R, L, HALF))
+    sx, sy = st.ax[:, :L], st.ay[:, :L]
+    ox, oy = st.bx[:, :L], st.by[:, :L]
+
+    gx, gy = xyp.sharded_phase(
+        sx, sy, ox, oy, halos_x, halos_y,
+        xyp.seeds_from_key(rng.base_key(4), 0),
+        jnp.array([0, 0], jnp.int32),
+        color=color, beta=float(model.beta), u_cand=u_c, u_acc=u_a,
+        interpret=True,
+    )
+    wx, wy = jax.vmap(
+        lambda a1, a2, b1, b2, h1, h2, h3, h4, uc, ua: model._phase(
+            a1, a2, b1, b2, color, uc, ua, halos=((h1, h2), (h3, h4))
+        )
+    )(sx, sy, ox, oy, halos_x[0], halos_x[1], halos_y[0], halos_y[1],
+      u_c, u_a)
+    np.testing.assert_array_equal(np.asarray(gx), np.asarray(wx))
+    np.testing.assert_array_equal(np.asarray(gy), np.asarray(wy))
+
+
+def test_xy_halo_or_kernel_matches_jnp():
+    from cuda_fortran_mc_simulation_spin_tpu.models.xy2d import XY2D
+    from cuda_fortran_mc_simulation_spin_tpu.ops import xy2d_pallas as xyp
+
+    model = XY2D(nx=2 * HALF, ny=4 * L, kbt=0.89, backend="jnp")
+    st = jax.vmap(lambda k: model.init_state("random", k))(
+        jax.random.split(rng.base_key(5), R)
+    )
+    sx, sy = st.ax[:, :L], st.ay[:, :L]
+    ox, oy = st.bx[:, :L], st.by[:, :L]
+    halos_x = (ox[:, -1:], ox[:, :1])
+    halos_y = (oy[:, -1:], oy[:, :1])
+    gx, gy = xyp.sharded_or_phase(
+        sx, sy, ox, oy, halos_x, halos_y,
+        jnp.array([0, 0], jnp.int32), color=0, interpret=True,
+    )
+    wx, wy = jax.vmap(
+        lambda a1, a2, b1, b2, h1, h2, h3, h4: model._or_phase(
+            a1, a2, b1, b2, 0, halos=((h1, h2), (h3, h4))
+        )
+    )(sx, sy, ox, oy, halos_x[0], halos_x[1], halos_y[0], halos_y[1])
+    np.testing.assert_allclose(np.asarray(gx), np.asarray(wx), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(gy), np.asarray(wy), atol=1e-6)
+
+
+@pytest.mark.parametrize("color", [0, 1])
+def test_clock_halo_kernel_matches_jnp_phase(color):
+    from cuda_fortran_mc_simulation_spin_tpu.core import tables
+    from cuda_fortran_mc_simulation_spin_tpu.models.clock import Clock2D
+    from cuda_fortran_mc_simulation_spin_tpu.ops import clock_pallas as cp
+    from cuda_fortran_mc_simulation_spin_tpu.ops.ising2d_pallas import (
+        seeds_from_key,
+    )
+
+    model = Clock2D(nx=2 * HALF, ny=4 * L, kbt=0.91, q=6, backend="jnp")
+    st = jax.vmap(lambda k: model.init_state("random", k))(
+        jax.random.split(rng.base_key(6), R)
+    )
+    x, o = st.a[:, :L], st.b[:, :L]
+    hu, hd = o[:, -1:], o[:, :1]
+    u_c = rng.uniform(rng.base_key(7), (R, L, HALF))
+    u_a = rng.uniform(rng.base_key(8), (R, L, HALF))
+    got = cp.sharded_phase(
+        x, o, hu, hd, seeds_from_key(rng.base_key(9), 0),
+        jnp.array([0, 0], jnp.int32),
+        color=color, q=6, beta=float(model.beta),
+        u_cand=u_c, u_acc=u_a, interpret=True,
+    )
+
+    def one(x1, o1, h1, h2, uc, ua):
+        huc, hus = tables.state_cos_sin(h1, 6)
+        hdc, hds = tables.state_cos_sin(h2, 6)
+        return model._phase(
+            x1, o1, color, uc, ua, halos=((huc, hdc), (hus, hds))
+        )
+
+    want = jax.vmap(one)(x, o, hu, hd, u_c, u_a)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
 @pytest.mark.multichip
 def test_halo_kernel_inside_shard_map_interpret():
     """Full domain-sharded sweep with the Pallas halo kernel (interpret

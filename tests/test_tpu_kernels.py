@@ -195,9 +195,10 @@ def test_clock_fused_measure_matches_jnp():
 
 @requires_tpu
 def test_xy_multisweep_cold_known_answer():
-    """β→∞ from allup: every candidate raises energy, acceptance exp
-    underflows to 0 → state absorbing; mx=1, my=0, e=-2, A=1 exactly
-    (to f32 measurement rounding) every sweep."""
+    """β=10⁴ from allup: only candidates within |δθ| ≲ √(16.6/β/2)
+    ≈ 0.03 rad can ever be accepted (continuous spectrum — unlike Ising
+    there is no bitwise-absorbing state), so mx=1, my=0, e=-2, A=1 to
+    measurement rounding and every angle stays within ~400 units of 0."""
     from cuda_fortran_mc_simulation_spin_tpu.core import rng
     from cuda_fortran_mc_simulation_spin_tpu.models.xy2d import XY2D
     from cuda_fortran_mc_simulation_spin_tpu.ops import (
@@ -213,7 +214,9 @@ def test_xy_multisweep_cold_known_answer():
     np.testing.assert_allclose(obs["my"], 0.0, atol=1e-5)
     np.testing.assert_allclose(obs["e"], -2.0, atol=1e-5)
     np.testing.assert_allclose(obs["A"], 1.0, atol=1e-5)
-    np.testing.assert_array_equal(np.asarray(pa2), np.asarray(pa))
+    for p in (pa2, pb2):
+        k = np.asarray(jax.device_get(p), np.int32)
+        assert np.abs(k).max() <= 400
 
 
 @requires_tpu
@@ -250,23 +253,22 @@ def test_xy_multisweep_measurement_cross_check():
 
 @requires_tpu
 def test_xy_multisweep_or_conserves_energy():
-    """With Metropolis frozen (β→∞ from a random start never accepts a
-    candidate... it can, rarely — so use a modest β and compare the OR
-    effect directly): over-relaxation is microcanonical, so running the
-    kernel with n_or=2 at β→∞ from a random state keeps e(t) constant."""
+    """Over-relaxation is microcanonical: with the Metropolis phases
+    disabled (or_only), e(t) must stay constant over pure-OR sweeps from
+    a random start."""
     from cuda_fortran_mc_simulation_spin_tpu.core import rng
     from cuda_fortran_mc_simulation_spin_tpu.models.xy2d import XY2D
     from cuda_fortran_mc_simulation_spin_tpu.ops import (
         xy2d_multisweep as ms,
     )
 
-    m = XY2D(nx=256, ny=256, kbt=1e-6)
+    m = XY2D(nx=256, ny=256, kbt=0.89)
     st = jax.tree.map(
         lambda x: x[None], m.init_state("random", rng.base_key(2))
     )
     pa, pb = ms.state_to_angles(st)
     _, _, obs = ms.multisweep(m, pa, pb, pa, pb, rng.base_key(3), 8,
-                              n_or=2)
+                              n_or=1, or_only=True)
     e = np.asarray(jax.device_get(obs["e"]))[0]
     np.testing.assert_allclose(e, e[0], atol=2e-3)
 
@@ -280,6 +282,8 @@ def test_xy_multisweep_matches_f32_path_statistically():
     from cuda_fortran_mc_simulation_spin_tpu.engine import protocols
     from cuda_fortran_mc_simulation_spin_tpu.models import build_model
 
+    import os
+
     mcs, nsamp = 16, 12
     curves = {}
     for name, force_ms in (("f32", False), ("angle", True)):
@@ -287,8 +291,12 @@ def test_xy_multisweep_matches_f32_path_statistically():
                         tot_sample=nsamp, init_state="random")
         model = build_model(cfg)
         if force_ms:
-            assert protocols._xy_multisweep_eligible(cfg, model,
-                                                     "rotate_first")
+            os.environ["SPINLAT_XY_ANGLE_MS"] = "1"
+            try:
+                assert protocols._xy_multisweep_eligible(cfg, model,
+                                                         "rotate_first")
+            finally:
+                os.environ.pop("SPINLAT_XY_ANGLE_MS", None)
             runner = jax.jit(protocols._xy_disorder_multisweep_runner(
                 model, cfg, "rotate_first", 1))
         else:
@@ -304,6 +312,36 @@ def test_xy_multisweep_matches_f32_path_statistically():
     sem = curves["f32"].std(0, ddof=1) / np.sqrt(nsamp)
     diff = np.abs(curves["f32"].mean(0) - curves["angle"].mean(0))
     assert np.all(diff < 6 * sem + 3e-3)
+
+
+@requires_tpu
+def test_xy_sweep_measure_fused_matches_separate():
+    """Phase-b-fused (mx, my, e, A) must equal direct reductions on the
+    state the fused sweep returns."""
+    from cuda_fortran_mc_simulation_spin_tpu.core import rng
+    from cuda_fortran_mc_simulation_spin_tpu.models.xy2d import XY2D
+    from cuda_fortran_mc_simulation_spin_tpu.ops import xy2d_pallas
+
+    m = XY2D(nx=256, ny=256, kbt=0.89)
+    st = jax.tree.map(
+        lambda x: x[None], m.init_state("random", rng.base_key(0))
+    )
+    snap = jax.tree.map(
+        lambda x: x[None], m.init_state("random", rng.base_key(1))
+    )
+    st2, obs = xy2d_pallas.sweep_measure(m, st, snap, rng.base_key(2))
+    obs = {k: float(np.asarray(jax.device_get(v))[0])
+           for k, v in obs.items()}
+    fin = jax.tree.map(lambda x: x[0], st2)
+    snap1 = jax.tree.map(lambda x: x[0], snap)
+    n_inv = 1.0 / m.nsites
+    mx, my = m.magne_sums(fin)
+    assert obs["mx"] == pytest.approx(float(mx) * n_inv, abs=3e-4)
+    assert obs["my"] == pytest.approx(float(my) * n_inv, abs=3e-4)
+    assert obs["e"] == pytest.approx(
+        float(m.energy_sum(fin)) * n_inv, abs=3e-4)
+    assert obs["A"] == pytest.approx(
+        float(m.autocorrelation_sum(fin, snap1)) * n_inv, abs=3e-4)
 
 
 @requires_tpu
@@ -439,6 +477,28 @@ def test_sharded_halo_phase_compiles_on_tpu():
             float(model.energy_sum(sub)) / model.nsites, abs=1e-6)
     # states actually moved (the kernel isn't a no-op)
     assert not np.array_equal(np.asarray(state2.a), np.asarray(state.a))
+
+    # clock and XY sharded phases also route to their halo kernels
+    from cuda_fortran_mc_simulation_spin_tpu.models.clock import Clock2D
+    from cuda_fortran_mc_simulation_spin_tpu.models.xy2d import XY2D
+
+    cm = Clock2D(nx=256, ny=256, kbt=0.91, q=6)
+    cst = domain.replicated_init(cm, msh, 2, "random", rng.base_key(2))
+    cst2, cobs = domain.make_sharded_step(cm, msh)(cst, rng.base_key(3))
+    cobs = jax.device_get(cobs)
+    sub = jax.tree.map(lambda x: x[0], cst2)
+    assert cobs["e"][0] == pytest.approx(
+        float(cm.energy_sum(sub)) / cm.nsites, abs=3e-4)
+
+    xm = XY2D(nx=256, ny=256, kbt=0.89)
+    xst = domain.replicated_init(xm, msh, 2, "random", rng.base_key(4))
+    xst2, xobs = domain.make_sharded_step(xm, msh)(xst, rng.base_key(5))
+    xobs = jax.device_get(xobs)
+    sub = jax.tree.map(lambda x: x[0], xst2)
+    assert xobs["e"][0] == pytest.approx(
+        float(xm.energy_sum(sub)) / xm.nsites, abs=3e-4)
+    norms = np.hypot(np.asarray(xst2.ax), np.asarray(xst2.ay))
+    np.testing.assert_allclose(norms, 1.0, atol=1e-5)
 
 
 @requires_tpu

@@ -95,6 +95,21 @@ def test_prep_finite_magne():
     np.testing.assert_allclose(_norms(m, st), 1.0, atol=1e-5)
 
 
+def test_prep_finite_magne_beyond_single_sweep_saturation():
+    """Targets above the one-field-sweep response (~0.6) must converge
+    via the stage-2 iterated field sweeps (the reference's loop
+    structure has no saturation cap)."""
+    m = XY2D(nx=32, ny=32, kbt=0.89)
+    for m0 in (0.7, 0.9):
+        st = jax.jit(lambda k, t=m0: m.prep_finite_magne(k, t))(
+            rng.base_key(11)
+        )
+        mx, my = map(float, m.magne_sums(st))
+        mabs = np.hypot(mx, my) / m.nsites
+        assert abs(mabs - m0) / m0 < 1e-2, (m0, mabs)
+        np.testing.assert_allclose(_norms(m, st), 1.0, atol=1e-5)
+
+
 def test_prep_small_magne():
     m = XY2D(nx=32, ny=32, kbt=0.89)
     st = jax.jit(lambda k: m.prep_small_magne(k, 0.02))(rng.base_key(9))

@@ -63,6 +63,19 @@ def test_rotate_angles_matches_component_rotation():
                                np.asarray(rot_f32.by), atol=3e-4)
 
 
+def test_atan2_poly_accuracy():
+    """The Mosaic-friendly polynomial atan2 must be accurate to well
+    under the int16 angle quantum (1 unit = 9.6e-5 rad)."""
+    r = np.random.default_rng(0)
+    y = r.normal(size=8192).astype(np.float32)
+    x = r.normal(size=8192).astype(np.float32)
+    got = np.asarray(ms._atan2_units(jnp.asarray(y), jnp.asarray(x)),
+                     np.float64)
+    want = np.arctan2(y, x) * 65536.0 / (2.0 * np.pi)
+    d = (got - want + 32768.0) % 65536.0 - 32768.0
+    assert np.abs(d).max() < 0.2  # < 2e-5 rad
+
+
 def test_fits_vmem_thresholds():
     assert ms.fits_vmem(1536, 768)           # the flagship 1536² shape
     assert not ms.fits_vmem(4096, 2048)      # 4096² does not fit
