@@ -45,14 +45,27 @@ def state_select(state: jnp.ndarray, values: np.ndarray,
     return out
 
 
+# select chains beat direct cos/sin evaluation only while the chain is
+# short; past this depth two transcendentals win (and impose no cap on q)
+_SELECT_CHAIN_MAX_Q = 16
+
+
 def state_cos_sin(state: jnp.ndarray, q: int,
                   dtype=jnp.float32) -> tuple[jnp.ndarray, jnp.ndarray]:
-    """(cos θ, sin θ) for clock states θ = 2π·state/q."""
-    tab = clock_unit_vectors(q)
-    return (
-        state_select(state, tab[:, 0], dtype),
-        state_select(state, tab[:, 1], dtype),
-    )
+    """(cos θ, sin θ) for clock states θ = 2π·state/q.
+
+    Small q uses the gather-free select chain (the tableall capability);
+    large q evaluates the transcendentals directly — this is what lifts
+    the reference's q ≤ 50 cap (/root/reference/src/clock_gpu_m.f90:10)
+    to arbitrary q."""
+    if q <= _SELECT_CHAIN_MAX_Q:
+        tab = clock_unit_vectors(q)
+        return (
+            state_select(state, tab[:, 0], dtype),
+            state_select(state, tab[:, 1], dtype),
+        )
+    th = state.astype(jnp.float32) * jnp.float32(2.0 * np.pi / q)
+    return jnp.cos(th).astype(dtype), jnp.sin(th).astype(dtype)
 
 
 def clock_bond_energy_table(q: int) -> np.ndarray:

@@ -48,8 +48,12 @@ class Clock2D:
 
     def __post_init__(self):
         lattice.LatticeSpec(self.nx, self.ny)
-        if not (2 <= self.q <= 64):
-            raise ValueError(f"q={self.q} out of supported range [2, 64]")
+        # int8 state storage bounds q; the reference caps at 50
+        # (/root/reference/src/clock_gpu_m.f90:10).  q > 16 switches from
+        # select-chain (cos, sin) to direct transcendentals
+        # (core/tables.py), so the evaluation cost is q-independent.
+        if not (2 <= self.q <= 127):
+            raise ValueError(f"q={self.q} out of supported range [2, 127]")
 
     @property
     def beta(self) -> float:

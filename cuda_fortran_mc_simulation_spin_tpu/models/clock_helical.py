@@ -35,8 +35,8 @@ class Clock2DHelical:
                 "helical checkerboard updates require odd nx "
                 "(the reference commits 501×500)"
             )
-        if not (2 <= self.q <= 64):
-            raise ValueError(f"q={self.q} out of supported range [2, 64]")
+        if not (2 <= self.q <= 127):
+            raise ValueError(f"q={self.q} out of supported range [2, 127]")
 
     @property
     def beta(self) -> float:

@@ -34,7 +34,12 @@ from cuda_fortran_mc_simulation_spin_tpu.ops.ising2d_pallas import (
 
 
 def _cos_sin_chain(state_i32: jax.Array, q: int):
-    """Select-chain evaluation of (cos, sin)(2π s/q) (core/tables.py)."""
+    """(cos, sin)(2π s/q): select chain for small q, direct
+    transcendentals past the chain-depth crossover (core/tables.py) —
+    this keeps runtime q unbounded by evaluation cost."""
+    if q > tables._SELECT_CHAIN_MAX_Q:
+        th = state_i32.astype(jnp.float32) * np.float32(2.0 * np.pi / q)
+        return jnp.cos(th), jnp.sin(th)
     tab = tables.clock_unit_vectors(q)
     c = jnp.full(state_i32.shape, np.float32(tab[0, 0]), jnp.float32)
     s = jnp.full(state_i32.shape, np.float32(tab[0, 1]), jnp.float32)

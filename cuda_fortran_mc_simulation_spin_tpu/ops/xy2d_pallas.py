@@ -122,7 +122,10 @@ def _specs(ty: int, ny: int, half: int):
 )
 def _metropolis_phase(sx, sy, ox, oy, seeds, *, color, beta, nrep, ny,
                       half):
-    ty = _pick_tile_rows(ny, half, budget_bytes=64 << 10, gran=8)
+    ty = _pick_tile_rows(ny, half, budget_bytes=128 << 10, gran=8)
+    # 128K-element blocks: ty=128 at 1536^2 measured 2.08e10 vs
+    # 1.93e10 at ty=64 on the from-disorder path; ty>=256 fails
+    # to compile (VMEM)
     n = ny // ty
     center, up, dn = _specs(ty, ny, half)
     kernel = functools.partial(
@@ -150,7 +153,10 @@ def _metropolis_phase(sx, sy, ox, oy, seeds, *, color, beta, nrep, ny,
     jax.jit, static_argnames=("color", "nrep", "ny", "half")
 )
 def _over_relax_phase(sx, sy, ox, oy, *, color, nrep, ny, half):
-    ty = _pick_tile_rows(ny, half, budget_bytes=64 << 10, gran=8)
+    ty = _pick_tile_rows(ny, half, budget_bytes=128 << 10, gran=8)
+    # 128K-element blocks: ty=128 at 1536^2 measured 2.08e10 vs
+    # 1.93e10 at ty=64 on the from-disorder path; ty>=256 fails
+    # to compile (VMEM)
     n = ny // ty
     center, up, dn = _specs(ty, ny, half)
     kernel = functools.partial(_over_relax_kernel, color=color, ty=ty)
@@ -276,7 +282,10 @@ def _metropolis_measure_kernel(seed_ref, sx_ref, sy_ref,
 )
 def _metropolis_phase_b_measure(sx, sy, ox, oy, snax, snay, snbx, snby,
                                 seeds, *, beta, nrep, ny, half):
-    ty = _pick_tile_rows(ny, half, budget_bytes=64 << 10, gran=8)
+    ty = _pick_tile_rows(ny, half, budget_bytes=128 << 10, gran=8)
+    # 128K-element blocks: ty=128 at 1536^2 measured 2.08e10 vs
+    # 1.93e10 at ty=64 on the from-disorder path; ty>=256 fails
+    # to compile (VMEM)
     n = ny // ty
     center, up, dn = _specs(ty, ny, half)
     kernel = functools.partial(

@@ -22,6 +22,33 @@ def test_state_cos_sin_select_chain():
     np.testing.assert_allclose(np.asarray(s), np.sin(ang), atol=1e-6)
 
 
+def test_large_q_beyond_reference_cap():
+    """q > 64 (the reference caps its runtime-q engine at 50,
+    /root/reference/src/clock_gpu_m.f90:10): direct cos/sin evaluation
+    replaces the select chain past q=16, so large q stays correct."""
+    q = 100
+    state = jnp.asarray(np.arange(q).reshape(4, 25), dtype=jnp.int8)
+    c, s = tables.state_cos_sin(state, q)
+    ang = 2 * np.pi * np.asarray(state) / q
+    np.testing.assert_allclose(np.asarray(c), np.cos(ang), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(s), np.sin(ang), atol=1e-5)
+
+    m = Clock2D(nx=8, ny=8, kbt=0.9, q=q, backend="jnp")
+    st = m.init_state("random", rng.base_key(5))
+    full = m.full_lattice(st)
+    assert full.min() >= 0 and full.max() < q
+    np.testing.assert_allclose(
+        float(m.energy_sum(st)), m.energy_sum_numpy(full), rtol=2e-5,
+        atol=1e-3,
+    )
+    for t in range(2):
+        st = jax.jit(m.sweep)(st, rng.sweep_key(rng.base_key(6), t))
+    full = m.full_lattice(st)
+    assert full.min() >= 0 and full.max() < q
+    with pytest.raises(ValueError, match="supported range"):
+        Clock2D(nx=8, ny=8, kbt=0.9, q=200)
+
+
 def test_ordered_start_observables():
     m = Clock2D(nx=8, ny=8, kbt=0.9, q=6)
     st = m.init_state("allup")

@@ -388,6 +388,36 @@ def test_helical_ising_multisweep_cross_check():
 
 
 @requires_tpu
+def test_helical_ising_ner_exponent_at_tc():
+    """The reference's flagship physics on its committed geometry: NER
+    decay m(t) ~ t^(-β/νz) at Tc on 1001×1000 (β/νz = 0.0577).  A 128-
+    sample run on the fused helical kernel measured 0.0612; keep a
+    cheaper 32-sample gate with a wide window."""
+    from cuda_fortran_mc_simulation_spin_tpu.core import rng
+    from cuda_fortran_mc_simulation_spin_tpu.models.ising2d_helical import (
+        Ising2DHelical,
+    )
+    from cuda_fortran_mc_simulation_spin_tpu.ops import helical_pallas as hp
+
+    hm = Ising2DHelical(nx=1001, ny=1000, kbt=2.26918531421)
+    R, MCS, CALLS = 8, 100, 4
+    curves = []
+    for c in range(CALLS):
+        flat = jax.vmap(lambda k: hm.init_state("allup", k))(
+            jax.random.split(rng.sample_key(rng.base_key(20), c), R)
+        )
+        _, obs = hp.ising_multisweep(
+            hm, flat, rng.sample_key(rng.base_key(21), c), MCS
+        )
+        curves.append(np.asarray(jax.device_get(obs["m"]), np.float64))
+    m_t = np.concatenate(curves, axis=0).mean(0)
+    t = np.arange(1, MCS + 1)
+    sel = t >= 10
+    slope = np.polyfit(np.log(t[sel]), np.log(m_t[sel]), 1)[0]
+    assert 0.03 < -slope < 0.09, slope
+
+
+@requires_tpu
 def test_helical_clock_multisweep_cross_check():
     from cuda_fortran_mc_simulation_spin_tpu.core import rng
     from cuda_fortran_mc_simulation_spin_tpu.models.clock_helical import (
