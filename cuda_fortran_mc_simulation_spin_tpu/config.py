@@ -66,9 +66,12 @@ class RunConfig:
     samples_per_call: int = 1        # batch of samples folded per dispatch
 
     # multi-chip mesh (parallel/): replicas shard over `dp`, the lattice's
-    # leading spatial dim over `y`.  (1, 1) = single-device execution.
+    # leading spatial dim over `y`, and optionally the color-array
+    # columns over `x` (the (dx, dy) decomposition, SURVEY.md §5.7).
+    # (1, 1, 1) = single-device execution.
     mesh_dp: int = 1
     mesh_y: int = 1
+    mesh_x: int = 1
 
     def __post_init__(self):
         if self.measure_times is not None:

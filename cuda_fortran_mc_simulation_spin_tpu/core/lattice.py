@@ -193,6 +193,36 @@ def neighbor_sums_halo(
     return up + dn + lr
 
 
+def neighbor_sums_halo2d(
+    other: jnp.ndarray,
+    halo_up: jnp.ndarray,
+    halo_dn: jnp.ndarray,
+    halo_left: jnp.ndarray,
+    halo_right: jnp.ndarray,
+    color: Parity,
+) -> jnp.ndarray:
+    """:func:`neighbor_sums` for a (dx, dy)-sharded local block: explicit
+    halo rows AND columns (SURVEY.md §5.7's full 2-D decomposition).
+
+    ``halo_left``/``halo_right`` are the (L, 1[, f]) color-array columns
+    owned by the x-neighbor shards.  The 4-neighbor stencil has no
+    diagonal terms, so no corner exchange is needed.  Assumes the local
+    block starts on an even global row (local row parity == global)."""
+    ny = other.shape[0]
+    odd = (jnp.arange(ny) & 1).astype(bool).reshape(
+        ny, *([1] * (other.ndim - 1))
+    )
+    up = jnp.concatenate([halo_up, other[:-1]], axis=0)
+    dn = jnp.concatenate([other[1:], halo_dn], axis=0)
+    minus = jnp.concatenate([halo_left, other[:, :-1]], axis=1)
+    plus = jnp.concatenate([other[:, 1:], halo_right], axis=1)
+    if color == 0:
+        lr = other + jnp.where(odd, plus, minus)
+    else:
+        lr = other + jnp.where(odd, minus, plus)
+    return up + dn + lr
+
+
 # ---------------------------------------------------------------------------
 # 3-D checkerboard (color = (x+y+z) & 1), storage (nz, ny, nx//2)
 # ---------------------------------------------------------------------------

@@ -117,14 +117,14 @@ def _run_accumulating(cfg, model, accumulators, fold, err,
     if cfg.tot_sample % max(batch, 1):
         raise ValueError("tot_sample must be divisible by the batch size")
     runner_kwargs = runner_kwargs or {}
-    if cfg.mesh_dp * cfg.mesh_y > 1:
+    if cfg.mesh_dp * cfg.mesh_y * cfg.mesh_x > 1:
         # domain-sharded multi-chip execution (parallel/domain.py):
         # replicas over dp, lattice rows/planes over y
         from cuda_fortran_mc_simulation_spin_tpu.parallel import (
             domain,
             mesh as mesh_mod,
         )
-        msh = mesh_mod.make_mesh(cfg.mesh_dp, cfg.mesh_y)
+        msh = mesh_mod.make_mesh(cfg.mesh_dp, cfg.mesh_y, cfg.mesh_x)
         runner = domain.make_sharded_sample_runner(
             model, msh, cfg.mcs, max(batch, 1), cfg.init_state,
             **runner_kwargs,
@@ -443,7 +443,7 @@ def _xy_multisweep_eligible(cfg: RunConfig, model, prep: str) -> bool:
 
     if os.environ.get("SPINLAT_XY_ANGLE_MS") != "1":
         return False
-    if cfg.track_correlation or cfg.mesh_dp * cfg.mesh_y > 1:
+    if cfg.track_correlation or cfg.mesh_dp * cfg.mesh_y * cfg.mesh_x > 1:
         return False
     if cfg.n_over_relax > 0:
         # kernel applies OR on every sweep; partial schedules and the
@@ -559,7 +559,7 @@ def _xy_disorder_mesh_runner(model, cfg: RunConfig, prep: str,
             obs["corr"] = model.correlation_sum(state) * n_inv
         return obs
 
-    msh = mesh_mod.make_mesh(cfg.mesh_dp, cfg.mesh_y)
+    msh = mesh_mod.make_mesh(cfg.mesh_dp, cfg.mesh_y, cfg.mesh_x)
     return domain.make_sharded_xy_disorder_runner(
         model, msh, cfg.mcs, batch,
         init_fn=lambda k: _xy_init_for_prep(model, cfg, prep, k),
@@ -595,7 +595,7 @@ def _run_xy_disorder(cfg: RunConfig, prep: str, out, err,
     batch = max(cfg.replicas, 1)
     if cfg.tot_sample % batch:
         raise ValueError("tot_sample must be divisible by replicas")
-    if cfg.mesh_dp * cfg.mesh_y > 1:
+    if cfg.mesh_dp * cfg.mesh_y * cfg.mesh_x > 1:
         runner = _xy_disorder_mesh_runner(model, cfg, prep, batch)
     elif _xy_multisweep_eligible(cfg, model, prep):
         runner = jax.jit(

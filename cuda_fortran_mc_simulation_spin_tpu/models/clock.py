@@ -113,10 +113,13 @@ class Clock2D:
         if halos is None:
             hx = lattice.neighbor_sums(co, color)
             hy = lattice.neighbor_sums(so, color)
-        else:
+        elif len(halos[0]) == 2:
             (hu_c, hd_c), (hu_s, hd_s) = halos
             hx = lattice.neighbor_sums_halo(co, hu_c, hd_c, color)
             hy = lattice.neighbor_sums_halo(so, hu_s, hd_s, color)
+        else:
+            hx = lattice.neighbor_sums_halo2d(co, *halos[0], color)
+            hy = lattice.neighbor_sums_halo2d(so, *halos[1], color)
 
         xi = x.astype(jnp.int32)
         off = (u_cand * (q - 1)).astype(jnp.int32) + 1  # ∈ [1, q-1]

@@ -105,14 +105,17 @@ class Ising2D:
         flip iff u ≤ exp(-β·ΔE), ΔE = 2·s·Σnbr
         (/root/reference/src/ising2d_gpu_m.f90:148-162,191-196).
 
-        ``halos=(up, dn)`` switches to the y-sharded local-block stencil
+        ``halos=(up, dn)`` switches to the y-sharded local-block stencil;
+        ``halos=(up, dn, left, right)`` to the (dx, dy)-sharded one
         (multi-chip domain decomposition, parallel/domain.py).
         """
         p4, p8 = self.accept_table
         if halos is None:
             nsum = lattice.neighbor_sums(other, color)      # int8, |·| ≤ 4
-        else:
+        elif len(halos) == 2:
             nsum = lattice.neighbor_sums_halo(other, *halos, color)
+        else:
+            nsum = lattice.neighbor_sums_halo2d(other, *halos, color)
         de = (2 * spins * nsum).astype(jnp.int8)            # ∈ {-8,-4,0,4,8}
         thresh = jnp.where(de == 4, jnp.float32(p4), jnp.float32(p8))
         accept = (de <= 0) | (u < thresh)

@@ -111,14 +111,20 @@ class XY2D:
 
     # -- local fields ----------------------------------------------------------
     def _field(self, ox, oy, color, halos=None):
-        """h = Σ_nbr S for every site of ``color`` (other-color planes)."""
+        """h = Σ_nbr S for every site of ``color`` (other-color planes).
+
+        ``halos``: per-component halo tuples — (up, dn) for y-sharded
+        blocks, (up, dn, left, right) for (dx, dy)-sharded ones."""
         if halos is None:
             hx = lattice.neighbor_sums(ox, color)
             hy = lattice.neighbor_sums(oy, color)
-        else:
+        elif len(halos[0]) == 2:
             (hux, hdx), (huy, hdy) = halos
             hx = lattice.neighbor_sums_halo(ox, hux, hdx, color)
             hy = lattice.neighbor_sums_halo(oy, huy, hdy, color)
+        else:
+            hx = lattice.neighbor_sums_halo2d(ox, *halos[0], color)
+            hy = lattice.neighbor_sums_halo2d(oy, *halos[1], color)
         return hx, hy
 
     # -- Metropolis phase -------------------------------------------------------

@@ -1,11 +1,14 @@
-"""Multi-chip lattice domain decomposition (dp × y mesh) — all models.
+"""Multi-chip lattice domain decomposition (dp × y [× x] mesh) — all
+models.
 
-Shards the lattice's row dimension across the ``y`` mesh axis with
-`ppermute` halo exchange (parallel/halo.py), and an independent-replica
-axis across ``dp`` — the two parallelism strategies that are meaningful
-for this workload (SURVEY.md §2.4: the reference has no tensor/pipeline/
-expert parallelism to promote; replicas are pure DP, the lattice-domain
-axis is the spatial analog of sequence parallelism).
+Shards the lattice's row dimension across the ``y`` mesh axis (and
+optionally the color-array columns across ``x`` — the full (dx, dy)
+decomposition of SURVEY.md §5.7) with `ppermute` halo exchange
+(parallel/halo.py), and an independent-replica axis across ``dp`` —
+the parallelism strategies that are meaningful for this workload
+(SURVEY.md §2.4: the reference has no tensor/pipeline/expert
+parallelism to promote; replicas are pure DP, the lattice-domain axes
+are the spatial analog of sequence parallelism).
 
 State layout: each color array/plane carries a leading replica axis —
 ``(R, ny, nx//2)`` sharded ``P("dp", "y", None)``.  One call to the
@@ -38,14 +41,25 @@ from cuda_fortran_mc_simulation_spin_tpu.parallel.halo import (
 )
 
 
+def _state_spec(mesh: Mesh, nd: int = 3) -> P:
+    """PartitionSpec for a replica-batched color array on this mesh:
+    (dp, y[, x]) over (R, rows, …, cols)."""
+    has_x = "x" in mesh.axis_names
+    if nd == 3:
+        return P("dp", "y", "x" if has_x else None)
+    return P("dp", "y", *([None] * (nd - 3)), "x" if has_x else None)
+
+
 def replicated_init(model, mesh: Mesh, replicas: int, kind: str,
                     key: jax.Array):
-    """Build a replica-batched state sharded over (dp, y)."""
+    """Build a replica-batched state sharded over (dp, y[, x])."""
     keys = jr.split(key, replicas)
     state = jax.vmap(lambda k: model.init_state(kind, k))(keys)
-    spec = P("dp", "y", None)
     return jax.tree.map(
-        lambda x: jax.device_put(x, NamedSharding(mesh, spec)), state
+        lambda x: jax.device_put(
+            x, NamedSharding(mesh, _state_spec(mesh, x.ndim))
+        ),
+        state,
     )
 
 
@@ -54,31 +68,73 @@ def _xch(arr, ysh):
     return exchange_halo_rows(arr, "y", ysh, row_axis=1)
 
 
+def _xch_c(arr, xsh):
+    """Halo columns of a (R, L, w) local block over the x axis."""
+    from cuda_fortran_mc_simulation_spin_tpu.parallel.halo import (
+        exchange_halo_cols,
+    )
+
+    return exchange_halo_cols(arr, "x", xsh, col_axis=2)
+
+
+def _halos4(o, ysh, xsh):
+    """(up, dn, left, right) halos of a local color block — rows over
+    the y axis, columns over the x axis."""
+    hu, hd = _xch(o, ysh)
+    hl, hr = _xch_c(o, xsh)
+    return hu, hd, hl, hr
+
+
 def _vp(fn):
     """vmap a per-replica phase over the leading replica axis."""
     return jax.vmap(fn)
 
 
-def _site_uniforms(pkey, rep0, row0, rep_loc, rows_loc, tail_shape,
+# column-chunk granule for the draw keying: x-shard widths are lane
+# multiples, so chunked keys make draws invariant to the x-split too
+_COL_CHUNK = 128
+
+
+def _site_uniforms(pkey, rep0, row0, col0, rep_loc, rows_loc, tail_shape,
                    n_draws):
     """Per-site uniforms for one checkerboard phase of a local block,
-    keyed by GLOBAL replica and row indices (pkey -> replica -> row).
+    keyed by GLOBAL (replica, row, column-chunk) indices
+    (pkey -> replica -> row -> chunk).
 
     Every mesh shape that covers the same global lattice draws the same
-    uniform at the same global site, so (1,1), (1,4) and (2,4) meshes
-    produce bit-identical trajectories for one seed — the bitwise
-    shard-vs-single-chip requirement of SURVEY.md §4.  Returns
-    ``n_draws`` arrays of shape (rep_loc, rows_loc, *tail_shape)."""
+    uniform at the same global site, so (1,1,1), (1,4,1), (2,4,1) and
+    (1,2,2) meshes produce bit-identical trajectories for one seed —
+    the bitwise shard-vs-single-chip requirement of SURVEY.md §4.
+    Returns ``n_draws`` arrays of shape (rep_loc, rows_loc,
+    *tail_shape)."""
+    tail = tuple(tail_shape)
+    w = tail[-1]
+    lead_tail = tail[:-1]
+    if w % _COL_CHUNK == 0:
+        nck, cw = w // _COL_CHUNK, _COL_CHUNK
+    else:
+        nck, cw = 1, w
     reps = rep0 + jnp.arange(rep_loc)
     rows = row0 + jnp.arange(rows_loc)
-    u = jax.vmap(
-        lambda r: jax.vmap(
-            lambda g: rng.uniform(
-                jr.fold_in(jr.fold_in(pkey, r), g),
-                (n_draws,) + tuple(tail_shape),
-            )
-        )(rows)
-    )(reps)
+    chunks = col0 // cw + jnp.arange(nck)
+
+    def per_rep(r):
+        kr = jr.fold_in(pkey, r)
+
+        def per_row(g):
+            kg = jr.fold_in(kr, g)
+            return jax.vmap(
+                lambda c: rng.uniform(
+                    jr.fold_in(kg, c), (n_draws,) + lead_tail + (cw,)
+                )
+            )(chunks)
+
+        return jax.vmap(per_row)(rows)
+
+    u = jax.vmap(per_rep)(reps)
+    # (rep, rows, nck, n_draws, *lead_tail, cw) -> (..., n_draws, ..., w)
+    u = jnp.moveaxis(u, 2, -2)
+    u = u.reshape(u.shape[:2] + (n_draws,) + lead_tail + (w,))
     return [u[:, :, i] for i in range(n_draws)]
 
 
@@ -112,9 +168,10 @@ def _shard_pallas_mode(model, local_shape,
         return False, False
 
 
-def _ising_local_sweep(model: Ising2D, a, b, key, ysh, rep0, row0):
+def _ising_local_sweep(model: Ising2D, a, b, key, ysh, xsh, rep0, row0,
+                       col0):
     use_pallas, interpret = _shard_pallas_mode(model, a.shape)
-    if use_pallas:
+    if use_pallas and xsh == 1:
         from cuda_fortran_mc_simulation_spin_tpu.ops import ising2d_pallas
 
         offs = jnp.stack([jnp.int32(rep0), jnp.int32(row0)])
@@ -131,21 +188,34 @@ def _ising_local_sweep(model: Ising2D, a, b, key, ysh, rep0, row0):
         return a, b
 
     def phase(x, o, color, pkey):
-        hu, hd = _xch(o, ysh)
-        (u,) = _site_uniforms(pkey, rep0, row0, x.shape[0], x.shape[1],
-                              x.shape[2:], 1)
+        (u,) = _site_uniforms(pkey, rep0, row0, col0, x.shape[0],
+                              x.shape[1], x.shape[2:], 1)
+        if xsh == 1:
+            hu, hd = _xch(o, ysh)
+            return _vp(
+                lambda x1, o1, h1, h2, u1: model._phase(
+                    x1, o1, color, u1, halos=(h1, h2)
+                )
+            )(x, o, hu, hd, u)
+        hu, hd, hl, hr = _halos4(o, ysh, xsh)
         return _vp(
-            lambda x1, o1, h1, h2, u1: model._phase(
-                x1, o1, color, u1, halos=(h1, h2)
+            lambda x1, o1, h1, h2, h3, h4, u1: model._phase(
+                x1, o1, color, u1, halos=(h1, h2, h3, h4)
             )
-        )(x, o, hu, hd, u)
+        )(x, o, hu, hd, hl, hr, u)
 
     a = phase(a, b, 0, rng.phase_key(key, 0))
     b = phase(b, a, 1, rng.phase_key(key, 1))
     return a, b
 
 
-def _ising_local_obs(model: Ising2D, a, b, ysh):
+def _plus_col(p, xsh):
+    """Value of the column-after neighbor for every column of a block."""
+    _, hr = _xch_c(p, xsh)
+    return jnp.concatenate([p[:, :, 1:], hr], axis=2)
+
+
+def _ising_local_obs(model: Ising2D, a, b, ysh, xsh):
     m = jnp.sum(a, axis=(1, 2), dtype=jnp.int32) + jnp.sum(
         b, axis=(1, 2), dtype=jnp.int32
     )
@@ -153,9 +223,9 @@ def _ising_local_obs(model: Ising2D, a, b, ysh):
     odd = (jnp.arange(ny_loc) & 1).astype(bool).reshape(1, ny_loc, 1)
     _, hd_b = _xch(b, ysh)
     _, hd_a = _xch(a, ysh)
-    right_a = jnp.where(odd, jnp.roll(b, -1, axis=2), b)
+    right_a = jnp.where(odd, _plus_col(b, xsh), b)
     down_a = jnp.concatenate([b[:, 1:], hd_b], axis=1)
-    right_b = jnp.where(odd, a, jnp.roll(a, -1, axis=2))
+    right_b = jnp.where(odd, a, _plus_col(a, xsh))
     down_b = jnp.concatenate([a[:, 1:], hd_a], axis=1)
     e = -(
         jnp.sum(a.astype(jnp.int32) * (right_a + down_a).astype(jnp.int32),
@@ -166,10 +236,11 @@ def _ising_local_obs(model: Ising2D, a, b, ysh):
     return {"m": m.astype(jnp.float32), "e": e.astype(jnp.float32)}
 
 
-def _clock_local_sweep(model: Clock2D, a, b, key, ysh, rep0, row0):
+def _clock_local_sweep(model: Clock2D, a, b, key, ysh, xsh, rep0, row0,
+                       col0):
     q = model.q
     use_pallas, interpret = _shard_pallas_mode(model, a.shape)
-    if use_pallas:
+    if use_pallas and xsh == 1:
         from cuda_fortran_mc_simulation_spin_tpu.ops import (
             clock_pallas,
             ising2d_pallas,
@@ -189,37 +260,49 @@ def _clock_local_sweep(model: Clock2D, a, b, key, ysh, rep0, row0):
         return a, b
 
     def phase(x, o, color, pkey):
-        hu, hd = _xch(o, ysh)
-        u_c, u_a = _site_uniforms(pkey, rep0, row0, x.shape[0],
+        u_c, u_a = _site_uniforms(pkey, rep0, row0, col0, x.shape[0],
                                   x.shape[1], x.shape[2:], 2)
+        if xsh == 1:
+            hu, hd = _xch(o, ysh)
 
-        def one(x1, o1, h1, h2, uc, ua):
-            co, so = tables.state_cos_sin(o1, q)
-            huc, hus = tables.state_cos_sin(h1, q)
-            hdc, hds = tables.state_cos_sin(h2, q)
+            def one(x1, o1, h1, h2, uc, ua):
+                huc, hus = tables.state_cos_sin(h1, q)
+                hdc, hds = tables.state_cos_sin(h2, q)
+                return model._phase(
+                    x1, o1, color, uc, ua,
+                    halos=((huc, hdc), (hus, hds)),
+                )
+
+            return _vp(one)(x, o, hu, hd, u_c, u_a)
+        hu, hd, hl, hr = _halos4(o, ysh, xsh)
+
+        def one4(x1, o1, h1, h2, h3, h4, uc, ua):
+            cs_halos = [tables.state_cos_sin(h, q)
+                        for h in (h1, h2, h3, h4)]
             return model._phase(
                 x1, o1, color, uc, ua,
-                halos=((huc, hdc), (hus, hds)),
+                halos=(tuple(c for c, _ in cs_halos),
+                       tuple(s for _, s in cs_halos)),
             )
 
-        return _vp(one)(x, o, hu, hd, u_c, u_a)
+        return _vp(one4)(x, o, hu, hd, hl, hr, u_c, u_a)
 
     a = phase(a, b, 0, rng.phase_key(key, 0))
     b = phase(b, a, 1, rng.phase_key(key, 1))
     return a, b
 
 
-def _clock_local_obs(model: Clock2D, a, b, ysh):
+def _clock_local_obs(model: Clock2D, a, b, ysh, xsh):
     q = model.q
     ca, sa = tables.state_cos_sin(a, q)
     cb, sb = tables.state_cos_sin(b, q)
     mx = jnp.sum(ca, axis=(1, 2)) + jnp.sum(cb, axis=(1, 2))
     my = jnp.sum(sa, axis=(1, 2)) + jnp.sum(sb, axis=(1, 2))
-    e = _vector_bond_energy(ca, sa, cb, sb, ysh)
+    e = _vector_bond_energy(ca, sa, cb, sb, ysh, xsh)
     return {"m": mx, "my": my, "e": e}
 
 
-def _vector_bond_energy(cax, say, cbx, sby, ysh):
+def _vector_bond_energy(cax, say, cbx, sby, ysh, xsh):
     """-Σ S·(S_right + S_down) for planar spins given per-color cos/sin
     planes (R, L, half)."""
     ny_loc = cax.shape[1]
@@ -229,9 +312,9 @@ def _vector_bond_energy(cax, say, cbx, sby, ysh):
         # contribution of one component plane pair
         _, hd_pb = _xch(pb, ysh)
         _, hd_pa = _xch(pa, ysh)
-        right_a = jnp.where(odd, jnp.roll(pb, -1, axis=2), pb)
+        right_a = jnp.where(odd, _plus_col(pb, xsh), pb)
         down_a = jnp.concatenate([pb[:, 1:], hd_pb], axis=1)
-        right_b = jnp.where(odd, pa, jnp.roll(pa, -1, axis=2))
+        right_b = jnp.where(odd, pa, _plus_col(pa, xsh))
         down_b = jnp.concatenate([pa[:, 1:], hd_pa], axis=1)
         return (
             jnp.sum(pa * (right_a + down_a), axis=(1, 2))
@@ -246,8 +329,8 @@ def _ising3d_local_sweep(model, a, b, key, ysh, rep0, row0):
     planes exchanged over the mesh's domain axis."""
     def phase(x, o, color, pkey):
         hzm, hzp = exchange_halo_rows(o, "y", ysh, row_axis=1)
-        (u,) = _site_uniforms(pkey, rep0, row0, x.shape[0], x.shape[1],
-                              x.shape[2:], 1)
+        (u,) = _site_uniforms(pkey, rep0, row0, jnp.int32(0),
+                              x.shape[0], x.shape[1], x.shape[2:], 1)
         return _vp(
             lambda x1, o1, h1, h2, u1: model._phase(
                 x1, o1, color, u1, halos=(h1, h2)
@@ -290,11 +373,12 @@ def _ising3d_local_obs(model, a, b, ysh):
     return {"m": m.astype(jnp.float32), "e": e.astype(jnp.float32)}
 
 
-def _xy_local_sweep(model: XY2D, st: XYState, key, ysh, rep0, row0):
+def _xy_local_sweep(model: XY2D, st: XYState, key, ysh, xsh, rep0, row0,
+                    col0):
     use_pallas, interpret = _shard_pallas_mode(
         model, st.ax.shape, kind="xy"
     )
-    if use_pallas:
+    if use_pallas and xsh == 1:
         from cuda_fortran_mc_simulation_spin_tpu.ops import (
             ising2d_pallas,
             xy2d_pallas,
@@ -315,16 +399,27 @@ def _xy_local_sweep(model: XY2D, st: XYState, key, ysh, rep0, row0):
         return XYState(ax, ay, bx, by)
 
     def phase(sx, sy, ox, oy, color, pkey):
-        hux, hdx = _xch(ox, ysh)
-        huy, hdy = _xch(oy, ysh)
-        u_c, u_a = _site_uniforms(pkey, rep0, row0, sx.shape[0],
+        u_c, u_a = _site_uniforms(pkey, rep0, row0, col0, sx.shape[0],
                                   sx.shape[1], sx.shape[2:], 2)
+        if xsh == 1:
+            hux, hdx = _xch(ox, ysh)
+            huy, hdy = _xch(oy, ysh)
+            return _vp(
+                lambda a1, a2, b1, b2, h1, h2, h3, h4, uc, ua:
+                model._phase(
+                    a1, a2, b1, b2, color, uc, ua,
+                    halos=((h1, h2), (h3, h4)),
+                )
+            )(sx, sy, ox, oy, hux, hdx, huy, hdy, u_c, u_a)
+        hx4 = _halos4(ox, ysh, xsh)
+        hy4 = _halos4(oy, ysh, xsh)
         return _vp(
-            lambda a1, a2, b1, b2, h1, h2, h3, h4, uc, ua: model._phase(
+            lambda a1, a2, b1, b2, x1, x2, x3, x4, y1, y2, y3, y4,
+            uc, ua: model._phase(
                 a1, a2, b1, b2, color, uc, ua,
-                halos=((h1, h2), (h3, h4)),
+                halos=((x1, x2, x3, x4), (y1, y2, y3, y4)),
             )
-        )(sx, sy, ox, oy, hux, hdx, huy, hdy, u_c, u_a)
+        )(sx, sy, ox, oy, *hx4, *hy4, u_c, u_a)
 
     ax, ay, bx, by = st
     ax, ay = phase(ax, ay, bx, by, 0, rng.phase_key(key, 0))
@@ -332,7 +427,7 @@ def _xy_local_sweep(model: XY2D, st: XYState, key, ysh, rep0, row0):
     return XYState(ax, ay, bx, by)
 
 
-def _xy_local_or_sweep(model: XY2D, st: XYState, ysh, rep0=None,
+def _xy_local_or_sweep(model: XY2D, st: XYState, ysh, xsh=1, rep0=None,
                        row0=None):
     """One over-relaxation sweep on y-sharded local blocks (deterministic
     reflection about the local field, halos over ICI) — the multi-chip
@@ -341,7 +436,7 @@ def _xy_local_or_sweep(model: XY2D, st: XYState, ysh, rep0=None,
     use_pallas, interpret = _shard_pallas_mode(
         model, st.ax.shape, kind="xy"
     )
-    if use_pallas and row0 is not None:
+    if use_pallas and row0 is not None and xsh == 1:
         from cuda_fortran_mc_simulation_spin_tpu.ops import xy2d_pallas
 
         offs = jnp.stack([jnp.int32(rep0), jnp.int32(row0)])
@@ -357,13 +452,23 @@ def _xy_local_or_sweep(model: XY2D, st: XYState, ysh, rep0=None,
         return XYState(ax, ay, bx, by)
 
     def phase(sx, sy, ox, oy, color):
-        hux, hdx = _xch(ox, ysh)
-        huy, hdy = _xch(oy, ysh)
+        if xsh == 1:
+            hux, hdx = _xch(ox, ysh)
+            huy, hdy = _xch(oy, ysh)
+            return _vp(
+                lambda a1, a2, b1, b2, h1, h2, h3, h4: model._or_phase(
+                    a1, a2, b1, b2, color, halos=((h1, h2), (h3, h4))
+                )
+            )(sx, sy, ox, oy, hux, hdx, huy, hdy)
+        hx4 = _halos4(ox, ysh, xsh)
+        hy4 = _halos4(oy, ysh, xsh)
         return _vp(
-            lambda a1, a2, b1, b2, h1, h2, h3, h4: model._or_phase(
-                a1, a2, b1, b2, color, halos=((h1, h2), (h3, h4))
+            lambda a1, a2, b1, b2, x1, x2, x3, x4, y1, y2, y3, y4:
+            model._or_phase(
+                a1, a2, b1, b2, color,
+                halos=((x1, x2, x3, x4), (y1, y2, y3, y4)),
             )
-        )(sx, sy, ox, oy, hux, hdx, huy, hdy)
+        )(sx, sy, ox, oy, *hx4, *hy4)
 
     ax, ay, bx, by = st
     ax, ay = phase(ax, ay, bx, by, 0)
@@ -371,10 +476,10 @@ def _xy_local_or_sweep(model: XY2D, st: XYState, ysh, rep0=None,
     return XYState(ax, ay, bx, by)
 
 
-def _xy_local_obs(model: XY2D, st: XYState, ysh):
+def _xy_local_obs(model: XY2D, st: XYState, ysh, xsh):
     mx = jnp.sum(st.ax, axis=(1, 2)) + jnp.sum(st.bx, axis=(1, 2))
     my = jnp.sum(st.ay, axis=(1, 2)) + jnp.sum(st.by, axis=(1, 2))
-    e = _vector_bond_energy(st.ax, st.ay, st.bx, st.by, ysh)
+    e = _vector_bond_energy(st.ax, st.ay, st.bx, st.by, ysh, xsh)
     return {"m": mx, "my": my, "e": e}
 
 
@@ -444,7 +549,7 @@ def make_sharded_xy_disorder_runner(model, mesh: Mesh, mcs: int,
                              with_obs=False)
     _check_replicas(replicas, mesh)
     mcs_or = mcs_over_relax or mcs
-    shard = NamedSharding(mesh, P("dp", "y", None))
+    shard = NamedSharding(mesh, _state_spec(mesh))
 
     def rot_one(state, snap):
         mx, my = model.magne_sums(state)
@@ -489,13 +594,16 @@ def _make_local_step(model, mesh: Mesh, n_over_relax: int = 0,
     """Non-jitted shard_map step (for composing inside scans):
     (state, key, do_or) -> (state, {obs}) or just state (with_obs=False).
 
-    The ``y`` mesh axis shards the lattice's leading spatial dimension:
-    rows for 2-D models, z-planes for Ising3D.  ``do_or``: apply the
+    The ``y`` mesh axis shards the lattice's leading spatial dimension
+    (rows for 2-D models, z-planes for Ising3D); an optional ``x`` axis
+    shards the color-array columns — the full (dx, dy) decomposition of
+    SURVEY.md §5.7 with column halos over ICI.  ``do_or``: apply the
     n_over_relax over-relaxation sweeps this step (XY only).
     """
     from cuda_fortran_mc_simulation_spin_tpu.models.ising3d import Ising3D
 
     ysh = mesh.shape["y"]
+    xsh = mesh.shape.get("x", 1)
     lead = model.color_shape[0]
     if lead % (2 * ysh) != 0:
         raise ValueError(
@@ -506,6 +614,18 @@ def _make_local_step(model, mesh: Mesh, n_over_relax: int = 0,
     is_xy = isinstance(model, XY2D)
     is_clock = isinstance(model, Clock2D)
     is_3d = isinstance(model, Ising3D)
+    if xsh > 1:
+        if is_3d:
+            raise ValueError(
+                "the x mesh axis shards 2-D color-array columns; "
+                "Ising3D decomposes over z only (use mesh (dp, y))"
+            )
+        half = model.color_shape[-1]
+        if half % xsh != 0:
+            raise ValueError(
+                f"color-array width {half} must be divisible by the "
+                f"mesh's x={xsh}"
+            )
     if n_over_relax > 0 and not is_xy:
         raise ValueError(
             "over-relaxation is an XY-model feature "
@@ -514,33 +634,36 @@ def _make_local_step(model, mesh: Mesh, n_over_relax: int = 0,
         )
 
     def local_step(state, key, do_or):
-        # draws are keyed by GLOBAL replica/row ids inside the local
-        # sweeps (_site_uniforms), so the trajectory is bitwise invariant
-        # to the mesh shape; the shard indices only locate the block
+        # draws are keyed by GLOBAL replica/row/column-chunk ids inside
+        # the local sweeps (_site_uniforms), so the trajectory is bitwise
+        # invariant to the mesh shape; shard indices only locate blocks
         first = state[0]
         rep0 = lax.axis_index("dp") * first.shape[0]
         row0 = lax.axis_index("y") * first.shape[1]
+        col0 = (lax.axis_index("x") * first.shape[-1] if xsh > 1
+                else jnp.int32(0))
         obs = None
         if is_xy:
-            state = _xy_local_sweep(model, state, key, ysh, rep0, row0)
+            state = _xy_local_sweep(model, state, key, ysh, xsh, rep0,
+                                    row0, col0)
             if n_over_relax > 0:
                 def do(s):
                     return lax.fori_loop(
                         0, n_over_relax,
                         lambda i, x: _xy_local_or_sweep(
-                            model, x, ysh, rep0, row0
+                            model, x, ysh, xsh, rep0, row0
                         ),
                         s,
                     )
                 state = lax.cond(do_or, do, lambda s: s, state)
             if with_obs:
-                obs = _xy_local_obs(model, state, ysh)
+                obs = _xy_local_obs(model, state, ysh, xsh)
         elif is_clock:
             a, b = _clock_local_sweep(model, state.a, state.b, key,
-                                      ysh, rep0, row0)
+                                      ysh, xsh, rep0, row0, col0)
             state = CheckerboardState(a, b)
             if with_obs:
-                obs = _clock_local_obs(model, a, b, ysh)
+                obs = _clock_local_obs(model, a, b, ysh, xsh)
         elif is_3d:
             a, b = _ising3d_local_sweep(model, state.a, state.b,
                                         key, ysh, rep0, row0)
@@ -549,19 +672,18 @@ def _make_local_step(model, mesh: Mesh, n_over_relax: int = 0,
                 obs = _ising3d_local_obs(model, a, b, ysh)
         else:
             a, b = _ising_local_sweep(model, state.a, state.b, key,
-                                      ysh, rep0, row0)
+                                      ysh, xsh, rep0, row0, col0)
             state = CheckerboardState(a, b)
             if with_obs:
-                obs = _ising_local_obs(model, a, b, ysh)
+                obs = _ising_local_obs(model, a, b, ysh, xsh)
         if not with_obs:
             return state
-        obs = {k: lax.psum(v, "y") * n_inv for k, v in obs.items()}
+        spatial = ("y", "x") if xsh > 1 else "y"
+        obs = {k: lax.psum(v, spatial) * n_inv for k, v in obs.items()}
         return state, obs
 
-    if is_3d:
-        spec = P("dp", "y", None, None)
-    else:
-        spec = P("dp", "y", None)
+    nd = 4 if is_3d else 3
+    spec = _state_spec(mesh, nd)
     state_struct = (XYState(spec, spec, spec, spec) if is_xy
                     else CheckerboardState(spec, spec))
     out_specs = ((state_struct, P("dp")) if with_obs else state_struct)

@@ -34,3 +34,25 @@ def exchange_halo_rows(
     halo_up = lax.ppermute(last, axis, fwd)
     halo_dn = lax.ppermute(first, axis, bwd)
     return halo_up, halo_dn
+
+
+def exchange_halo_cols(
+    local: jax.Array, axis: str, axis_size: int, col_axis: int = -1
+) -> tuple[jax.Array, jax.Array]:
+    """(halo_left, halo_right) for an x-sharded block inside shard_map —
+    the second dimension of the (dx, dy) decomposition (SURVEY.md §5.7).
+
+    halo_left = last column of the previous x-shard, halo_right = first
+    column of the next — periodic.  The 4-neighbor stencil needs no
+    corner exchange (diagonals never enter), so rows and columns
+    exchange independently."""
+    n_cols = local.shape[col_axis]
+    last = lax.slice_in_dim(local, n_cols - 1, n_cols, axis=col_axis)
+    first = lax.slice_in_dim(local, 0, 1, axis=col_axis)
+    if axis_size == 1:
+        return last, first
+    fwd = [(i, (i + 1) % axis_size) for i in range(axis_size)]
+    bwd = [(i, (i - 1) % axis_size) for i in range(axis_size)]
+    halo_left = lax.ppermute(last, axis, fwd)
+    halo_right = lax.ppermute(first, axis, bwd)
+    return halo_left, halo_right

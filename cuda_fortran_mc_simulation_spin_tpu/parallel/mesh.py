@@ -20,15 +20,24 @@ import numpy as np
 from jax.sharding import Mesh
 
 
-def make_mesh(dp: int = 1, y: int = 1, devices=None) -> Mesh:
+def make_mesh(dp: int = 1, y: int = 1, x: int = 1, devices=None) -> Mesh:
+    """(dp, y[, x]) mesh: replicas × lattice rows × lattice columns.
+
+    x=1 (default) builds the 2-axis mesh; x>1 adds the second spatial
+    dimension of the (dx, dy) decomposition (SURVEY.md §5.7) with
+    column halo exchange over ICI."""
     devices = devices if devices is not None else jax.devices()
-    n = dp * y
+    n = dp * y * x
     if n > len(devices):
         raise ValueError(
-            f"mesh dp={dp} × y={y} needs {n} devices, have {len(devices)}"
+            f"mesh dp={dp} × y={y} × x={x} needs {n} devices, "
+            f"have {len(devices)}"
         )
-    dev = np.asarray(devices[:n]).reshape(dp, y)
-    return Mesh(dev, ("dp", "y"))
+    if x == 1:
+        dev = np.asarray(devices[:n]).reshape(dp, y)
+        return Mesh(dev, ("dp", "y"))
+    dev = np.asarray(devices[:n]).reshape(dp, y, x)
+    return Mesh(dev, ("dp", "y", "x"))
 
 
 def single_device_mesh() -> Mesh:

@@ -64,17 +64,22 @@ def parse_args(argv=None) -> argparse.Namespace:
     p.add_argument("--checkpoint-every", type=int, default=0)
     p.add_argument("--profile-dir", default=None,
                    help="write a JAX profiler trace of the run here")
-    p.add_argument("--mesh", default=None, metavar="DP,Y",
+    p.add_argument("--mesh", default=None, metavar="DP,Y[,X]",
                    help="multi-chip mesh: replicas over DP devices, "
-                        "lattice rows over Y devices (e.g. 2,4)")
+                        "lattice rows over Y, optionally columns over X "
+                        "(e.g. 2,4 or 1,2,2)")
     return p.parse_args(argv)
 
 
 def config_from_args(a: argparse.Namespace) -> RunConfig:
     use_pallas = {"auto": None, "jnp": False, "pallas": True}[a.backend]
-    mesh_dp, mesh_y = 1, 1
+    mesh_dp, mesh_y, mesh_x = 1, 1, 1
     if a.mesh:
-        mesh_dp, mesh_y = (int(v) for v in a.mesh.split(","))
+        parts = [int(v) for v in a.mesh.split(",")]
+        if len(parts) == 2:
+            mesh_dp, mesh_y = parts
+        else:
+            mesh_dp, mesh_y, mesh_x = parts
     return RunConfig(
         model=a.model, nx=a.nx, ny=a.ny, nz=a.nz, q=a.q, kbt=a.kbt,
         mcs=a.mcs, tot_sample=a.samples, seed=a.seed, stream=a.stream,
@@ -84,7 +89,7 @@ def config_from_args(a: argparse.Namespace) -> RunConfig:
         track_correlation=a.track_correlation, replicas=a.replicas,
         samples_per_call=a.samples_per_call,
         measure_times=a.measure_times, use_pallas=use_pallas,
-        mesh_dp=mesh_dp, mesh_y=mesh_y,
+        mesh_dp=mesh_dp, mesh_y=mesh_y, mesh_x=mesh_x,
     )
 
 

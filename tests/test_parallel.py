@@ -176,6 +176,82 @@ def test_sharded_sample_runner(model):
 
 @requires_8dev
 @pytest.mark.multichip
+@pytest.mark.parametrize("model_name", ["ising2d", "clock", "xy2d"])
+def test_mesh_2d_decomposition_bitwise(model_name):
+    """The full (dx, dy) decomposition (SURVEY.md §5.7): meshes with an
+    x axis — (1,2,2), (2,2,2) — produce trajectories bitwise identical
+    to the (1,1) mesh.  Column-chunk keyed draws require local widths
+    that are multiples of 128 lanes (production shapes always are)."""
+    from cuda_fortran_mc_simulation_spin_tpu.models.clock import Clock2D
+    from cuda_fortran_mc_simulation_spin_tpu.models.xy2d import XY2D
+
+    mdl = {
+        "ising2d": lambda: Ising2D(nx=512, ny=16, kbt=2.26918531421,
+                                   backend="jnp"),
+        "clock": lambda: Clock2D(nx=512, ny=16, kbt=0.91, q=6,
+                                 backend="jnp"),
+        "xy2d": lambda: XY2D(nx=512, ny=16, kbt=0.89, backend="jnp"),
+    }[model_name]()
+
+    states = {}
+    obs_all = {}
+    for shape in [(1, 1), (1, 2, 2), (2, 2, 2)]:
+        msh = mesh_mod.make_mesh(*shape)
+        state = domain.replicated_init(mdl, msh, 2, "random",
+                                       rng.base_key(3))
+        step = domain.make_sharded_step(mdl, msh)
+        for t in (1, 2):
+            state, obs = step(state, rng.sweep_key(rng.base_key(7), t))
+        states[shape] = jax.device_get(state)
+        obs_all[shape] = jax.device_get(obs)
+
+    ref = states[(1, 1)]
+    for shape, st in states.items():
+        for leaf_ref, leaf in zip(jax.tree.leaves(ref),
+                                  jax.tree.leaves(st)):
+            np.testing.assert_array_equal(
+                np.asarray(leaf), np.asarray(leaf_ref),
+                err_msg=f"mesh {shape} diverged from (1,1)",
+            )
+    # psum over (y, x) observables match the single-device reductions
+    np.testing.assert_allclose(obs_all[(1, 2, 2)]["e"],
+                               obs_all[(1, 1)]["e"], atol=1e-5)
+    np.testing.assert_allclose(obs_all[(2, 2, 2)]["m"],
+                               obs_all[(1, 1)]["m"], atol=1e-5)
+
+
+@requires_8dev
+@pytest.mark.multichip
+def test_mesh_2d_xy_over_relaxation():
+    """OR sweeps with row AND column halos conserve energy on the
+    (dx, dy) mesh."""
+    from cuda_fortran_mc_simulation_spin_tpu.models.xy2d import XY2D
+
+    model = XY2D(nx=512, ny=16, kbt=0.89, backend="jnp")
+    msh = mesh_mod.make_mesh(1, 2, 2)
+    state = domain.replicated_init(model, msh, 2, "random",
+                                   rng.base_key(0))
+    sweep = domain._make_local_step(model, msh, n_over_relax=2,
+                                    with_obs=False)
+    step_or = jax.jit(lambda s, k: sweep(s, k, True))
+    st = jax.device_get(step_or(state, rng.base_key(1)))
+    # compare against the same Metropolis step without OR: energies
+    # must agree (OR is microcanonical)
+    sweep_plain = domain._make_local_step(model, msh, n_over_relax=2,
+                                          with_obs=False)
+    st_plain = jax.device_get(
+        jax.jit(lambda s, k: sweep_plain(s, k, False))(
+            state, rng.base_key(1))
+    )
+    for r in range(2):
+        e_or = float(model.energy_sum(jax.tree.map(lambda x: x[r], st)))
+        e_pl = float(model.energy_sum(
+            jax.tree.map(lambda x: x[r], st_plain)))
+        assert e_or == pytest.approx(e_pl, abs=2e-2)
+
+
+@requires_8dev
+@pytest.mark.multichip
 def test_halo_stencil_deterministic_flip_across_mesh_shapes(model):
     """Known-answer halo check: at T→∞ from allup every site flips
     deterministically each phase (m=-1, e=-2 after one sweep), on every

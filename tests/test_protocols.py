@@ -188,6 +188,22 @@ def test_mesh_relaxation_protocol():
     assert np.all(np.isfinite(table[:, 3:]))
 
 
+def test_mesh_2d_relaxation_protocol():
+    """(dx, dy) decomposition through the protocol layer: --mesh 1,2,2."""
+    import jax
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    cfg = RunConfig(model="ising2d", nx=512, ny=16, kbt=2.26918531421,
+                    mcs=3, tot_sample=2, replicas=2,
+                    mesh_dp=1, mesh_y=2, mesh_x=2, use_pallas=False)
+    out = io.StringIO()
+    protocols.run_relaxation(cfg, out, io.StringIO())
+    table = _parse_table(out.getvalue())
+    assert table.shape == (3, 10)
+    assert np.all(np.isfinite(table))
+
+
 def test_mesh_from_disorder_protocol():
     """from_disorder (the reference's richest protocol) under --mesh:
     sweeps in shard_map, prep/rotation/measurement global — output format
