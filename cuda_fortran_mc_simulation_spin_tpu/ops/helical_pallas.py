@@ -138,13 +138,16 @@ def single_block_ok(ny: int, nx: int) -> bool:
     return 12 * 4 * ny * lane_width(nx) <= (14 << 20)
 
 
-def _ising_kernel(seed_ref, g_in, g_ref, obs_ref,
+def _ising_kernel(seed_ref, g_in, g_out, obs_ref, g_ref,
                   *, sweeps: int, ty: int, ny: int, nx: int, W: int,
                   t4: int, t8: int):
     r = pl.program_id(0)
     pltpu.prng_seed(seed_ref[0], seed_ref[1] ^ (r * jnp.int32(0x3C6EF35F)))
     nblk = ny // ty
-    g_ref[0] = g_in[0]
+    # lattice rides HBM↔VMEM as int8; the working copy is ONE int32
+    # scratch (no double-buffered int32 pipeline blocks — the previous
+    # int32-in/out form put ty=200 1.6M over the 16M scoped-VMEM limit)
+    g_ref[0] = g_in[0].astype(jnp.int32)
     col = jax.lax.broadcasted_iota(jnp.int32, (ty, W), 1)
     valid = col < nx
 
@@ -191,6 +194,7 @@ def _ising_kernel(seed_ref, g_in, g_ref, obs_ref,
         return 0
 
     jax.lax.fori_loop(0, sweeps, sweep_body, 0)
+    g_out[0] = g_ref[0].astype(jnp.int8)
 
 
 @functools.partial(
@@ -199,9 +203,7 @@ def _ising_kernel(seed_ref, g_in, g_ref, obs_ref,
 def _ising_multisweep(g, seeds, *, sweeps, beta, nrep, ny, nx):
     W = lane_width(nx)
     t4, t8 = accept_thresholds_u32(beta)
-    # 512K block budget: ty=200 at 1000x1024 put the whole-lattice
-    # in/out + pipeline + temps at 17.6M scoped VMEM (16M limit)
-    ty = pick_ty(ny, W, budget=512 << 10)
+    ty = pick_ty(ny, W)
     kernel = functools.partial(
         _ising_kernel, sweeps=sweeps, ty=ty, ny=ny, nx=nx, W=W,
         t4=t4, t8=t8,
@@ -213,12 +215,13 @@ def _ising_multisweep(g, seeds, *, sweeps, beta, nrep, ny, nx):
     return pl.pallas_call(
         kernel,
         out_shape=(
-            jax.ShapeDtypeStruct((nrep, ny, W), jnp.int32),
+            jax.ShapeDtypeStruct((nrep, ny, W), jnp.int8),
             jax.ShapeDtypeStruct((nrep, sweeps, 128), jnp.float32),
         ),
         grid=(nrep,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM), lat],
         out_specs=(lat, obs),
+        scratch_shapes=[pltpu.VMEM((1, ny, W), jnp.int32)],
         input_output_aliases={1: 0},
     )(seeds, g)
 
@@ -233,7 +236,7 @@ def ising_multisweep(model, flat: jax.Array, key: jax.Array, sweeps: int):
     batched = flat.ndim == 2
     if not batched:
         flat = flat[None]
-    g = pack(flat, ny, nx)
+    g = pack(flat, ny, nx, jnp.int8)
     g, obs = _ising_multisweep(
         g, seeds_from_key(key, 0), sweeps=sweeps,
         beta=float(model.beta), nrep=g.shape[0], ny=ny, nx=nx,

@@ -223,6 +223,24 @@ def test_mesh_from_disorder_protocol():
     assert np.all(np.isfinite(table))
 
 
+def test_mesh_2d_from_disorder_protocol():
+    """from_disorder on the (dx, dy) mesh: sweeps in shard_map with row
+    AND column halos, prep/rotation/measurement global."""
+    import jax
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    cfg = RunConfig(model="xy2d", nx=512, ny=16, kbt=0.89, mcs=2,
+                    tot_sample=2, init_state="random", replicas=2,
+                    mesh_dp=2, mesh_y=2, mesh_x=2, use_pallas=False)
+    out = io.StringIO()
+    protocols.run_from_disorder(cfg, out, io.StringIO())
+    table = _parse_table(out.getvalue())
+    assert table.shape == (2, 16)
+    assert np.all(np.isfinite(table))
+    assert np.all(table[:, 9] <= 1.0 + 1e-6)
+
+
 def test_mesh_fix1mcs_and_finite_magne():
     import jax
 
