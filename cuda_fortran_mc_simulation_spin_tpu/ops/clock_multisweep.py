@@ -42,8 +42,9 @@ def _kernel(seed_ref, a_in, b_in, a_ref, b_ref, obs_ref,
     pltpu.prng_seed(seed_ref[0], seed_ref[1] ^ (r * jnp.int32(0x3C6EF35F)))
     nblk = ny // ty
 
-    def phase(x_ref, o_ref, color):
-        def block(i, _):
+    def phase(x_ref, o_ref, color, measuring, carry):
+        def block(i, acc):
+            m_acc, e_acc = acc
             y0 = pl.multiple_of(i * ty, 8)
             o = o_ref[0, pl.ds(y0, ty), :].astype(jnp.int32)
             up_row = stencil.load_row_aligned(
@@ -77,65 +78,34 @@ def _kernel(seed_ref, a_in, b_in, a_ref, b_ref, obs_ref,
                 pltpu.bitcast(pltpu.prng_random_bits((ty, half)),
                               jnp.uint32)
             )
+            sel = u_acc < p
             x_ref[0, pl.ds(y0, ty), :] = jnp.where(
-                u_acc < p, new, x
+                sel, new, x
             ).astype(jnp.int8)
-            return 0
+            if measuring:
+                # phase-1 measurement is exact for the final state: h is
+                # built from the final color-0 planes and every a-b bond
+                # appears once in Σ_b S_b·h_b — the separate measurement
+                # pass (with its 8 extra select-chain decodes) fuses away
+                fin_c = jnp.where(sel, cn, cx)
+                fin_s = jnp.where(sel, snw, sx)
+                m_acc = m_acc + jnp.sum(co) + jnp.sum(fin_c)
+                e_acc = e_acc - jnp.sum(fin_c * hx + fin_s * hy)
+            return m_acc, e_acc
 
-        jax.lax.fori_loop(0, nblk, block, 0)
-
-    def measure(s):
-        def block(i, carry):
-            m_acc, e_acc = carry
-            y0 = pl.multiple_of(i * ty, 8)
-            a = a_ref[0, pl.ds(y0, ty), :].astype(jnp.int32)
-            b = b_ref[0, pl.ds(y0, ty), :].astype(jnp.int32)
-            a_dn = stencil.load_row_aligned(
-                b_ref, (i * ty + ty) % ny, 0
-            ).astype(jnp.int32)
-            b_dn = stencil.load_row_aligned(
-                a_ref, (i * ty + ty) % ny, 0
-            ).astype(jnp.int32)
-            ca, sa = _cos_sin_chain(a, q)
-            cb, sb = _cos_sin_chain(b, q)
-            cad, sad = _cos_sin_chain(a_dn, q)
-            cbd, sbd = _cos_sin_chain(b_dn, q)
-            parity = (
-                (jax.lax.broadcasted_iota(jnp.int32, (ty, 1), 0) + y0) & 1
-            ) == 1
-
-            def bonds(pa, pb, pad, pbd):
-                right_a = jnp.where(
-                    parity, pltpu.roll(pb, half - 1, axis=1), pb
-                )
-                right_b = jnp.where(
-                    parity, pa, pltpu.roll(pa, half - 1, axis=1)
-                )
-                down_a = stencil.shift_down(pb, pad)
-                down_b = stencil.shift_down(pa, pbd)
-                return (jnp.sum(pa * (right_a + down_a))
-                        + jnp.sum(pb * (right_b + down_b)))
-
-            e_blk = -(bonds(ca, cb, cbd, cad)
-                      + bonds(sa, sb, sbd, sad))
-            m_blk = jnp.sum(ca) + jnp.sum(cb)
-            return (m_acc + m_blk, e_acc + e_blk)
-
-        m, e = jax.lax.fori_loop(
-            0, nblk, block, (jnp.float32(0.0), jnp.float32(0.0))
-        )
-        lane = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
-        obs_ref[0, pl.ds(s, 1), :] = jnp.where(
-            lane == 0, m, jnp.where(lane == 1, e, 0.0)
-        )
+        return jax.lax.fori_loop(0, nblk, block, carry)
 
     a_ref[0] = a_in[0]
     b_ref[0] = b_in[0]
 
     def sweep_body(s, _):
-        phase(a_ref, b_ref, 0)
-        phase(b_ref, a_ref, 1)
-        measure(s)
+        zero2 = (jnp.float32(0.0), jnp.float32(0.0))
+        phase(a_ref, b_ref, 0, False, zero2)
+        m, e = phase(b_ref, a_ref, 1, True, zero2)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+        obs_ref[0, pl.ds(s, 1), :] = jnp.where(
+            lane == 0, m, jnp.where(lane == 1, e, 0.0)
+        )
         return 0
 
     jax.lax.fori_loop(0, sweeps, sweep_body, 0)

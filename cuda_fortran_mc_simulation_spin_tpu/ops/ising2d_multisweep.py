@@ -54,8 +54,9 @@ def _kernel(seed_ref, a_in, b_in, a_ref, b_ref, obs_ref,
     # operate on the aliased output refs only (a_in/b_in share storage)
     nblk = ny // ty
 
-    def phase(x_ref, o_ref, color):
-        def block(i, _):
+    def phase(x_ref, o_ref, color, measuring, carry):
+        def block(i, acc):
+            m_acc, e_acc = acc
             y0 = pl.multiple_of(i * ty, 8)
             o = o_ref[0, pl.ds(y0, ty), :].astype(jnp.int32)
             # dynamic sublane indices must be 8-aligned: fetch the
@@ -78,61 +79,33 @@ def _kernel(seed_ref, a_in, b_in, a_ref, b_ref, obs_ref,
             thresh = jnp.where(half_de == 2, jnp.uint32(t4),
                                jnp.uint32(t8))
             accept = (half_de <= 0) | (bits < thresh)
-            x_ref[0, pl.ds(y0, ty), :] = jnp.where(
-                accept, -x, x
-            ).astype(jnp.int8)
-            return 0
+            out = jnp.where(accept, -x, x)
+            x_ref[0, pl.ds(y0, ty), :] = out.astype(jnp.int8)
+            if measuring:
+                # phase-1 measurement is exact for the final state: the
+                # o (color-0) operands are final, every a-b bond appears
+                # once in Σ_b s_b·nsum_b — the separate measurement pass
+                # (a third traversal per MCS) fuses away
+                m_acc = m_acc + jnp.sum(out) + jnp.sum(o)
+                e_acc = e_acc - jnp.sum(out * nsum)
+            return m_acc, e_acc
 
-        jax.lax.fori_loop(0, nblk, block, 0)
-
-    def measure(s):
-        def block(i, carry):
-            m_acc, e_acc = carry
-            y0 = pl.multiple_of(i * ty, 8)
-            a = a_ref[0, pl.ds(y0, ty), :].astype(jnp.int32)
-            b = b_ref[0, pl.ds(y0, ty), :].astype(jnp.int32)
-            a_dn_row = stencil.load_row_aligned(
-                b_ref, (i * ty + ty) % ny, 0
-            ).astype(jnp.int32)
-            b_dn_row = stencil.load_row_aligned(
-                a_ref, (i * ty + ty) % ny, 0
-            ).astype(jnp.int32)
-            parity = (
-                (jax.lax.broadcasted_iota(jnp.int32, (ty, 1), 0) + y0) & 1
-            ) == 1
-            # right neighbors (row-local)
-            right_a = jnp.where(
-                parity, pltpu.roll(b, half - 1, axis=1), b
-            )
-            right_b = jnp.where(
-                parity, a, pltpu.roll(a, half - 1, axis=1)
-            )
-            # down neighbors (cross-row, next block's first row at edge)
-            down_a = stencil.shift_down(b, a_dn_row)
-            down_b = stencil.shift_down(a, b_dn_row)
-            m_blk = jnp.sum(a + b)
-            e_blk = -jnp.sum(a * (right_a + down_a)
-                             + b * (right_b + down_b))
-            return (m_acc + m_blk, e_acc + e_blk)
-
-        m, e = jax.lax.fori_loop(
-            0, nblk, block, (jnp.int32(0), jnp.int32(0))
-        )
-        lane = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
-        row = jnp.where(
-            lane == 0, m.astype(jnp.float32),
-            jnp.where(lane == 1, e.astype(jnp.float32), 0.0),
-        )
-        obs_ref[0, pl.ds(s, 1), :] = row
+        return jax.lax.fori_loop(0, nblk, block, carry)
 
     # initialize the aliased outputs (no-op copies under aliasing)
     a_ref[0] = a_in[0]
     b_ref[0] = b_in[0]
 
     def sweep_body(s, _):
-        phase(a_ref, b_ref, 0)
-        phase(b_ref, a_ref, 1)
-        measure(s)
+        zero2 = (jnp.int32(0), jnp.int32(0))
+        phase(a_ref, b_ref, 0, False, zero2)
+        m, e = phase(b_ref, a_ref, 1, True, zero2)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+        row = jnp.where(
+            lane == 0, m.astype(jnp.float32),
+            jnp.where(lane == 1, e.astype(jnp.float32), 0.0),
+        )
+        obs_ref[0, pl.ds(s, 1), :] = row
         return 0
 
     jax.lax.fori_loop(0, sweeps, sweep_body, 0)
