@@ -250,21 +250,27 @@ def make_helical_runner(
 
             def body(carry, t):
                 sx, sy = carry
+                if n_over_relax == 0:
+                    # measurement fused into the offset-1 phase kernel
+                    sx, sy, obs = hp.xy_sweep_measure_packed(
+                        model, sx, sy, rng.sweep_key(call_key, t)
+                    )
+                    return (sx, sy), obs
                 sx, sy = hp.xy_sweep_packed(
                     model, sx, sy, rng.sweep_key(call_key, t)
                 )
-                if n_over_relax > 0:
-                    def do_or(c):
-                        return lax.fori_loop(
-                            0, n_over_relax,
-                            lambda i, c2: hp.xy_over_relax_sweep_packed(
-                                model, *c2
-                            ),
-                            c,
-                        )
-                    sx, sy = lax.cond(
-                        t <= mcs_or, do_or, lambda c: c, (sx, sy)
+
+                def do_or(c):
+                    return lax.fori_loop(
+                        0, n_over_relax,
+                        lambda i, c2: hp.xy_over_relax_sweep_packed(
+                            model, *c2
+                        ),
+                        c,
                     )
+                sx, sy = lax.cond(
+                    t <= mcs_or, do_or, lambda c: c, (sx, sy)
+                )
                 return (sx, sy), hp.xy_observables_packed(model, sx, sy)
 
             _, series = lax.scan(body, (sx, sy), jnp.arange(1, mcs + 1))

@@ -414,9 +414,9 @@ def clock_multisweep(model, flat: jax.Array, key: jax.Array, sweeps: int):
 
 def _xy_phase_kernel(seed_ref, sx_ref, sxu_ref, sxd_ref,
                      sy_ref, syu_ref, syd_ref,
-                     outx_ref, outy_ref,
-                     *, offset: int, ty: int, nx: int, W: int,
-                     beta: float):
+                     outx_ref, outy_ref, *rest,
+                     offset: int, ty: int, nx: int, W: int,
+                     beta: float, measuring: bool = False):
     r = pl.program_id(0)
     i = pl.program_id(1)
     tile_tag = (i * jnp.int32(-1640531527)
@@ -452,8 +452,31 @@ def _xy_phase_kernel(seed_ref, sx_ref, sxu_ref, sxd_ref,
             + pl.multiple_of(i * ty, 8))
     pmask = (((rowi + col) & 1) == offset) & valid
     accept = pmask & (u_acc < p)
-    outx_ref[0] = jnp.where(accept, cx, sx)
-    outy_ref[0] = jnp.where(accept, cy, sy)
+    fin_x = jnp.where(accept, cx, sx)
+    fin_y = jnp.where(accept, cy, sy)
+    outx_ref[0] = fin_x
+    outy_ref[0] = fin_y
+    if measuring:
+        # offset-1 measurement is exact for the final state: the field
+        # comes from final parity-0 values and each bond appears once
+        # in Σ_{p1} S·h — saves the separate per-sweep XLA measurement
+        # pass over the (possibly ~400MB) planes
+        (obs_ref,) = rest
+        vm = valid.astype(jnp.float32)
+        mx = jnp.sum(fin_x * vm)
+        my = jnp.sum(fin_y * vm)
+        e = -jnp.sum(jnp.where(pmask, fin_x * hx + fin_y * hy, 0.0))
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+        row = jnp.where(
+            lane == 0, mx,
+            jnp.where(lane == 1, my, jnp.where(lane == 2, e, 0.0)),
+        )
+
+        @pl.when(i == 0)
+        def _():
+            obs_ref[0] = jnp.zeros_like(obs_ref[0])
+
+        obs_ref[0] = obs_ref[0] + row
 
 
 def _xy_or_kernel(sx_ref, sxu_ref, sxd_ref,
@@ -505,29 +528,40 @@ def _xy_specs(ty: int, ny: int, W: int):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("offset", "beta", "nrep", "ny", "nx")
+    jax.jit,
+    static_argnames=("offset", "beta", "nrep", "ny", "nx", "measuring"),
 )
-def _xy_phase(sx, sy, seeds, *, offset, beta, nrep, ny, nx):
+def _xy_phase(sx, sy, seeds, *, offset, beta, nrep, ny, nx,
+              measuring=False):
     W = sx.shape[-1]
     ty = pick_ty(ny, W, budget=1 << 20)
     n = ny // ty
     center, up, dn = _xy_specs(ty, ny, W)
     kernel = functools.partial(
-        _xy_phase_kernel, offset=offset, ty=ty, nx=nx, W=W, beta=beta
+        _xy_phase_kernel, offset=offset, ty=ty, nx=nx, W=W, beta=beta,
+        measuring=measuring,
     )
+    out_shape = [
+        jax.ShapeDtypeStruct((nrep, ny, W), jnp.float32),
+        jax.ShapeDtypeStruct((nrep, ny, W), jnp.float32),
+    ]
+    out_specs = [center, center]
+    if measuring:
+        out_shape.append(jax.ShapeDtypeStruct((nrep, 1, 128),
+                                              jnp.float32))
+        out_specs.append(pl.BlockSpec((1, 1, 128),
+                                      lambda r, i: (r, 0, 0),
+                                      memory_space=pltpu.VMEM))
     return pl.pallas_call(
         kernel,
-        out_shape=(
-            jax.ShapeDtypeStruct((nrep, ny, W), jnp.float32),
-            jax.ShapeDtypeStruct((nrep, ny, W), jnp.float32),
-        ),
+        out_shape=tuple(out_shape),
         grid=(nrep, n),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
             center, up, dn,
             center, up, dn,
         ],
-        out_specs=(center, center),
+        out_specs=tuple(out_specs),
     )(seeds, sx, sx, sx, sy, sy, sy)
 
 
@@ -569,6 +603,23 @@ def xy_sweep_packed(model, sx, sy, key):
     sx, sy = _xy_phase(sx, sy, seeds_from_key(key, 0), offset=0, **kw)
     sx, sy = _xy_phase(sx, sy, seeds_from_key(key, 1), offset=1, **kw)
     return sx, sy
+
+
+def xy_sweep_measure_packed(model, sx, sy, key):
+    """One MCS + fused (m, my, e) measurement in the offset-1 phase —
+    saves the separate per-sweep observable pass over the planes.
+    Returns (sx, sy, {m, my, e}) with observable densities (R,)."""
+    kw = dict(beta=float(model.beta), nrep=sx.shape[0], ny=model.ny,
+              nx=model.nx)
+    sx, sy = _xy_phase(sx, sy, seeds_from_key(key, 0), offset=0, **kw)
+    sx, sy, obs = _xy_phase(sx, sy, seeds_from_key(key, 1), offset=1,
+                            measuring=True, **kw)
+    n_inv = jnp.float32(1.0 / model.nsites)
+    return sx, sy, {
+        "m": obs[:, 0, 0] * n_inv,
+        "my": obs[:, 0, 1] * n_inv,
+        "e": obs[:, 0, 2] * n_inv,
+    }
 
 
 def xy_over_relax_sweep_packed(model, sx, sy):
