@@ -473,6 +473,44 @@ def test_helical_xy_packed_sweep_and_or():
 
 
 @requires_tpu
+def test_from_disorder_fused_batched_matches_unbatched():
+    """The production from-disorder path (batched, measurement fused
+    into phase b) must statistically match the unbatched f32 runner's
+    A(t) curves."""
+    from cuda_fortran_mc_simulation_spin_tpu.config import RunConfig
+    from cuda_fortran_mc_simulation_spin_tpu.core import rng
+    from cuda_fortran_mc_simulation_spin_tpu.engine import protocols
+    from cuda_fortran_mc_simulation_spin_tpu.models import build_model
+
+    mcs, nsamp = 12, 16
+    cfg = RunConfig(model="xy2d", nx=256, ny=256, kbt=0.89, mcs=mcs,
+                    tot_sample=nsamp, init_state="random")
+    model = build_model(cfg)
+
+    runner_u = jax.jit(protocols._xy_disorder_runner(
+        model, cfg, "rotate_first"))
+    base = rng.base_key(cfg.seed, cfg.stream)
+    un = np.stack([
+        np.asarray(jax.device_get(
+            runner_u(rng.sample_key(base, s)))["A"], np.float64)
+        for s in range(nsamp)
+    ])
+
+    runner_b = jax.jit(protocols._xy_disorder_batched_runner(
+        model, cfg, "rotate_first", 4))
+    rows = []
+    for c in range(nsamp // 4):
+        series = jax.device_get(
+            runner_b(rng.sample_key(rng.base_key(99), c)))
+        rows.append(np.asarray(series["A"], np.float64))
+    ba = np.concatenate(rows, axis=0)
+
+    sem = un.std(0, ddof=1) / np.sqrt(nsamp)
+    diff = np.abs(un.mean(0) - ba.mean(0))
+    assert np.all(diff < 6 * sem + 3e-3), diff
+
+
+@requires_tpu
 def test_sharded_halo_phase_compiles_on_tpu():
     """The halo-aware Pallas phase kernel must compile with Mosaic and
     run inside shard_map on a (1,1) mesh on real hardware (multi-chip
