@@ -449,6 +449,18 @@ class XY2D:
             "e": self.energy_sum(state) * n_inv,
         }
 
+    def observables_batched(self, state: XYState) -> dict[str, jax.Array]:
+        """{m, my, e} for a replica batch; fused single-pass Pallas
+        reduction on TPU (ops/xy2d_measure_pallas.measure_plain),
+        vmapped jnp elsewhere."""
+        if self.resolved_backend == "pallas":
+            from cuda_fortran_mc_simulation_spin_tpu.ops import (
+                xy2d_measure_pallas,
+            )
+            obs = xy2d_measure_pallas.measure_plain(self, state)
+            return {"m": obs["mx"], "my": obs["my"], "e": obs["e"]}
+        return jax.vmap(self.observables)(state)
+
     # -- test oracles -------------------------------------------------------------------
     def full_vectors(self, state: XYState) -> np.ndarray:
         fx = np.asarray(lattice.merge_checkerboard(state.ax, state.bx))

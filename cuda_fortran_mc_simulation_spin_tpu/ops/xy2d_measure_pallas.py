@@ -32,8 +32,11 @@ from cuda_fortran_mc_simulation_spin_tpu.ops.ising2d_pallas import (
 
 def _kernel(ax_ref, ay_ref, bx_ref, by_ref,
             axd_ref, ayd_ref, bxd_ref, byd_ref,
-            sax_ref, say_ref, sbx_ref, sby_ref,
-            out_ref, *, ty: int):
+            *rest, ty: int, has_snap: bool = True):
+    if has_snap:
+        sax_ref, say_ref, sbx_ref, sby_ref, out_ref = rest
+    else:
+        (out_ref,) = rest
     i = pl.program_id(1)
     parity = stencil.row_parity_mask(ty, i * ty)
 
@@ -67,10 +70,13 @@ def _kernel(ax_ref, ay_ref, bx_ref, by_ref,
         + bond_b(by, ay, ayd_ref[0, 0:1, :])
     )
 
-    a_corr = (
-        jnp.sum(ax * sax_ref[0]) + jnp.sum(ay * say_ref[0])
-        + jnp.sum(bx * sbx_ref[0]) + jnp.sum(by * sby_ref[0])
-    )
+    if has_snap:
+        a_corr = (
+            jnp.sum(ax * sax_ref[0]) + jnp.sum(ay * say_ref[0])
+            + jnp.sum(bx * sbx_ref[0]) + jnp.sum(by * sby_ref[0])
+        )
+    else:
+        a_corr = jnp.float32(0.0)
 
     lane = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
     row0 = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0) == 0
@@ -96,7 +102,8 @@ def _measure(planes, snap_planes, *, nrep, ny, half):
     ty = _pick_tile_rows(ny, half, budget_bytes=(256 << 10) // 4, gran=8)
     n = ny // ty
     nb8 = ny // 8
-    kernel = functools.partial(_kernel, ty=ty)
+    has_snap = snap_planes is not None
+    kernel = functools.partial(_kernel, ty=ty, has_snap=has_snap)
     center = pl.BlockSpec((1, ty, half), lambda r, i: (r, i, 0),
                           memory_space=pltpu.VMEM)
     dn = pl.BlockSpec(
@@ -106,16 +113,40 @@ def _measure(planes, snap_planes, *, nrep, ny, half):
     out = pl.BlockSpec((1, 8, 128), lambda r, i: (r, 0, 0),
                        memory_space=pltpu.VMEM)
     ax, ay, bx, by = planes
-    sax, say, sbx, sby = snap_planes
+    in_specs = [center, center, center, center, dn, dn, dn, dn]
+    operands = [ax, ay, bx, by, ax, ay, bx, by]
+    if has_snap:
+        in_specs += [center, center, center, center]
+        operands += list(snap_planes)
     return pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((nrep, 8, 128), jnp.float32),
         grid=(nrep, n),
-        in_specs=[center, center, center, center,
-                  dn, dn, dn, dn,
-                  center, center, center, center],
+        in_specs=in_specs,
         out_specs=out,
-    )(ax, ay, bx, by, ax, ay, bx, by, sax, say, sbx, sby)
+    )(*operands)
+
+
+def measure_plain(model, state: XYState):
+    """{mx, my, e} densities without an autocorrelation snapshot — the
+    relaxation/over-relaxation protocols' per-sweep measurement
+    (/root/reference/app/xy2d_periodic_gpu_relaxation.f90:38-44), one
+    fused pass instead of XLA's separate sum+roll reductions."""
+    ny, half = model.color_shape
+    batched = state.ax.ndim == 3
+    if not batched:
+        state = XYState(*(p[None] for p in state))
+    out = _measure(tuple(state), None,
+                   nrep=state.ax.shape[0], ny=ny, half=half)
+    n_inv = jnp.float32(1.0 / model.nsites)
+    obs = {
+        "mx": out[:, 0, 0] * n_inv,
+        "my": out[:, 0, 1] * n_inv,
+        "e": out[:, 0, 2] * n_inv,
+    }
+    if not batched:
+        obs = {k: v[0] for k, v in obs.items()}
+    return obs
 
 
 def measure(model, state: XYState, snap: XYState):

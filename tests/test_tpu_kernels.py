@@ -152,6 +152,29 @@ def jnp_stack3(x):
 
 
 @requires_tpu
+def test_xy_fused_measure_plain_matches_jnp():
+    from cuda_fortran_mc_simulation_spin_tpu.core import rng
+    from cuda_fortran_mc_simulation_spin_tpu.models.xy2d import XY2D
+    from cuda_fortran_mc_simulation_spin_tpu.ops import xy2d_measure_pallas
+
+    model = XY2D(nx=256, ny=256, kbt=0.89)
+    st = model.init_state("random", rng.base_key(7))
+    obs = {k: float(v)
+           for k, v in xy2d_measure_pallas.measure_plain(model, st).items()}
+    n_inv = 1.0 / model.nsites
+    mx, my = model.magne_sums(st)
+    assert obs["mx"] == pytest.approx(float(mx) * n_inv, abs=3e-4)
+    assert obs["my"] == pytest.approx(float(my) * n_inv, abs=3e-4)
+    assert obs["e"] == pytest.approx(
+        float(model.energy_sum(st)) * n_inv, abs=3e-4)
+    # model-level batched dispatch
+    stb = jax.tree.map(jnp_stack3, st)
+    ob = model.observables_batched(stb)
+    assert ob["m"].shape == (3,)
+    np.testing.assert_allclose(np.asarray(ob["e"]), obs["e"], atol=3e-4)
+
+
+@requires_tpu
 def test_ising_fused_measure_matches_jnp():
     from cuda_fortran_mc_simulation_spin_tpu.core import rng
     from cuda_fortran_mc_simulation_spin_tpu.models.ising2d import Ising2D
