@@ -197,7 +197,7 @@ def sweep(model, state: CheckerboardState, key: jax.Array
 def _halo_phase_kernel(seed_ref, offs_ref, x_ref, oc_ref, oup_ref,
                        odn_ref, hup_ref, hdn_ref, *rest,
                        color: int, ty: int, nblk: int, t4: int, t8: int,
-                       has_bits: bool):
+                       has_bits: bool, measuring: bool = False):
     """Like _phase_kernel, but the first/last row-blocks of the LOCAL
     shard take their y-halo row from explicitly exchanged operands
     (parallel/halo.exchange_halo_rows → ppermute over ICI) instead of a
@@ -210,11 +210,17 @@ def _halo_phase_kernel(seed_ref, offs_ref, x_ref, oc_ref, oup_ref,
     shards never share a stream and x-neighbor geometry survives the
     row split.  ``has_bits``: use a random-bits operand instead of the
     hardware PRNG (CPU interpret-mode validation against the jnp path).
+    ``measuring`` (phase 1 only): emit per-shard (Σs, -Σ_x s_new·nsum)
+    partial sums — phase-1 nsum is the final neighbor value, so the
+    separate observable pass over the local blocks fuses away (caller
+    psums the partials over the mesh's spatial axis).
     """
+    refs = list(rest)
+    obs_ref = refs.pop() if measuring else None
     if has_bits:
-        bits_ref, out_ref = rest
+        bits_ref, out_ref = refs
     else:
-        (out_ref,) = rest
+        (out_ref,) = refs
     r = pl.program_id(0)
     i = pl.program_id(1)
     row_g = offs_ref[1] + i * ty
@@ -242,7 +248,22 @@ def _halo_phase_kernel(seed_ref, offs_ref, x_ref, oc_ref, oup_ref,
         bits = pltpu.bitcast(pltpu.prng_random_bits(x.shape), jnp.uint32)
     thresh = jnp.where(half_de == 2, jnp.uint32(t4), jnp.uint32(t8))
     accept = (half_de <= 0) | (bits < thresh)
-    out_ref[0] = jnp.where(accept, -x, x).astype(jnp.int8)
+    out = jnp.where(accept, -x, x)
+    out_ref[0] = out.astype(jnp.int8)
+    if measuring:
+        m = jnp.sum(out) + jnp.sum(o)
+        e = -jnp.sum(out * nsum)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+        row = jnp.where(
+            lane == 0, m.astype(jnp.float32),
+            jnp.where(lane == 1, e.astype(jnp.float32), 0.0),
+        )
+
+        @pl.when(i == 0)
+        def _():
+            obs_ref[0] = jnp.zeros_like(obs_ref[0])
+
+        obs_ref[0] = obs_ref[0] + row
 
 
 def sharded_phase(
@@ -257,14 +278,16 @@ def sharded_phase(
     beta: float,
     bits: jax.Array | None = None,
     interpret: bool = False,
-) -> jax.Array:
+    measuring: bool = False,
+):
     """One checkerboard phase of a y-sharded local block.
 
     x, other: (R, L, half) int8 local color blocks; halo_up/halo_dn:
     (R, 1, half) exchanged boundary rows (up = global row above row 0,
     dn = global row below row L-1); offs: (2,) int32 (rep0, row0) global
     offsets.  Call inside shard_map; the halo rows ride ICI, everything
-    else stays in VMEM.
+    else stays in VMEM.  ``measuring`` additionally returns per-shard
+    (m, e) partial sums of shape (R,) each (phase 1 only).
     """
     nrep, L, half = x.shape
     t4, t8 = accept_thresholds_u32(beta)
@@ -291,7 +314,7 @@ def sharded_phase(
 
     kernel = functools.partial(
         _halo_phase_kernel, color=color, ty=ty, nblk=n, t4=t4, t8=t8,
-        has_bits=bits is not None,
+        has_bits=bits is not None, measuring=measuring,
     )
     in_specs = [
         pl.BlockSpec(memory_space=pltpu.SMEM),  # seeds (2,)
@@ -322,16 +345,28 @@ def sharded_phase(
                          memory_space=pltpu.VMEM)
         )
         operands.append(bits)
-    return pl.pallas_call(
+    out_shape = [jax.ShapeDtypeStruct((nrep, L, half), jnp.int8)]
+    out_specs = [pl.BlockSpec((1, ty, half), lambda r, i: (r, i, 0),
+                              memory_space=pltpu.VMEM)]
+    if measuring:
+        out_shape.append(
+            jax.ShapeDtypeStruct((nrep, 1, 128), jnp.float32))
+        out_specs.append(pl.BlockSpec((1, 1, 128),
+                                      lambda r, i: (r, 0, 0),
+                                      memory_space=pltpu.VMEM))
+    res = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((nrep, L, half), jnp.int8),
+        out_shape=tuple(out_shape) if measuring else out_shape[0],
         grid=(nrep, n),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((1, ty, half), lambda r, i: (r, i, 0),
-                               memory_space=pltpu.VMEM),
+        out_specs=tuple(out_specs) if measuring else out_specs[0],
         input_output_aliases={2: 0},
         interpret=interpret,
     )(*operands)
+    if measuring:
+        state_out, obs = res
+        return state_out, obs[:, 0, 0], obs[:, 0, 1]
+    return res
 
 
 def shard_pallas_ok(local_shape: tuple[int, ...]) -> bool:

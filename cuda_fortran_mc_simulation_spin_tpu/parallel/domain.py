@@ -169,7 +169,10 @@ def _shard_pallas_mode(model, local_shape,
 
 
 def _ising_local_sweep(model: Ising2D, a, b, key, ysh, xsh, rep0, row0,
-                       col0):
+                       col0, want_obs=False):
+    """One local MCS; returns (a, b, obs_or_None) — obs are per-shard
+    (m, e) partial sums fused into the phase-1 kernel on the Pallas
+    path (the jnp path measures separately in the caller)."""
     use_pallas, interpret = _shard_pallas_mode(model, a.shape)
     if use_pallas and xsh == 1:
         from cuda_fortran_mc_simulation_spin_tpu.ops import ising2d_pallas
@@ -181,11 +184,15 @@ def _ising_local_sweep(model: Ising2D, a, b, key, ysh, xsh, rep0, row0,
             color=0, beta=float(model.beta), interpret=interpret,
         )
         hu, hd = _xch(a, ysh)
-        b = ising2d_pallas.sharded_phase(
+        res = ising2d_pallas.sharded_phase(
             b, a, hu, hd, ising2d_pallas.seeds_from_key(key, 1), offs,
             color=1, beta=float(model.beta), interpret=interpret,
+            measuring=want_obs,
         )
-        return a, b
+        if want_obs:
+            b, m, e = res
+            return a, b, {"m": m, "e": e}
+        return a, res, None
 
     def phase(x, o, color, pkey):
         (u,) = _site_uniforms(pkey, rep0, row0, col0, x.shape[0],
@@ -206,7 +213,7 @@ def _ising_local_sweep(model: Ising2D, a, b, key, ysh, xsh, rep0, row0,
 
     a = phase(a, b, 0, rng.phase_key(key, 0))
     b = phase(b, a, 1, rng.phase_key(key, 1))
-    return a, b
+    return a, b, None
 
 
 def _plus_col(p, xsh):
@@ -671,10 +678,11 @@ def _make_local_step(model, mesh: Mesh, n_over_relax: int = 0,
             if with_obs:
                 obs = _ising3d_local_obs(model, a, b, ysh)
         else:
-            a, b = _ising_local_sweep(model, state.a, state.b, key,
-                                      ysh, xsh, rep0, row0, col0)
+            a, b, obs = _ising_local_sweep(model, state.a, state.b, key,
+                                           ysh, xsh, rep0, row0, col0,
+                                           want_obs=with_obs)
             state = CheckerboardState(a, b)
-            if with_obs:
+            if with_obs and obs is None:
                 obs = _ising_local_obs(model, a, b, ysh, xsh)
         if not with_obs:
             return state
