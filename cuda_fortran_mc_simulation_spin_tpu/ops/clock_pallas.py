@@ -137,13 +137,17 @@ def _metropolis_phase(x, other, seeds, *, color, q, beta, nrep, ny, half):
 def _halo_phase_kernel(seed_ref, offs_ref, x_ref, oc_ref, oup_ref,
                        odn_ref, hup_ref, hdn_ref, *rest,
                        color: int, ty: int, nblk: int, q: int,
-                       beta: float, has_u: bool):
+                       beta: float, has_u: bool,
+                       measuring: bool = False):
     """_phase_kernel with exchanged halo operands (see
-    ops/ising2d_pallas._halo_phase_kernel for the scheme)."""
+    ops/ising2d_pallas._halo_phase_kernel for the scheme).
+    ``measuring`` (phase 1): emit per-shard (mx, my, e) partial sums."""
+    refs = list(rest)
+    obs_ref = refs.pop() if measuring else None
     if has_u:
-        ucand_ref, uacc_ref, out_ref = rest
+        ucand_ref, uacc_ref, out_ref = refs
     else:
-        (out_ref,) = rest
+        (out_ref,) = refs
     r = pl.program_id(0)
     i = pl.program_id(1)
     row_g = offs_ref[1] + i * ty
@@ -180,14 +184,36 @@ def _halo_phase_kernel(seed_ref, offs_ref, x_ref, oc_ref, oup_ref,
     cn, sn = _cos_sin_chain(new, q)
     de = -((cn - cx) * hx + (sn - sx) * hy)
     p = jnp.exp(jnp.float32(-beta) * jnp.maximum(de, 0.0))
-    out_ref[0] = jnp.where(u_acc < p, new, x).astype(jnp.int8)
+    sel = u_acc < p
+    out_ref[0] = jnp.where(sel, new, x).astype(jnp.int8)
+    if measuring:
+        # phase-1 h is the final field; each bond appears once in
+        # Σ_x S_fin·h — the separate observable pass fuses away
+        fin_c = jnp.where(sel, cn, cx)
+        fin_s = jnp.where(sel, sn, sx)
+        mx = jnp.sum(co) + jnp.sum(fin_c)
+        my = jnp.sum(so) + jnp.sum(fin_s)
+        e = -jnp.sum(fin_c * hx + fin_s * hy)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+        row = jnp.where(
+            lane == 0, mx,
+            jnp.where(lane == 1, my, jnp.where(lane == 2, e, 0.0)),
+        )
+
+        @pl.when(i == 0)
+        def _():
+            obs_ref[0] = jnp.zeros_like(obs_ref[0])
+
+        obs_ref[0] = obs_ref[0] + row
 
 
 def sharded_phase(x, other, halo_up, halo_dn, seeds, offs, *,
                   color: int, q: int, beta: float,
-                  u_cand=None, u_acc=None, interpret: bool = False):
+                  u_cand=None, u_acc=None, interpret: bool = False,
+                  measuring: bool = False):
     """One clock phase on y-sharded (R, L, half) int8 blocks with
-    exchanged halo rows.  Call inside shard_map."""
+    exchanged halo rows.  Call inside shard_map.  ``measuring``
+    additionally returns per-shard (mx, my, e) partial sums (R,)."""
     nrep, L, half = x.shape
     ty = _pick_tile_rows(L, half, budget_bytes=256 << 10)
     n = L // ty
@@ -207,7 +233,7 @@ def sharded_phase(x, other, halo_up, halo_dn, seeds, offs, *,
     hdn = jnp.pad(halo_dn, ((0, 0), (0, 7), (0, 0)))
     kernel = functools.partial(
         _halo_phase_kernel, color=color, ty=ty, nblk=n, q=q, beta=beta,
-        has_u=has_u,
+        has_u=has_u, measuring=measuring,
     )
     center = pl.BlockSpec((1, ty, half), lambda r, i: (r, i, 0),
                           memory_space=pltpu.VMEM)
@@ -232,15 +258,27 @@ def sharded_phase(x, other, halo_up, halo_dn, seeds, offs, *,
                                memory_space=pltpu.VMEM)
         in_specs += [fcenter, fcenter]
         operands += [u_cand, u_acc]
-    return pl.pallas_call(
+    out_shape = [jax.ShapeDtypeStruct((nrep, L, half), jnp.int8)]
+    out_specs = [center]
+    if measuring:
+        out_shape.append(
+            jax.ShapeDtypeStruct((nrep, 1, 128), jnp.float32))
+        out_specs.append(pl.BlockSpec((1, 1, 128),
+                                      lambda r, i: (r, 0, 0),
+                                      memory_space=pltpu.VMEM))
+    res = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((nrep, L, half), jnp.int8),
+        out_shape=tuple(out_shape) if measuring else out_shape[0],
         grid=(nrep, n),
         in_specs=in_specs,
-        out_specs=center,
+        out_specs=tuple(out_specs) if measuring else out_specs[0],
         input_output_aliases={2: 0},
         interpret=interpret,
     )(*operands)
+    if measuring:
+        state_out, obs = res
+        return state_out, obs[:, 0, 0], obs[:, 0, 1], obs[:, 0, 2]
+    return res
 
 
 def sweep(model, state: CheckerboardState, key: jax.Array

@@ -361,16 +361,20 @@ def _halo_metropolis_kernel(seed_ref, offs_ref, sx_ref, sy_ref,
                             oy_ref, oyu_ref, oyd_ref,
                             hxu_ref, hxd_ref, hyu_ref, hyd_ref,
                             *rest, color: int, ty: int, nblk: int,
-                            beta: float, has_u: bool):
+                            beta: float, has_u: bool,
+                            measuring: bool = False):
     """Like _metropolis_kernel with exchanged halo operands — the XY
     instance of the shard_map promotion of the reference's halo kernels
     (/root/reference/src/xy2d_periodic_gpu_m.f90:296-326).  ``has_u``:
     take (u_cand, u_acc) operands instead of the hardware PRNG (CPU
-    interpret validation against the jnp sharded phase)."""
+    interpret validation against the jnp sharded phase).  ``measuring``
+    (phase 1): emit per-shard (mx, my, e) partial sums."""
+    refs = list(rest)
+    obs_ref = refs.pop() if measuring else None
     if has_u:
-        ucand_ref, uacc_ref, outx_ref, outy_ref = rest
+        ucand_ref, uacc_ref, outx_ref, outy_ref = refs
     else:
-        outx_ref, outy_ref = rest
+        outx_ref, outy_ref = refs
     r = pl.program_id(0)
     i = pl.program_id(1)
     row_g = offs_ref[1] + i * ty
@@ -398,8 +402,27 @@ def _halo_metropolis_kernel(seed_ref, offs_ref, sx_ref, sy_ref,
     de = -((cx - sx) * hx + (cy - sy) * hy)
     p = jnp.exp(jnp.float32(-beta) * jnp.maximum(de, 0.0))
     accept = u_acc < p
-    outx_ref[0] = jnp.where(accept, cx, sx)
-    outy_ref[0] = jnp.where(accept, cy, sy)
+    fin_x = jnp.where(accept, cx, sx)
+    fin_y = jnp.where(accept, cy, sy)
+    outx_ref[0] = fin_x
+    outy_ref[0] = fin_y
+    if measuring:
+        # phase-1 h comes from the final other-color planes; each bond
+        # appears once in Σ S_fin·h — observables come free
+        mx = jnp.sum(ox_ref[0]) + jnp.sum(fin_x)
+        my = jnp.sum(oy_ref[0]) + jnp.sum(fin_y)
+        e = -jnp.sum(fin_x * hx + fin_y * hy)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+        row = jnp.where(
+            lane == 0, mx,
+            jnp.where(lane == 1, my, jnp.where(lane == 2, e, 0.0)),
+        )
+
+        @pl.when(i == 0)
+        def _():
+            obs_ref[0] = jnp.zeros_like(obs_ref[0])
+
+        obs_ref[0] = obs_ref[0] + row
 
 
 def _halo_or_kernel(offs_ref, sx_ref, sy_ref,
@@ -455,10 +478,11 @@ def _pad_halos(h):
 
 def sharded_phase(sx, sy, ox, oy, halos_x, halos_y, seeds, offs, *,
                   color: int, beta: float, u_cand=None, u_acc=None,
-                  interpret: bool = False):
+                  interpret: bool = False, measuring: bool = False):
     """One Metropolis phase on y-sharded (R, L, half) component planes
     with exchanged halo rows ((up, dn) per component).  Call inside
-    shard_map."""
+    shard_map.  ``measuring`` additionally returns per-shard
+    (mx, my, e) partial sums (R,) each (phase 1 only)."""
     nrep, L, half = sx.shape
     ty = _pick_tile_rows(L, half, budget_bytes=64 << 10, gran=8)
     n = L // ty
@@ -478,7 +502,7 @@ def sharded_phase(sx, sy, ox, oy, halos_x, halos_y, seeds, offs, *,
     center, up, dn, halo = _halo_specs(ty, L, half)
     kernel = functools.partial(
         _halo_metropolis_kernel, color=color, ty=ty, nblk=n, beta=beta,
-        has_u=has_u,
+        has_u=has_u, measuring=measuring,
     )
     in_specs = [
         pl.BlockSpec(memory_space=pltpu.SMEM),   # seeds
@@ -493,18 +517,30 @@ def sharded_phase(sx, sy, ox, oy, halos_x, halos_y, seeds, offs, *,
     if has_u:
         in_specs += [center, center]
         operands += [u_cand, u_acc]
-    return pl.pallas_call(
+    out_shape = [
+        jax.ShapeDtypeStruct((nrep, L, half), jnp.float32),
+        jax.ShapeDtypeStruct((nrep, L, half), jnp.float32),
+    ]
+    out_specs = [center, center]
+    if measuring:
+        out_shape.append(
+            jax.ShapeDtypeStruct((nrep, 1, 128), jnp.float32))
+        out_specs.append(pl.BlockSpec((1, 1, 128),
+                                      lambda r, i: (r, 0, 0),
+                                      memory_space=pltpu.VMEM))
+    res = pl.pallas_call(
         kernel,
-        out_shape=(
-            jax.ShapeDtypeStruct((nrep, L, half), jnp.float32),
-            jax.ShapeDtypeStruct((nrep, L, half), jnp.float32),
-        ),
+        out_shape=tuple(out_shape),
         grid=(nrep, n),
         in_specs=in_specs,
-        out_specs=(center, center),
+        out_specs=tuple(out_specs),
         input_output_aliases={2: 0, 3: 1},
         interpret=interpret,
     )(*operands)
+    if measuring:
+        gx, gy, obs = res
+        return gx, gy, (obs[:, 0, 0], obs[:, 0, 1], obs[:, 0, 2])
+    return res
 
 
 def sharded_or_phase(sx, sy, ox, oy, halos_x, halos_y, offs, *,

@@ -244,7 +244,9 @@ def _ising_local_obs(model: Ising2D, a, b, ysh, xsh):
 
 
 def _clock_local_sweep(model: Clock2D, a, b, key, ysh, xsh, rep0, row0,
-                       col0):
+                       col0, want_obs=False):
+    """One local MCS; returns (a, b, obs_or_None) — (mx, my, e) partial
+    sums fused into the phase-1 kernel on the Pallas path."""
     q = model.q
     use_pallas, interpret = _shard_pallas_mode(model, a.shape)
     if use_pallas and xsh == 1:
@@ -260,11 +262,15 @@ def _clock_local_sweep(model: Clock2D, a, b, key, ysh, xsh, rep0, row0,
             color=0, q=q, beta=float(model.beta), interpret=interpret,
         )
         hu, hd = _xch(a, ysh)
-        b = clock_pallas.sharded_phase(
+        res = clock_pallas.sharded_phase(
             b, a, hu, hd, ising2d_pallas.seeds_from_key(key, 1), offs,
             color=1, q=q, beta=float(model.beta), interpret=interpret,
+            measuring=want_obs,
         )
-        return a, b
+        if want_obs:
+            b, mx, my, e = res
+            return a, b, {"m": mx, "my": my, "e": e}
+        return a, res, None
 
     def phase(x, o, color, pkey):
         u_c, u_a = _site_uniforms(pkey, rep0, row0, col0, x.shape[0],
@@ -296,7 +302,7 @@ def _clock_local_sweep(model: Clock2D, a, b, key, ysh, xsh, rep0, row0,
 
     a = phase(a, b, 0, rng.phase_key(key, 0))
     b = phase(b, a, 1, rng.phase_key(key, 1))
-    return a, b
+    return a, b, None
 
 
 def _clock_local_obs(model: Clock2D, a, b, ysh, xsh):
@@ -381,7 +387,11 @@ def _ising3d_local_obs(model, a, b, ysh):
 
 
 def _xy_local_sweep(model: XY2D, st: XYState, key, ysh, xsh, rep0, row0,
-                    col0):
+                    col0, want_obs=False):
+    """One local MCS; returns (state, obs_or_None) — (mx, my, e) partial
+    sums fused into the phase-1 kernel on the Pallas path.  Callers must
+    not request obs when over-relaxation sweeps follow (measure after
+    OR instead)."""
     use_pallas, interpret = _shard_pallas_mode(
         model, st.ax.shape, kind="xy"
     )
@@ -398,12 +408,18 @@ def _xy_local_sweep(model: XY2D, st: XYState, key, ysh, xsh, rep0, row0,
             ising2d_pallas.seeds_from_key(key, 0), offs,
             color=0, beta=float(model.beta), interpret=interpret,
         )
-        bx, by = xy2d_pallas.sharded_phase(
+        res = xy2d_pallas.sharded_phase(
             bx, by, ax, ay, _xch(ax, ysh), _xch(ay, ysh),
             ising2d_pallas.seeds_from_key(key, 1), offs,
             color=1, beta=float(model.beta), interpret=interpret,
+            measuring=want_obs,
         )
-        return XYState(ax, ay, bx, by)
+        if want_obs:
+            bx, by, (mx, my, e) = res
+            return (XYState(ax, ay, bx, by),
+                    {"m": mx, "my": my, "e": e})
+        bx, by = res
+        return XYState(ax, ay, bx, by), None
 
     def phase(sx, sy, ox, oy, color, pkey):
         u_c, u_a = _site_uniforms(pkey, rep0, row0, col0, sx.shape[0],
@@ -431,7 +447,7 @@ def _xy_local_sweep(model: XY2D, st: XYState, key, ysh, xsh, rep0, row0,
     ax, ay, bx, by = st
     ax, ay = phase(ax, ay, bx, by, 0, rng.phase_key(key, 0))
     bx, by = phase(bx, by, ax, ay, 1, rng.phase_key(key, 1))
-    return XYState(ax, ay, bx, by)
+    return XYState(ax, ay, bx, by), None
 
 
 def _xy_local_or_sweep(model: XY2D, st: XYState, ysh, xsh=1, rep0=None,
@@ -651,8 +667,12 @@ def _make_local_step(model, mesh: Mesh, n_over_relax: int = 0,
                 else jnp.int32(0))
         obs = None
         if is_xy:
-            state = _xy_local_sweep(model, state, key, ysh, xsh, rep0,
-                                    row0, col0)
+            # fused in-phase obs are only valid when no OR follows
+            # (measurement must reflect the post-OR state)
+            state, obs = _xy_local_sweep(
+                model, state, key, ysh, xsh, rep0, row0, col0,
+                want_obs=with_obs and n_over_relax == 0,
+            )
             if n_over_relax > 0:
                 def do(s):
                     return lax.fori_loop(
@@ -663,13 +683,14 @@ def _make_local_step(model, mesh: Mesh, n_over_relax: int = 0,
                         s,
                     )
                 state = lax.cond(do_or, do, lambda s: s, state)
-            if with_obs:
+            if with_obs and obs is None:
                 obs = _xy_local_obs(model, state, ysh, xsh)
         elif is_clock:
-            a, b = _clock_local_sweep(model, state.a, state.b, key,
-                                      ysh, xsh, rep0, row0, col0)
+            a, b, obs = _clock_local_sweep(model, state.a, state.b, key,
+                                           ysh, xsh, rep0, row0, col0,
+                                           want_obs=with_obs)
             state = CheckerboardState(a, b)
-            if with_obs:
+            if with_obs and obs is None:
                 obs = _clock_local_obs(model, a, b, ysh, xsh)
         elif is_3d:
             a, b = _ising3d_local_sweep(model, state.a, state.b,

@@ -219,11 +219,47 @@ def test_halo_kernel_inside_shard_map_interpret():
             state, obs = step(state, rng.sweep_key(rng.base_key(3), t))
         obs = jax.device_get(obs)
         # psum observables equal direct reductions on the gathered state
+        # (the ising fused in-phase obs path)
         for r in range(2):
             sub = jax.tree.map(lambda x: x[r], state)
             m_direct = float(tc.magne_sum(sub)) / tc.nsites
             e_direct = float(tc.energy_sum(sub)) / tc.nsites
             assert obs["m"][r] == pytest.approx(m_direct, abs=1e-6)
             assert obs["e"][r] == pytest.approx(e_direct, abs=1e-6)
+
+        # clock and XY fused in-phase obs paths
+        from cuda_fortran_mc_simulation_spin_tpu.models.clock import (
+            Clock2D,
+        )
+        from cuda_fortran_mc_simulation_spin_tpu.models.xy2d import XY2D
+
+        cm = Clock2D(nx=2 * HALF, ny=4 * L, kbt=0.91, q=6,
+                     backend="jnp")
+        cst = domain.replicated_init(cm, msh, 2, "random",
+                                     rng.base_key(4))
+        cst2, cobs = domain.make_sharded_step(cm, msh)(
+            cst, rng.base_key(5))
+        cobs = jax.device_get(cobs)
+        sub = jax.tree.map(lambda x: x[0], cst2)
+        mx, my = cm.magne_sums(sub)
+        assert cobs["m"][0] == pytest.approx(
+            float(mx) / cm.nsites, abs=3e-4)
+        assert cobs["my"][0] == pytest.approx(
+            float(my) / cm.nsites, abs=3e-4)
+        assert cobs["e"][0] == pytest.approx(
+            float(cm.energy_sum(sub)) / cm.nsites, abs=3e-4)
+
+        xm = XY2D(nx=2 * HALF, ny=4 * L, kbt=0.89, backend="jnp")
+        xst = domain.replicated_init(xm, msh, 2, "random",
+                                     rng.base_key(6))
+        xst2, xobs = domain.make_sharded_step(xm, msh)(
+            xst, rng.base_key(7))
+        xobs = jax.device_get(xobs)
+        sub = jax.tree.map(lambda x: x[0], xst2)
+        mx, my = xm.magne_sums(sub)
+        assert xobs["m"][0] == pytest.approx(
+            float(mx) / xm.nsites, abs=3e-4)
+        assert xobs["e"][0] == pytest.approx(
+            float(xm.energy_sum(sub)) / xm.nsites, abs=3e-4)
     finally:
         os.environ.pop("SPINLAT_SHARD_PALLAS_INTERPRET", None)
