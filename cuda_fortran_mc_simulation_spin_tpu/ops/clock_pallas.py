@@ -137,13 +137,17 @@ def _metropolis_phase(x, other, seeds, *, color, q, beta, nrep, ny, half):
 def _halo_phase_kernel(seed_ref, offs_ref, x_ref, oc_ref, oup_ref,
                        odn_ref, hup_ref, hdn_ref, *rest,
                        color: int, ty: int, nblk: int, q: int,
-                       beta: float, has_u: bool,
+                       beta: float, has_u: bool, has_cols: bool = False,
                        measuring: bool = False):
     """_phase_kernel with exchanged halo operands (see
-    ops/ising2d_pallas._halo_phase_kernel for the scheme).
+    ops/ising2d_pallas._halo_phase_kernel for the scheme; ``has_cols``
+    adds exchanged boundary columns for x-sharded blocks).
     ``measuring`` (phase 1): emit per-shard (mx, my, e) partial sums."""
     refs = list(rest)
     obs_ref = refs.pop() if measuring else None
+    if has_cols:
+        hlf_ref, hrt_ref = refs[:2]
+        refs = refs[2:]
     if has_u:
         ucand_ref, uacc_ref, out_ref = refs
     else:
@@ -162,8 +166,14 @@ def _halo_phase_kernel(seed_ref, offs_ref, x_ref, oc_ref, oup_ref,
     co, so = _cos_sin_chain(o, q)
     cu, su = _cos_sin_chain(up, q)
     cd, sd = _cos_sin_chain(dn, q)
-    hx = stencil.nbr_sum(co, cu, cd, color, parity)
-    hy = stencil.nbr_sum(so, su, sd, color, parity)
+    if has_cols:
+        cl, sl = _cos_sin_chain(hlf_ref[0][:, 0:1].astype(jnp.int32), q)
+        cr, sr = _cos_sin_chain(hrt_ref[0][:, 0:1].astype(jnp.int32), q)
+        hx = stencil.nbr_sum_halo4(co, cu, cd, color, parity, cl, cr)
+        hy = stencil.nbr_sum_halo4(so, su, sd, color, parity, sl, sr)
+    else:
+        hx = stencil.nbr_sum(co, cu, cd, color, parity)
+        hy = stencil.nbr_sum(so, su, sd, color, parity)
 
     if has_u:
         u_cand = ucand_ref[0]
@@ -172,6 +182,8 @@ def _halo_phase_kernel(seed_ref, offs_ref, x_ref, oc_ref, oup_ref,
         rep_g = offs_ref[0] + r
         tile_tag = (row_g * jnp.int32(-1640531527)
                     + rep_g * jnp.int32(0x3C6EF35F))
+        if has_cols:
+            tile_tag = tile_tag + offs_ref[2] * jnp.int32(0x27D4EB2F)
         pltpu.prng_seed(seed_ref[0], seed_ref[1] ^ tile_tag)
         u_cand = stencil.bits_to_uniform(pltpu.bitcast(
             pltpu.prng_random_bits(x.shape), jnp.uint32))
@@ -209,12 +221,16 @@ def _halo_phase_kernel(seed_ref, offs_ref, x_ref, oc_ref, oup_ref,
 
 def sharded_phase(x, other, halo_up, halo_dn, seeds, offs, *,
                   color: int, q: int, beta: float,
+                  halo_lf=None, halo_rt=None,
                   u_cand=None, u_acc=None, interpret: bool = False,
                   measuring: bool = False):
     """One clock phase on y-sharded (R, L, half) int8 blocks with
     exchanged halo rows.  Call inside shard_map.  ``measuring``
-    additionally returns per-shard (mx, my, e) partial sums (R,)."""
+    additionally returns per-shard (mx, my, e) partial sums (R,).
+    ``halo_lf``/``halo_rt``: exchanged boundary columns (R, L, 1) for
+    x-sharded blocks (offs extended to (rep0, row0, col0))."""
     nrep, L, half = x.shape
+    has_cols = halo_lf is not None
     ty = _pick_tile_rows(L, half, budget_bytes=256 << 10)
     n = L // ty
     nb8 = L // 8
@@ -223,7 +239,8 @@ def sharded_phase(x, other, halo_up, halo_dn, seeds, offs, *,
             jax.random.fold_in(
                 jax.random.PRNGKey(seeds[0].astype(jnp.uint32)), seeds[1]
             ),
-            offs[0] * jnp.int32(65537) + offs[1],
+            offs[0] * jnp.int32(65537) + offs[1]
+            + (offs[2] * jnp.int32(40503) if has_cols else 0),
         )
         u_cand = jax.random.uniform(kb, x.shape, jnp.float32)
         u_acc = jax.random.uniform(jax.random.fold_in(kb, 1), x.shape,
@@ -233,7 +250,7 @@ def sharded_phase(x, other, halo_up, halo_dn, seeds, offs, *,
     hdn = jnp.pad(halo_dn, ((0, 0), (0, 7), (0, 0)))
     kernel = functools.partial(
         _halo_phase_kernel, color=color, ty=ty, nblk=n, q=q, beta=beta,
-        has_u=has_u, measuring=measuring,
+        has_u=has_u, has_cols=has_cols, measuring=measuring,
     )
     center = pl.BlockSpec((1, ty, half), lambda r, i: (r, i, 0),
                           memory_space=pltpu.VMEM)
@@ -253,6 +270,14 @@ def sharded_phase(x, other, halo_up, halo_dn, seeds, offs, *,
         center, center, up, dn, halo, halo,
     ]
     operands = [seeds, offs, x, other, other, other, hup, hdn]
+    if has_cols:
+        col_spec = pl.BlockSpec((1, ty, 128), lambda r, i: (r, i, 0),
+                                memory_space=pltpu.VMEM)
+        in_specs += [col_spec, col_spec]
+        operands += [
+            jnp.pad(halo_lf, ((0, 0), (0, 0), (0, 127))),
+            jnp.pad(halo_rt, ((0, 0), (0, 0), (0, 127))),
+        ]
     if has_u:
         fcenter = pl.BlockSpec((1, ty, half), lambda r, i: (r, i, 0),
                                memory_space=pltpu.VMEM)

@@ -197,7 +197,8 @@ def sweep(model, state: CheckerboardState, key: jax.Array
 def _halo_phase_kernel(seed_ref, offs_ref, x_ref, oc_ref, oup_ref,
                        odn_ref, hup_ref, hdn_ref, *rest,
                        color: int, ty: int, nblk: int, t4: int, t8: int,
-                       has_bits: bool, measuring: bool = False):
+                       has_bits: bool, has_cols: bool = False,
+                       measuring: bool = False):
     """Like _phase_kernel, but the first/last row-blocks of the LOCAL
     shard take their y-halo row from explicitly exchanged operands
     (parallel/halo.exchange_halo_rows → ppermute over ICI) instead of a
@@ -217,6 +218,9 @@ def _halo_phase_kernel(seed_ref, offs_ref, x_ref, oc_ref, oup_ref,
     """
     refs = list(rest)
     obs_ref = refs.pop() if measuring else None
+    if has_cols:
+        hlf_ref, hrt_ref = refs[:2]
+        refs = refs[2:]
     if has_bits:
         bits_ref, out_ref = refs
     else:
@@ -232,10 +236,18 @@ def _halo_phase_kernel(seed_ref, offs_ref, x_ref, oc_ref, oup_ref,
     dn_row = jnp.where(i == nblk - 1, hdn_ref[0, 0:1, :],
                        odn_ref[0, 0:1, :])
     parity = stencil.row_parity_mask(ty, row_g)
-    nsum = stencil.nbr_sum(
-        o, up_row.astype(jnp.int32), dn_row.astype(jnp.int32),
-        color, parity,
-    )
+    if has_cols:
+        nsum = stencil.nbr_sum_halo4(
+            o, up_row.astype(jnp.int32), dn_row.astype(jnp.int32),
+            color, parity,
+            hlf_ref[0][:, 0:1].astype(jnp.int32),
+            hrt_ref[0][:, 0:1].astype(jnp.int32),
+        )
+    else:
+        nsum = stencil.nbr_sum(
+            o, up_row.astype(jnp.int32), dn_row.astype(jnp.int32),
+            color, parity,
+        )
     half_de = x * nsum
 
     if has_bits:
@@ -244,6 +256,9 @@ def _halo_phase_kernel(seed_ref, offs_ref, x_ref, oc_ref, oup_ref,
         rep_g = offs_ref[0] + r
         tile_tag = (row_g * jnp.int32(-1640531527)
                     + rep_g * jnp.int32(0x3C6EF35F))
+        if has_cols:
+            # distinct stream per x-shard: fold the global column offset
+            tile_tag = tile_tag + offs_ref[2] * jnp.int32(0x27D4EB2F)
         pltpu.prng_seed(seed_ref[0], seed_ref[1] ^ tile_tag)
         bits = pltpu.bitcast(pltpu.prng_random_bits(x.shape), jnp.uint32)
     thresh = jnp.where(half_de == 2, jnp.uint32(t4), jnp.uint32(t8))
@@ -276,6 +291,8 @@ def sharded_phase(
     *,
     color: int,
     beta: float,
+    halo_lf: jax.Array | None = None,
+    halo_rt: jax.Array | None = None,
     bits: jax.Array | None = None,
     interpret: bool = False,
     measuring: bool = False,
@@ -288,8 +305,14 @@ def sharded_phase(
     offsets.  Call inside shard_map; the halo rows ride ICI, everything
     else stays in VMEM.  ``measuring`` additionally returns per-shard
     (m, e) partial sums of shape (R,) each (phase 1 only).
+
+    ``halo_lf``/``halo_rt`` ((R, L, 1), with offs extended to
+    (rep0, row0, col0)): exchanged boundary COLUMNS for an x-sharded
+    block — the full (dx, dy) decomposition of SURVEY.md §5.7; lane
+    rolls are fixed up at the local block's column edges.
     """
     nrep, L, half = x.shape
+    has_cols = halo_lf is not None
     t4, t8 = accept_thresholds_u32(beta)
     ty = _pick_tile_rows(L, half)
     n = L // ty
@@ -303,7 +326,8 @@ def sharded_phase(
             jax.random.fold_in(
                 jax.random.PRNGKey(seeds[0].astype(jnp.uint32)), seeds[1]
             ),
-            offs[0] * jnp.int32(65537) + offs[1],
+            offs[0] * jnp.int32(65537) + offs[1]
+            + (offs[2] * jnp.int32(40503) if has_cols else 0),
         )
         bits = jax.random.bits(kb, (nrep, L, half), dtype=jnp.uint32)
 
@@ -314,11 +338,12 @@ def sharded_phase(
 
     kernel = functools.partial(
         _halo_phase_kernel, color=color, ty=ty, nblk=n, t4=t4, t8=t8,
-        has_bits=bits is not None, measuring=measuring,
+        has_bits=bits is not None, has_cols=has_cols,
+        measuring=measuring,
     )
     in_specs = [
         pl.BlockSpec(memory_space=pltpu.SMEM),  # seeds (2,)
-        pl.BlockSpec(memory_space=pltpu.SMEM),  # offs (2,)
+        pl.BlockSpec(memory_space=pltpu.SMEM),  # offs (2,) or (3,)
         pl.BlockSpec((1, ty, half), lambda r, i: (r, i, 0),
                      memory_space=pltpu.VMEM),  # x
         pl.BlockSpec((1, ty, half), lambda r, i: (r, i, 0),
@@ -339,6 +364,15 @@ def sharded_phase(
                      memory_space=pltpu.VMEM),  # exchanged dn halo
     ]
     operands = [seeds, offs, x, other, other, other, hup, hdn]
+    if has_cols:
+        # 128-lane alignment: exchanged columns ride in lane 0
+        col_spec = pl.BlockSpec((1, ty, 128), lambda r, i: (r, i, 0),
+                                memory_space=pltpu.VMEM)
+        in_specs += [col_spec, col_spec]
+        operands += [
+            jnp.pad(halo_lf, ((0, 0), (0, 0), (0, 127))),
+            jnp.pad(halo_rt, ((0, 0), (0, 0), (0, 127))),
+        ]
     if bits is not None:
         in_specs.append(
             pl.BlockSpec((1, ty, half), lambda r, i: (r, i, 0),

@@ -73,6 +73,34 @@ def nbr_sum(o: jax.Array, up_row: jax.Array, dn_row: jax.Array,
     return up + dn + lr_sum(o, color, parity)
 
 
+def lr_sum_cols(o: jax.Array, color: int, parity: jax.Array,
+                left_col: jax.Array, right_col: jax.Array) -> jax.Array:
+    """:func:`lr_sum` for an x-sharded block with explicit boundary
+    columns: lane 0's "i-1" neighbor comes from ``left_col`` and lane
+    w-1's "i+1" neighbor from ``right_col`` (both (ty, 1), exchanged
+    over ICI by parallel/halo.exchange_halo_cols) instead of the
+    periodic lane wrap — the column half of SURVEY.md §5.7's (dx, dy)
+    decomposition."""
+    w = o.shape[1]
+    liota = jax.lax.broadcasted_iota(jnp.int32, (1, w), 1)
+    minus = pltpu.roll(o, 1, axis=1)
+    minus = jnp.where(liota == 0, left_col, minus)
+    plus = pltpu.roll(o, w - 1, axis=1)
+    plus = jnp.where(liota == w - 1, right_col, plus)
+    if color == 0:
+        return o + jnp.where(parity, plus, minus)
+    return o + jnp.where(parity, minus, plus)
+
+
+def nbr_sum_halo4(o: jax.Array, up_row: jax.Array, dn_row: jax.Array,
+                  color: int, parity: jax.Array,
+                  left_col: jax.Array, right_col: jax.Array) -> jax.Array:
+    """4-neighbor sum with explicit halo rows AND columns (the in-kernel
+    analog of core/lattice.neighbor_sums_halo2d)."""
+    up, dn = splice_updown(o, up_row, dn_row)
+    return up + dn + lr_sum_cols(o, color, parity, left_col, right_col)
+
+
 def bits_to_uniform(bits: jax.Array) -> jax.Array:
     """uint32 -> f32 in [0, 1) using the top 24 bits (core/rng.py).
 

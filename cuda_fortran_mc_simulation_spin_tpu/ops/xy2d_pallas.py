@@ -342,17 +342,28 @@ def sweep_measure(model, state: XYState, snap: XYState, key: jax.Array):
 
 def _halo_field(i, nblk, ox_ref, oxu_ref, oxd_ref, hxu_ref, hxd_ref,
                 oy_ref, oyu_ref, oyd_ref, hyu_ref, hyd_ref,
-                color, parity):
+                color, parity, col_refs=None):
     """(hx, hy) of a local block: in-array halo rows for interior
-    row-blocks, explicitly exchanged rows at the shard boundary."""
+    row-blocks, explicitly exchanged rows at the shard boundary.
+    ``col_refs`` = (hxl, hxr, hyl, hyr) exchanged boundary-column refs
+    for x-sharded blocks (lane 0 carries the column)."""
     upx = jnp.where(i == 0, hxu_ref[0, 7:8, :], oxu_ref[0, 7:8, :])
     dnx = jnp.where(i == nblk - 1, hxd_ref[0, 0:1, :],
                     oxd_ref[0, 0:1, :])
     upy = jnp.where(i == 0, hyu_ref[0, 7:8, :], oyu_ref[0, 7:8, :])
     dny = jnp.where(i == nblk - 1, hyd_ref[0, 0:1, :],
                     oyd_ref[0, 0:1, :])
-    hx = stencil.nbr_sum(ox_ref[0], upx, dnx, color, parity)
-    hy = stencil.nbr_sum(oy_ref[0], upy, dny, color, parity)
+    if col_refs is None:
+        hx = stencil.nbr_sum(ox_ref[0], upx, dnx, color, parity)
+        hy = stencil.nbr_sum(oy_ref[0], upy, dny, color, parity)
+    else:
+        hxl_ref, hxr_ref, hyl_ref, hyr_ref = col_refs
+        hx = stencil.nbr_sum_halo4(
+            ox_ref[0], upx, dnx, color, parity,
+            hxl_ref[0][:, 0:1], hxr_ref[0][:, 0:1])
+        hy = stencil.nbr_sum_halo4(
+            oy_ref[0], upy, dny, color, parity,
+            hyl_ref[0][:, 0:1], hyr_ref[0][:, 0:1])
     return hx, hy
 
 
@@ -362,15 +373,21 @@ def _halo_metropolis_kernel(seed_ref, offs_ref, sx_ref, sy_ref,
                             hxu_ref, hxd_ref, hyu_ref, hyd_ref,
                             *rest, color: int, ty: int, nblk: int,
                             beta: float, has_u: bool,
+                            has_cols: bool = False,
                             measuring: bool = False):
     """Like _metropolis_kernel with exchanged halo operands — the XY
     instance of the shard_map promotion of the reference's halo kernels
     (/root/reference/src/xy2d_periodic_gpu_m.f90:296-326).  ``has_u``:
     take (u_cand, u_acc) operands instead of the hardware PRNG (CPU
-    interpret validation against the jnp sharded phase).  ``measuring``
-    (phase 1): emit per-shard (mx, my, e) partial sums."""
+    interpret validation against the jnp sharded phase).  ``has_cols``:
+    exchanged boundary-column operands follow (x-sharded blocks).
+    ``measuring`` (phase 1): emit per-shard (mx, my, e) partial sums."""
     refs = list(rest)
     obs_ref = refs.pop() if measuring else None
+    col_refs = None
+    if has_cols:
+        col_refs = tuple(refs[:4])
+        refs = refs[4:]
     if has_u:
         ucand_ref, uacc_ref, outx_ref, outy_ref = refs
     else:
@@ -381,7 +398,7 @@ def _halo_metropolis_kernel(seed_ref, offs_ref, sx_ref, sy_ref,
     parity = stencil.row_parity_mask(ty, row_g)
     hx, hy = _halo_field(i, nblk, ox_ref, oxu_ref, oxd_ref, hxu_ref,
                          hxd_ref, oy_ref, oyu_ref, oyd_ref, hyu_ref,
-                         hyd_ref, color, parity)
+                         hyd_ref, color, parity, col_refs)
     sx = sx_ref[0]
     sy = sy_ref[0]
     if has_u:
@@ -391,6 +408,8 @@ def _halo_metropolis_kernel(seed_ref, offs_ref, sx_ref, sy_ref,
         rep_g = offs_ref[0] + r
         tile_tag = (row_g * jnp.int32(-1640531527)
                     + rep_g * jnp.int32(0x3C6EF35F))
+        if has_cols:
+            tile_tag = tile_tag + offs_ref[2] * jnp.int32(0x27D4EB2F)
         pltpu.prng_seed(seed_ref[0], seed_ref[1] ^ tile_tag)
         u_cand = stencil.bits_to_uniform(pltpu.bitcast(
             pltpu.prng_random_bits(sx.shape), jnp.uint32))
@@ -429,14 +448,20 @@ def _halo_or_kernel(offs_ref, sx_ref, sy_ref,
                     ox_ref, oxu_ref, oxd_ref,
                     oy_ref, oyu_ref, oyd_ref,
                     hxu_ref, hxd_ref, hyu_ref, hyd_ref,
-                    outx_ref, outy_ref,
-                    *, color: int, ty: int, nblk: int):
+                    *rest, color: int, ty: int, nblk: int,
+                    has_cols: bool = False):
+    refs = list(rest)
+    col_refs = None
+    if has_cols:
+        col_refs = tuple(refs[:4])
+        refs = refs[4:]
+    outx_ref, outy_ref = refs
     i = pl.program_id(1)
     row_g = offs_ref[1] + i * ty
     parity = stencil.row_parity_mask(ty, row_g)
     hx, hy = _halo_field(i, nblk, ox_ref, oxu_ref, oxd_ref, hxu_ref,
                          hxd_ref, oy_ref, oyu_ref, oyd_ref, hyu_ref,
-                         hyd_ref, color, parity)
+                         hyd_ref, color, parity, col_refs)
     sx = sx_ref[0]
     sy = sy_ref[0]
     inv = jax.lax.rsqrt(jnp.maximum(hx * hx + hy * hy, jnp.float32(1e-30)))
@@ -476,14 +501,24 @@ def _pad_halos(h):
             jnp.pad(hd, ((0, 0), (0, 7), (0, 0))))
 
 
+def _pad_col(c):
+    """(R,L,1) exchanged column -> 128-lane-aligned operand (lane 0)."""
+    return jnp.pad(c, ((0, 0), (0, 0), (0, 127)))
+
+
 def sharded_phase(sx, sy, ox, oy, halos_x, halos_y, seeds, offs, *,
-                  color: int, beta: float, u_cand=None, u_acc=None,
+                  color: int, beta: float, cols_x=None, cols_y=None,
+                  u_cand=None, u_acc=None,
                   interpret: bool = False, measuring: bool = False):
     """One Metropolis phase on y-sharded (R, L, half) component planes
     with exchanged halo rows ((up, dn) per component).  Call inside
     shard_map.  ``measuring`` additionally returns per-shard
-    (mx, my, e) partial sums (R,) each (phase 1 only)."""
+    (mx, my, e) partial sums (R,) each (phase 1 only).
+    ``cols_x``/``cols_y``: exchanged boundary columns ((left, right) of
+    (R, L, 1) per component) for x-sharded blocks, with offs extended to
+    (rep0, row0, col0)."""
     nrep, L, half = sx.shape
+    has_cols = cols_x is not None
     ty = _pick_tile_rows(L, half, budget_bytes=64 << 10, gran=8)
     n = L // ty
     if interpret and u_cand is None:
@@ -491,7 +526,8 @@ def sharded_phase(sx, sy, ox, oy, halos_x, halos_y, seeds, offs, *,
             jax.random.fold_in(
                 jax.random.PRNGKey(seeds[0].astype(jnp.uint32)), seeds[1]
             ),
-            offs[0] * jnp.int32(65537) + offs[1],
+            offs[0] * jnp.int32(65537) + offs[1]
+            + (offs[2] * jnp.int32(40503) if has_cols else 0),
         )
         u_cand = jax.random.uniform(kb, sx.shape, jnp.float32)
         u_acc = jax.random.uniform(jax.random.fold_in(kb, 1), sx.shape,
@@ -502,7 +538,7 @@ def sharded_phase(sx, sy, ox, oy, halos_x, halos_y, seeds, offs, *,
     center, up, dn, halo = _halo_specs(ty, L, half)
     kernel = functools.partial(
         _halo_metropolis_kernel, color=color, ty=ty, nblk=n, beta=beta,
-        has_u=has_u, measuring=measuring,
+        has_u=has_u, has_cols=has_cols, measuring=measuring,
     )
     in_specs = [
         pl.BlockSpec(memory_space=pltpu.SMEM),   # seeds
@@ -514,6 +550,11 @@ def sharded_phase(sx, sy, ox, oy, halos_x, halos_y, seeds, offs, *,
     ]
     operands = [seeds, offs, sx, sy, ox, ox, ox, oy, oy, oy,
                 hxu, hxd, hyu, hyd]
+    if has_cols:
+        col_spec = pl.BlockSpec((1, ty, 128), lambda r, i: (r, i, 0),
+                                memory_space=pltpu.VMEM)
+        in_specs += [col_spec] * 4
+        operands += [_pad_col(c) for c in (*cols_x, *cols_y)]
     if has_u:
         in_specs += [center, center]
         operands += [u_cand, u_acc]
@@ -544,18 +585,34 @@ def sharded_phase(sx, sy, ox, oy, halos_x, halos_y, seeds, offs, *,
 
 
 def sharded_or_phase(sx, sy, ox, oy, halos_x, halos_y, offs, *,
-                     color: int, interpret: bool = False):
+                     color: int, cols_x=None, cols_y=None,
+                     interpret: bool = False):
     """One over-relaxation phase on y-sharded planes with exchanged
-    halo rows (deterministic)."""
+    halo rows (deterministic).  ``cols_x``/``cols_y``: exchanged
+    boundary columns for x-sharded blocks."""
     nrep, L, half = sx.shape
+    has_cols = cols_x is not None
     ty = _pick_tile_rows(L, half, budget_bytes=64 << 10, gran=8)
     n = L // ty
     hxu, hxd = _pad_halos(halos_x)
     hyu, hyd = _pad_halos(halos_y)
     center, up, dn, halo = _halo_specs(ty, L, half)
     kernel = functools.partial(
-        _halo_or_kernel, color=color, ty=ty, nblk=n
+        _halo_or_kernel, color=color, ty=ty, nblk=n, has_cols=has_cols
     )
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.SMEM),
+        center, center,
+        center, up, dn,
+        center, up, dn,
+        halo, halo, halo, halo,
+    ]
+    operands = [offs, sx, sy, ox, ox, ox, oy, oy, oy, hxu, hxd, hyu, hyd]
+    if has_cols:
+        col_spec = pl.BlockSpec((1, ty, 128), lambda r, i: (r, i, 0),
+                                memory_space=pltpu.VMEM)
+        in_specs += [col_spec] * 4
+        operands += [_pad_col(c) for c in (*cols_x, *cols_y)]
     return pl.pallas_call(
         kernel,
         out_shape=(
@@ -563,17 +620,11 @@ def sharded_or_phase(sx, sy, ox, oy, halos_x, halos_y, offs, *,
             jax.ShapeDtypeStruct((nrep, L, half), jnp.float32),
         ),
         grid=(nrep, n),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            center, center,
-            center, up, dn,
-            center, up, dn,
-            halo, halo, halo, halo,
-        ],
+        in_specs=in_specs,
         out_specs=(center, center),
         input_output_aliases={1: 0, 2: 1},
         interpret=interpret,
-    )(offs, sx, sy, ox, ox, ox, oy, oy, oy, hxu, hxd, hyu, hyd)
+    )(*operands)
 
 
 def shard_pallas_ok(local_shape: tuple[int, ...]) -> bool:

@@ -174,20 +174,31 @@ def _ising_local_sweep(model: Ising2D, a, b, key, ysh, xsh, rep0, row0,
     (m, e) partial sums fused into the phase-1 kernel on the Pallas
     path (the jnp path measures separately in the caller)."""
     use_pallas, interpret = _shard_pallas_mode(model, a.shape)
-    if use_pallas and xsh == 1:
+    if use_pallas:
         from cuda_fortran_mc_simulation_spin_tpu.ops import ising2d_pallas
 
-        offs = jnp.stack([jnp.int32(rep0), jnp.int32(row0)])
-        hu, hd = _xch(b, ysh)
+        if xsh == 1:
+            offs = jnp.stack([jnp.int32(rep0), jnp.int32(row0)])
+        else:
+            offs = jnp.stack(
+                [jnp.int32(rep0), jnp.int32(row0), jnp.int32(col0)])
+
+        def halos(o):
+            hu, hd = _xch(o, ysh)
+            if xsh == 1:
+                return dict(halo_up=hu, halo_dn=hd)
+            hl, hr = _xch_c(o, xsh)
+            return dict(halo_up=hu, halo_dn=hd, halo_lf=hl, halo_rt=hr)
+
         a = ising2d_pallas.sharded_phase(
-            a, b, hu, hd, ising2d_pallas.seeds_from_key(key, 0), offs,
+            a, b, seeds=ising2d_pallas.seeds_from_key(key, 0), offs=offs,
             color=0, beta=float(model.beta), interpret=interpret,
+            **halos(b),
         )
-        hu, hd = _xch(a, ysh)
         res = ising2d_pallas.sharded_phase(
-            b, a, hu, hd, ising2d_pallas.seeds_from_key(key, 1), offs,
+            b, a, seeds=ising2d_pallas.seeds_from_key(key, 1), offs=offs,
             color=1, beta=float(model.beta), interpret=interpret,
-            measuring=want_obs,
+            measuring=want_obs, **halos(a),
         )
         if want_obs:
             b, m, e = res
@@ -249,23 +260,34 @@ def _clock_local_sweep(model: Clock2D, a, b, key, ysh, xsh, rep0, row0,
     sums fused into the phase-1 kernel on the Pallas path."""
     q = model.q
     use_pallas, interpret = _shard_pallas_mode(model, a.shape)
-    if use_pallas and xsh == 1:
+    if use_pallas:
         from cuda_fortran_mc_simulation_spin_tpu.ops import (
             clock_pallas,
             ising2d_pallas,
         )
 
-        offs = jnp.stack([jnp.int32(rep0), jnp.int32(row0)])
-        hu, hd = _xch(b, ysh)
+        if xsh == 1:
+            offs = jnp.stack([jnp.int32(rep0), jnp.int32(row0)])
+        else:
+            offs = jnp.stack(
+                [jnp.int32(rep0), jnp.int32(row0), jnp.int32(col0)])
+
+        def halos(o):
+            hu, hd = _xch(o, ysh)
+            if xsh == 1:
+                return dict(halo_up=hu, halo_dn=hd)
+            hl, hr = _xch_c(o, xsh)
+            return dict(halo_up=hu, halo_dn=hd, halo_lf=hl, halo_rt=hr)
+
         a = clock_pallas.sharded_phase(
-            a, b, hu, hd, ising2d_pallas.seeds_from_key(key, 0), offs,
+            a, b, seeds=ising2d_pallas.seeds_from_key(key, 0), offs=offs,
             color=0, q=q, beta=float(model.beta), interpret=interpret,
+            **halos(b),
         )
-        hu, hd = _xch(a, ysh)
         res = clock_pallas.sharded_phase(
-            b, a, hu, hd, ising2d_pallas.seeds_from_key(key, 1), offs,
+            b, a, seeds=ising2d_pallas.seeds_from_key(key, 1), offs=offs,
             color=1, q=q, beta=float(model.beta), interpret=interpret,
-            measuring=want_obs,
+            measuring=want_obs, **halos(a),
         )
         if want_obs:
             b, mx, my, e = res
@@ -395,24 +417,25 @@ def _xy_local_sweep(model: XY2D, st: XYState, key, ysh, xsh, rep0, row0,
     use_pallas, interpret = _shard_pallas_mode(
         model, st.ax.shape, kind="xy"
     )
-    if use_pallas and xsh == 1:
+    if use_pallas:
         from cuda_fortran_mc_simulation_spin_tpu.ops import (
             ising2d_pallas,
             xy2d_pallas,
         )
 
-        offs = jnp.stack([jnp.int32(rep0), jnp.int32(row0)])
+        offs, colkw = _xy_offs_cols(rep0, row0, col0, xsh)
         ax, ay, bx, by = st
         ax, ay = xy2d_pallas.sharded_phase(
             ax, ay, bx, by, _xch(bx, ysh), _xch(by, ysh),
             ising2d_pallas.seeds_from_key(key, 0), offs,
             color=0, beta=float(model.beta), interpret=interpret,
+            **colkw(bx, by),
         )
         res = xy2d_pallas.sharded_phase(
             bx, by, ax, ay, _xch(ax, ysh), _xch(ay, ysh),
             ising2d_pallas.seeds_from_key(key, 1), offs,
             color=1, beta=float(model.beta), interpret=interpret,
-            measuring=want_obs,
+            measuring=want_obs, **colkw(ax, ay),
         )
         if want_obs:
             bx, by, (mx, my, e) = res
@@ -450,8 +473,22 @@ def _xy_local_sweep(model: XY2D, st: XYState, key, ysh, xsh, rep0, row0,
     return XYState(ax, ay, bx, by), None
 
 
+def _xy_offs_cols(rep0, row0, col0, xsh):
+    """(offs array, per-color column-halo kwargs fn) for the XY Pallas
+    sharded phases."""
+    if xsh == 1:
+        offs = jnp.stack([jnp.int32(rep0), jnp.int32(row0)])
+        return offs, lambda ox, oy: {}
+    offs = jnp.stack([jnp.int32(rep0), jnp.int32(row0), jnp.int32(col0)])
+
+    def colkw(ox, oy):
+        return dict(cols_x=_xch_c(ox, xsh), cols_y=_xch_c(oy, xsh))
+
+    return offs, colkw
+
+
 def _xy_local_or_sweep(model: XY2D, st: XYState, ysh, xsh=1, rep0=None,
-                       row0=None):
+                       row0=None, col0=0):
     """One over-relaxation sweep on y-sharded local blocks (deterministic
     reflection about the local field, halos over ICI) — the multi-chip
     form of update_over_relaxation
@@ -459,18 +496,18 @@ def _xy_local_or_sweep(model: XY2D, st: XYState, ysh, xsh=1, rep0=None,
     use_pallas, interpret = _shard_pallas_mode(
         model, st.ax.shape, kind="xy"
     )
-    if use_pallas and row0 is not None and xsh == 1:
+    if use_pallas and row0 is not None:
         from cuda_fortran_mc_simulation_spin_tpu.ops import xy2d_pallas
 
-        offs = jnp.stack([jnp.int32(rep0), jnp.int32(row0)])
+        offs, colkw = _xy_offs_cols(rep0, row0, col0, xsh)
         ax, ay, bx, by = st
         ax, ay = xy2d_pallas.sharded_or_phase(
             ax, ay, bx, by, _xch(bx, ysh), _xch(by, ysh), offs,
-            color=0, interpret=interpret,
+            color=0, interpret=interpret, **colkw(bx, by),
         )
         bx, by = xy2d_pallas.sharded_or_phase(
             bx, by, ax, ay, _xch(ax, ysh), _xch(ay, ysh), offs,
-            color=1, interpret=interpret,
+            color=1, interpret=interpret, **colkw(ax, ay),
         )
         return XYState(ax, ay, bx, by)
 
@@ -678,7 +715,7 @@ def _make_local_step(model, mesh: Mesh, n_over_relax: int = 0,
                     return lax.fori_loop(
                         0, n_over_relax,
                         lambda i, x: _xy_local_or_sweep(
-                            model, x, ysh, xsh, rep0, row0
+                            model, x, ysh, xsh, rep0, row0, col0
                         ),
                         s,
                     )

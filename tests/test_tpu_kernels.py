@@ -613,3 +613,79 @@ def test_ising3d_pallas_matches_jnp_statistically():
     sem = curves["jnp"].std(0, ddof=1) / np.sqrt(nsamp)
     diff = np.abs(curves["jnp"].mean(0) - curves["pallas"].mean(0))
     assert np.all(diff < 6 * sem + 2e-3)
+
+
+@requires_tpu
+def test_sharded_halo_cols_phase_on_tpu_bitwise():
+    """The x-sharded (column-halo) kernels must compile with Mosaic and,
+    when fed the periodic wrap columns with col0=0 (same PRNG stream as
+    the y-only kernel), produce BITWISE the same phase — the lane-roll
+    edge fixups are exact."""
+    import jax.numpy as jnp
+
+    from cuda_fortran_mc_simulation_spin_tpu.core import rng
+    from cuda_fortran_mc_simulation_spin_tpu.models.clock import Clock2D
+    from cuda_fortran_mc_simulation_spin_tpu.models.ising2d import Ising2D
+    from cuda_fortran_mc_simulation_spin_tpu.models.xy2d import XY2D
+    from cuda_fortran_mc_simulation_spin_tpu.ops import (
+        clock_pallas,
+        ising2d_pallas,
+        xy2d_pallas,
+    )
+
+    offs2 = jnp.array([0, 0], jnp.int32)
+    offs3 = jnp.array([0, 0, 0], jnp.int32)
+
+    # Ising
+    m = Ising2D(nx=256, ny=256, kbt=2.26918531421)
+    st = jax.vmap(lambda k: m.init_state("random", k))(
+        jax.random.split(rng.base_key(0), 2))
+    a, b = st.a, st.b
+    hu, hd = b[:, -1:], b[:, :1]
+    seeds = ising2d_pallas.seeds_from_key(rng.base_key(1), 0)
+    want = ising2d_pallas.sharded_phase(
+        a, b, hu, hd, seeds, offs2, color=0, beta=float(m.beta))
+    got = ising2d_pallas.sharded_phase(
+        a, b, hu, hd, seeds, offs3, color=0, beta=float(m.beta),
+        halo_lf=b[:, :, -1:], halo_rt=b[:, :, :1])
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+    # clock
+    cm = Clock2D(nx=256, ny=256, kbt=0.91, q=6)
+    cst = jax.vmap(lambda k: cm.init_state("random", k))(
+        jax.random.split(rng.base_key(2), 2))
+    x, o = cst.a, cst.b
+    want = clock_pallas.sharded_phase(
+        x, o, o[:, -1:], o[:, :1], seeds, offs2,
+        color=0, q=6, beta=float(cm.beta))
+    got = clock_pallas.sharded_phase(
+        x, o, o[:, -1:], o[:, :1], seeds, offs3,
+        color=0, q=6, beta=float(cm.beta),
+        halo_lf=o[:, :, -1:], halo_rt=o[:, :, :1])
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+    # XY Metropolis + OR
+    xm = XY2D(nx=256, ny=256, kbt=0.89)
+    xst = jax.vmap(lambda k: xm.init_state("random", k))(
+        jax.random.split(rng.base_key(3), 2))
+    ax, ay, bx, by = xst
+    halos_x = (bx[:, -1:], bx[:, :1])
+    halos_y = (by[:, -1:], by[:, :1])
+    cols_x = (bx[:, :, -1:], bx[:, :, :1])
+    cols_y = (by[:, :, -1:], by[:, :, :1])
+    want = xy2d_pallas.sharded_phase(
+        ax, ay, bx, by, halos_x, halos_y, seeds, offs2,
+        color=0, beta=float(xm.beta))
+    got = xy2d_pallas.sharded_phase(
+        ax, ay, bx, by, halos_x, halos_y, seeds, offs3,
+        color=0, beta=float(xm.beta), cols_x=cols_x, cols_y=cols_y)
+    for g, w in zip(got, want):
+        np.testing.assert_array_equal(np.asarray(g), np.asarray(w))
+
+    want = xy2d_pallas.sharded_or_phase(
+        ax, ay, bx, by, halos_x, halos_y, offs2, color=0)
+    got = xy2d_pallas.sharded_or_phase(
+        ax, ay, bx, by, halos_x, halos_y, offs3, color=0,
+        cols_x=cols_x, cols_y=cols_y)
+    for g, w in zip(got, want):
+        np.testing.assert_array_equal(np.asarray(g), np.asarray(w))
