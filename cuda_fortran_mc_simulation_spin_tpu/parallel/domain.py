@@ -155,6 +155,9 @@ def _shard_pallas_mode(model, local_shape,
     if kind == "xy":
         from cuda_fortran_mc_simulation_spin_tpu.ops import xy2d_pallas
         ok = xy2d_pallas.shard_pallas_ok(tuple(local_shape))
+    elif kind == "ising3d":
+        from cuda_fortran_mc_simulation_spin_tpu.ops import ising3d_pallas
+        ok = ising3d_pallas.shard_pallas_ok(tuple(local_shape))
     else:
         from cuda_fortran_mc_simulation_spin_tpu.ops import ising2d_pallas
         ok = ising2d_pallas.shard_pallas_ok(tuple(local_shape))
@@ -359,9 +362,37 @@ def _vector_bond_energy(cax, say, cbx, sby, ysh, xsh):
     return -(bond(cax, cbx) + bond(say, sby))
 
 
-def _ising3d_local_sweep(model, a, b, key, ysh, rep0, row0):
+def _ising3d_local_sweep(model, a, b, key, ysh, rep0, row0,
+                         want_obs=False):
     """z-sharded 3-D sweep: local blocks (R, nz_loc, ny, half); halo
-    planes exchanged over the mesh's domain axis."""
+    planes exchanged over the mesh's domain axis.  Returns (a, b,
+    obs_or_None) — (m, e) partials fused into the phase-1 kernel on the
+    Pallas path."""
+    use_pallas, interpret = _shard_pallas_mode(model, a.shape,
+                                               kind="ising3d")
+    if use_pallas:
+        from cuda_fortran_mc_simulation_spin_tpu.ops import (
+            ising2d_pallas,
+            ising3d_pallas,
+        )
+
+        offs = jnp.stack([jnp.int32(rep0), jnp.int32(row0)])
+        hzm, hzp = exchange_halo_rows(b, "y", ysh, row_axis=1)
+        a = ising3d_pallas.sharded_phase(
+            a, b, hzm, hzp, ising2d_pallas.seeds_from_key(key, 0), offs,
+            color=0, beta=float(model.beta), interpret=interpret,
+        )
+        hzm, hzp = exchange_halo_rows(a, "y", ysh, row_axis=1)
+        res = ising3d_pallas.sharded_phase(
+            b, a, hzm, hzp, ising2d_pallas.seeds_from_key(key, 1), offs,
+            color=1, beta=float(model.beta), interpret=interpret,
+            measuring=want_obs,
+        )
+        if want_obs:
+            b, m, e = res
+            return a, b, {"m": m, "e": e}
+        return a, res, None
+
     def phase(x, o, color, pkey):
         hzm, hzp = exchange_halo_rows(o, "y", ysh, row_axis=1)
         (u,) = _site_uniforms(pkey, rep0, row0, jnp.int32(0),
@@ -374,7 +405,7 @@ def _ising3d_local_sweep(model, a, b, key, ysh, rep0, row0):
 
     a = phase(a, b, 0, rng.phase_key(key, 0))
     b = phase(b, a, 1, rng.phase_key(key, 1))
-    return a, b
+    return a, b, None
 
 
 def _ising3d_local_obs(model, a, b, ysh):
@@ -730,10 +761,11 @@ def _make_local_step(model, mesh: Mesh, n_over_relax: int = 0,
             if with_obs and obs is None:
                 obs = _clock_local_obs(model, a, b, ysh, xsh)
         elif is_3d:
-            a, b = _ising3d_local_sweep(model, state.a, state.b,
-                                        key, ysh, rep0, row0)
+            a, b, obs = _ising3d_local_sweep(model, state.a, state.b,
+                                             key, ysh, rep0, row0,
+                                             want_obs=with_obs)
             state = CheckerboardState(a, b)
-            if with_obs:
+            if with_obs and obs is None:
                 obs = _ising3d_local_obs(model, a, b, ysh)
         else:
             a, b, obs = _ising_local_sweep(model, state.a, state.b, key,

@@ -317,6 +317,91 @@ def test_xy_halo_or_kernel_cols_matches_jnp():
     np.testing.assert_allclose(np.asarray(gy), np.asarray(wy), atol=1e-6)
 
 
+@pytest.mark.parametrize("color", [0, 1])
+def test_ising3d_halo_kernel_matches_jnp_stencil_bitwise(color):
+    """z-sharded 3-D phase kernel (interpret mode) vs the jnp halo
+    stencil — same bits, same flips."""
+    from cuda_fortran_mc_simulation_spin_tpu.core import tables
+    from cuda_fortran_mc_simulation_spin_tpu.ops import (
+        ising3d_pallas as i3p,
+    )
+
+    NZ = 4
+    key = rng.base_key(40)
+
+    def rs(k, shape):
+        return jnp.where(rng.uniform(k, shape) < 0.5, 1, -1).astype(
+            jnp.int8)
+
+    a = rs(jax.random.fold_in(key, 0), (R, NZ, L, HALF))
+    b = rs(jax.random.fold_in(key, 1), (R, NZ, L, HALF))
+    hzm = rs(jax.random.fold_in(key, 2), (R, 1, L, HALF))
+    hzp = rs(jax.random.fold_in(key, 3), (R, 1, L, HALF))
+    bits = jax.random.bits(jax.random.fold_in(key, 4),
+                           (R, NZ, L, HALF), dtype=jnp.uint32)
+    beta = 1.0 / 4.51152
+    t4, t8, t12 = tables.ising3d_accept_thresholds_u32(beta)
+    got = i3p.sharded_phase(
+        a, b, hzm, hzp, i2p.seeds_from_key(rng.base_key(41), 0),
+        jnp.array([0, 0], jnp.int32),
+        color=color, beta=beta, bits=bits, interpret=True,
+    )
+    nsum = jax.vmap(
+        lambda o1, h1, h2: lattice.neighbor_sums3d_halo(o1, h1, h2, color)
+    )(b, hzm, hzp)
+    k6 = a.astype(jnp.int32) * nsum.astype(jnp.int32)
+    thresh = jnp.where(
+        k6 == 2, jnp.uint32(t4),
+        jnp.where(k6 == 4, jnp.uint32(t8), jnp.uint32(t12)),
+    )
+    accept = (k6 <= 0) | (bits < thresh)
+    want = jnp.where(accept, -a.astype(jnp.int32), a).astype(jnp.int8)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+@pytest.mark.multichip
+def test_ising3d_halo_kernel_inside_shard_map_interpret():
+    """The 3-D halo kernel inside shard_map on the virtual mesh: T→0
+    absorbing known answer + gathered-state observable cross-check."""
+    if len(jax.devices()) < 4:
+        pytest.skip("needs 4 virtual devices")
+    from cuda_fortran_mc_simulation_spin_tpu.models.ising3d import Ising3D
+    from cuda_fortran_mc_simulation_spin_tpu.parallel import (
+        domain,
+        mesh as mesh_mod,
+    )
+
+    os.environ["SPINLAT_SHARD_PALLAS_INTERPRET"] = "1"
+    try:
+        msh = mesh_mod.make_mesh(1, 4)
+        cold = Ising3D(nx=2 * HALF, ny=32, nz=16, kbt=0.05,
+                       backend="jnp")
+        state = domain.replicated_init(cold, msh, 2, "allup",
+                                       rng.base_key(0))
+        step = domain.make_sharded_step(cold, msh)
+        state, obs = step(state, rng.base_key(1))
+        obs = jax.device_get(obs)
+        np.testing.assert_allclose(obs["m"], [1.0, 1.0])
+        np.testing.assert_allclose(obs["e"], [-3.0, -3.0])
+
+        tc = Ising3D(nx=2 * HALF, ny=32, nz=16, kbt=4.51152,
+                     backend="jnp")
+        state = domain.replicated_init(tc, msh, 2, "random",
+                                       rng.base_key(2))
+        step = domain.make_sharded_step(tc, msh)
+        for t in (1, 2):
+            state, obs = step(state, rng.sweep_key(rng.base_key(3), t))
+        obs = jax.device_get(obs)
+        for r in range(2):
+            sub = jax.tree.map(lambda x: x[r], state)
+            assert obs["m"][r] == pytest.approx(
+                float(tc.magne_sum(sub)) / tc.nsites, abs=1e-6)
+            assert obs["e"][r] == pytest.approx(
+                float(tc.energy_sum(sub)) / tc.nsites, abs=1e-6)
+    finally:
+        os.environ.pop("SPINLAT_SHARD_PALLAS_INTERPRET", None)
+
+
 @pytest.mark.multichip
 def test_halo_kernel_xsharded_shard_map_interpret():
     """The Pallas halo kernels on a (1, 2, 2) mesh — rows AND columns

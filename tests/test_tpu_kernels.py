@@ -689,3 +689,31 @@ def test_sharded_halo_cols_phase_on_tpu_bitwise():
         cols_x=cols_x, cols_y=cols_y)
     for g, w in zip(got, want):
         np.testing.assert_array_equal(np.asarray(g), np.asarray(w))
+
+
+@requires_tpu
+def test_ising3d_sharded_halo_phase_on_tpu():
+    """The z-sharded 3-D halo kernel compiles with Mosaic inside
+    shard_map on a (1,1) mesh: fused (m, e) match direct reductions."""
+    from cuda_fortran_mc_simulation_spin_tpu.core import rng
+    from cuda_fortran_mc_simulation_spin_tpu.models.ising3d import Ising3D
+    from cuda_fortran_mc_simulation_spin_tpu.parallel import (
+        domain,
+        mesh as mesh_mod,
+    )
+
+    model = Ising3D(nx=256, ny=64, nz=16, kbt=4.51152)
+    assert model.resolved_backend == "pallas"
+    msh = mesh_mod.make_mesh(1, 1)
+    state = domain.replicated_init(model, msh, 2, "random",
+                                   rng.base_key(0))
+    step = domain.make_sharded_step(model, msh)
+    state2, obs = step(state, rng.base_key(1))
+    obs = jax.device_get(obs)
+    for r in range(2):
+        sub = jax.tree.map(lambda x: x[r], state2)
+        assert obs["m"][r] == pytest.approx(
+            float(model.magne_sum(sub)) / model.nsites, abs=1e-6)
+        assert obs["e"][r] == pytest.approx(
+            float(model.energy_sum(sub)) / model.nsites, abs=1e-6)
+    assert not np.array_equal(np.asarray(state2.a), np.asarray(state.a))
