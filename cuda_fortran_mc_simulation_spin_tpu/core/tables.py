@@ -64,8 +64,10 @@ def state_cos_sin(state: jnp.ndarray, q: int,
             state_select(state, tab[:, 0], dtype),
             state_select(state, tab[:, 1], dtype),
         )
-    th = state.astype(jnp.float32) * jnp.float32(2.0 * np.pi / q)
-    return jnp.cos(th).astype(dtype), jnp.sin(th).astype(dtype)
+    from cuda_fortran_mc_simulation_spin_tpu.ops import trig
+
+    c, s = trig.cos_sin_2pi(state.astype(jnp.float32) * jnp.float32(1.0 / q))
+    return c.astype(dtype), s.astype(dtype)
 
 
 def clock_bond_energy_table(q: int) -> np.ndarray:

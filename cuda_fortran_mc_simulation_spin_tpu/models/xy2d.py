@@ -36,6 +36,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from cuda_fortran_mc_simulation_spin_tpu.core import lattice, rng
+from cuda_fortran_mc_simulation_spin_tpu.ops import trig
 
 
 class XYState(NamedTuple):
@@ -133,9 +134,7 @@ class XY2D:
         ΔE = -(S'-S)·Σnbr (/root/reference/src/xy2d_periodic_gpu_m.f90:
         368-397)."""
         hx, hy = self._field(ox, oy, color, halos)
-        ang = (_TWO_PI * u_cand).astype(jnp.float32)
-        cx = jnp.cos(ang)
-        cy = jnp.sin(ang)
+        cx, cy = trig.cos_sin_2pi(u_cand)
         de = -((cx - sx) * hx + (cy - sy) * hy)
         p = jnp.exp(-self.beta * jnp.maximum(de, 0.0))
         accept = u_acc < p

@@ -26,7 +26,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from cuda_fortran_mc_simulation_spin_tpu.core import tables
 from cuda_fortran_mc_simulation_spin_tpu.models.base import CheckerboardState
-from cuda_fortran_mc_simulation_spin_tpu.ops import stencil
+from cuda_fortran_mc_simulation_spin_tpu.ops import stencil, trig
 from cuda_fortran_mc_simulation_spin_tpu.ops.ising2d_pallas import (
     _pick_tile_rows,
     seeds_from_key,
@@ -38,8 +38,8 @@ def _cos_sin_chain(state_i32: jax.Array, q: int):
     transcendentals past the chain-depth crossover (core/tables.py) —
     this keeps runtime q unbounded by evaluation cost."""
     if q > tables._SELECT_CHAIN_MAX_Q:
-        th = state_i32.astype(jnp.float32) * np.float32(2.0 * np.pi / q)
-        return jnp.cos(th), jnp.sin(th)
+        return trig.cos_sin_2pi(
+            state_i32.astype(jnp.float32) * np.float32(1.0 / q))
     tab = tables.clock_unit_vectors(q)
     c = jnp.full(state_i32.shape, np.float32(tab[0, 0]), jnp.float32)
     s = jnp.full(state_i32.shape, np.float32(tab[0, 1]), jnp.float32)

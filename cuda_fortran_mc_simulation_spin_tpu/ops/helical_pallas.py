@@ -39,6 +39,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from cuda_fortran_mc_simulation_spin_tpu.ops import stencil
+from cuda_fortran_mc_simulation_spin_tpu.ops import trig
 from cuda_fortran_mc_simulation_spin_tpu.ops.ising2d_pallas import (
     accept_thresholds_u32,
     seeds_from_key,
@@ -263,11 +264,12 @@ def _clock_kernel(seed_ref, g_in, g_ref, obs_ref,
     g_ref[0] = g_in[0]
     col = jax.lax.broadcasted_iota(jnp.int32, (ty, W), 1)
     valid = col < nx
-    to_rad = jnp.float32(_TWO_PI / q)
+    inv_q = jnp.float32(1.0 / q)
 
     def cs(k):
-        th = k.astype(jnp.float32) * to_rad
-        return jnp.cos(th), jnp.sin(th)
+        # decode via the quarter-period polynomial (ops/trig.py): the
+        # VPU cos/sin pair costs more than the rest of the decode
+        return trig.cos_sin_2pi(k.astype(jnp.float32) * inv_q)
 
     def decoded_nbrs(i):
         """Decode the block's (cos, sin) ONCE and derive all four
@@ -440,9 +442,7 @@ def _xy_phase_kernel(seed_ref, sx_ref, sxu_ref, sxd_ref,
     u_cand = stencil.bits_to_uniform(
         pltpu.bitcast(pltpu.prng_random_bits((ty, W)), jnp.uint32)
     )
-    ang = jnp.float32(_TWO_PI) * u_cand
-    cx = jnp.cos(ang)
-    cy = jnp.sin(ang)
+    cx, cy = trig.cos_sin_2pi(u_cand)
     de = -((cx - sx) * hx + (cy - sy) * hy)
     p = jnp.exp(jnp.float32(-beta) * jnp.maximum(de, 0.0))
     u_acc = stencil.bits_to_uniform(

@@ -41,13 +41,14 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from cuda_fortran_mc_simulation_spin_tpu.models.xy2d import XYState
-from cuda_fortran_mc_simulation_spin_tpu.ops import stencil
+from cuda_fortran_mc_simulation_spin_tpu.ops import stencil, trig
 from cuda_fortran_mc_simulation_spin_tpu.ops.ising2d_pallas import (
     seeds_from_key,
 )
 
 _TWO_PI = float(2.0 * np.pi)
 _TO_RAD = np.float32(_TWO_PI / 65536.0)
+_INV_TURN = np.float32(1.0 / 65536.0)  # int16 angle units -> turns
 _GRAN = 16  # int16 sublane granule
 
 # int16 angle planes: state (2) + snapshot (2), plus f32 block temps
@@ -91,8 +92,14 @@ def _pick_ty(ny: int, half: int) -> int:
 
 
 def _cs(k_i32):
-    th = k_i32.astype(jnp.float32) * _TO_RAD
-    return jnp.cos(th), jnp.sin(th)
+    # quarter-period polynomial (ops/trig.py): the in-kernel decode was
+    # transcendental-bound with VPU cos/sin
+    return trig.cos_sin_2pi(k_i32.astype(jnp.float32) * _INV_TURN)
+
+
+def _cos_units(dk_i32):
+    """cos of an int16 angle-unit difference (autocorrelation term)."""
+    return trig.cos_sin_2pi(dk_i32.astype(jnp.float32) * _INV_TURN)[0]
 
 
 def _atan2_units(y, x):
@@ -194,10 +201,8 @@ def _kernel(seed_ref, pa_in, pb_in, sa_ref, sb_ref,
         ka = pa_ref[0, pl.ds(y0, ty), :].astype(jnp.int32)
         ksa = sa_ref[0, pl.ds(y0, ty), :].astype(jnp.int32)
         ksb = sb_ref[0, pl.ds(y0, ty), :].astype(jnp.int32)
-        A = A + jnp.sum(jnp.cos((ksa - ka).astype(jnp.float32) * _TO_RAD))
-        A = A + jnp.sum(
-            jnp.cos((ksb - newk).astype(jnp.float32) * _TO_RAD)
-        )
+        A = A + jnp.sum(_cos_units(ksa - ka))
+        A = A + jnp.sum(_cos_units(ksb - newk))
         return mx, my, e, A
 
     def or_phase(x_ref, o_ref, i, color):
@@ -294,8 +299,8 @@ def _kernel(seed_ref, pa_in, pb_in, sa_ref, sb_ref,
         my = my + jnp.sum(cay) + jnp.sum(by)
         ksa = sa_ref[0, pl.ds(y0, ty), :].astype(jnp.int32)
         ksb = sb_ref[0, pl.ds(y0, ty), :].astype(jnp.int32)
-        A = A + jnp.sum(jnp.cos((ksa - ka).astype(jnp.float32) * _TO_RAD))
-        A = A + jnp.sum(jnp.cos((ksb - kb).astype(jnp.float32) * _TO_RAD))
+        A = A + jnp.sum(_cos_units(ksa - ka))
+        A = A + jnp.sum(_cos_units(ksb - kb))
         return mx, my, e, A
 
     jax.lax.fori_loop(0, sweeps, sweep_body, 0)

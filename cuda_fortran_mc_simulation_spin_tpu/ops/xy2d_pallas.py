@@ -26,7 +26,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from cuda_fortran_mc_simulation_spin_tpu.models.xy2d import XYState
-from cuda_fortran_mc_simulation_spin_tpu.ops import stencil
+from cuda_fortran_mc_simulation_spin_tpu.ops import stencil, trig
 from cuda_fortran_mc_simulation_spin_tpu.ops.ising2d_pallas import (
     _pick_tile_rows,
     seeds_from_key,
@@ -65,9 +65,7 @@ def _metropolis_kernel(seed_ref, sx_ref, sy_ref,
     u_cand = stencil.bits_to_uniform(
         pltpu.bitcast(pltpu.prng_random_bits(sx.shape), jnp.uint32)
     )
-    ang = _TWO_PI * u_cand
-    cx = jnp.cos(ang)
-    cy = jnp.sin(ang)
+    cx, cy = trig.cos_sin_2pi(u_cand)
     de = -((cx - sx) * hx + (cy - sy) * hy)
     p = jnp.exp(jnp.float32(-beta) * jnp.maximum(de, 0.0))
     u_acc = stencil.bits_to_uniform(
@@ -241,9 +239,7 @@ def _metropolis_measure_kernel(seed_ref, sx_ref, sy_ref,
     u_cand = stencil.bits_to_uniform(
         pltpu.bitcast(pltpu.prng_random_bits(sx.shape), jnp.uint32)
     )
-    ang = _TWO_PI * u_cand
-    cx = jnp.cos(ang)
-    cy = jnp.sin(ang)
+    cx, cy = trig.cos_sin_2pi(u_cand)
     de = -((cx - sx) * hx + (cy - sy) * hy)
     p = jnp.exp(jnp.float32(-beta) * jnp.maximum(de, 0.0))
     u_acc = stencil.bits_to_uniform(
@@ -415,9 +411,7 @@ def _halo_metropolis_kernel(seed_ref, offs_ref, sx_ref, sy_ref,
             pltpu.prng_random_bits(sx.shape), jnp.uint32))
         u_acc = stencil.bits_to_uniform(pltpu.bitcast(
             pltpu.prng_random_bits(sx.shape), jnp.uint32))
-    ang = _TWO_PI * u_cand
-    cx = jnp.cos(ang)
-    cy = jnp.sin(ang)
+    cx, cy = trig.cos_sin_2pi(u_cand)
     de = -((cx - sx) * hx + (cy - sy) * hy)
     p = jnp.exp(jnp.float32(-beta) * jnp.maximum(de, 0.0))
     accept = u_acc < p

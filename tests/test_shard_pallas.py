@@ -86,10 +86,57 @@ def test_halo_kernel_row0_parity():
 
 
 @pytest.mark.parametrize("color", [0, 1])
+def test_xy_halo_kernel_matches_jnp_phase_exact_stub_trig(color):
+    """XY sharded Metropolis phase (interpret mode) vs the jnp sharded
+    phase with a contraction-free trig stub: the stencil/halo/accept
+    logic must agree BITWISE.  (The real ops/trig.py polynomial is the
+    one float chain where XLA's FMA contraction may differ by 1 ulp
+    between the jnp and Pallas compilation contexts, so the exact check
+    uses a stub and the real-trig check below uses atol=1e-6.)"""
+    import cuda_fortran_mc_simulation_spin_tpu.ops.trig as trig
+    from cuda_fortran_mc_simulation_spin_tpu.models.xy2d import XY2D
+    from cuda_fortran_mc_simulation_spin_tpu.ops import xy2d_pallas as xyp
+
+    orig = trig.cos_sin_2pi
+    trig.cos_sin_2pi = lambda u: (1.0 - u, u)
+    try:
+        model = XY2D(nx=2 * HALF, ny=4 * L, kbt=0.89, backend="jnp")
+        st = jax.vmap(lambda k: model.init_state("random", k))(
+            jax.random.split(rng.base_key(50), R)
+        )
+        hx_src = jax.vmap(lambda k: model.init_state("random", k))(
+            jax.random.split(rng.base_key(51), R)
+        )
+        halos_x = (hx_src.bx[:, :1], hx_src.bx[:, 1:2])
+        halos_y = (hx_src.by[:, :1], hx_src.by[:, 1:2])
+        u_c = rng.uniform(rng.base_key(52), (R, L, HALF))
+        u_a = rng.uniform(rng.base_key(53), (R, L, HALF))
+        sx, sy = st.ax[:, :L], st.ay[:, :L]
+        ox, oy = st.bx[:, :L], st.by[:, :L]
+        gx, gy = xyp.sharded_phase(
+            sx, sy, ox, oy, halos_x, halos_y,
+            xyp.seeds_from_key(rng.base_key(54), 0),
+            jnp.array([0, 0], jnp.int32),
+            color=color, beta=float(model.beta), u_cand=u_c, u_acc=u_a,
+            interpret=True,
+        )
+        wx, wy = jax.vmap(
+            lambda a1, a2, b1, b2, h1, h2, h3, h4, uc, ua: model._phase(
+                a1, a2, b1, b2, color, uc, ua, halos=((h1, h2), (h3, h4))
+            )
+        )(sx, sy, ox, oy, halos_x[0], halos_x[1], halos_y[0], halos_y[1],
+          u_c, u_a)
+        np.testing.assert_array_equal(np.asarray(gx), np.asarray(wx))
+        np.testing.assert_array_equal(np.asarray(gy), np.asarray(wy))
+    finally:
+        trig.cos_sin_2pi = orig
+
+
+@pytest.mark.parametrize("color", [0, 1])
 def test_xy_halo_kernel_matches_jnp_phase_bitwise(color):
     """XY sharded Metropolis phase (interpret mode) given explicit
-    uniforms must equal the jnp sharded phase exactly — identical float
-    op sequence."""
+    uniforms matches the jnp sharded phase to 1 ulp (same op sequence;
+    only the candidate polynomial's FMA contraction may differ)."""
     from cuda_fortran_mc_simulation_spin_tpu.models.xy2d import XY2D
     from cuda_fortran_mc_simulation_spin_tpu.ops import xy2d_pallas as xyp
 
@@ -120,8 +167,8 @@ def test_xy_halo_kernel_matches_jnp_phase_bitwise(color):
         )
     )(sx, sy, ox, oy, halos_x[0], halos_x[1], halos_y[0], halos_y[1],
       u_c, u_a)
-    np.testing.assert_array_equal(np.asarray(gx), np.asarray(wx))
-    np.testing.assert_array_equal(np.asarray(gy), np.asarray(wy))
+    np.testing.assert_allclose(np.asarray(gx), np.asarray(wx), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(gy), np.asarray(wy), atol=1e-6)
 
 
 def test_xy_halo_or_kernel_matches_jnp():
@@ -283,8 +330,8 @@ def test_xy_halo_kernel_cols_matches_jnp_phase_bitwise(color):
             halos=((x1, x2, x3, x4), (y1, y2, y3, y4)),
         )
     )(sx, sy, ox, oy, *halos_x, *cols_x, *halos_y, *cols_y, u_c, u_a)
-    np.testing.assert_array_equal(np.asarray(gx), np.asarray(wx))
-    np.testing.assert_array_equal(np.asarray(gy), np.asarray(wy))
+    np.testing.assert_allclose(np.asarray(gx), np.asarray(wx), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(gy), np.asarray(wy), atol=1e-6)
 
 
 def test_xy_halo_or_kernel_cols_matches_jnp():

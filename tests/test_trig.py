@@ -1,0 +1,29 @@
+"""ops/trig.py: the quarter-period polynomial must match float64
+cos/sin at float32 roundoff level across the full period."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from cuda_fortran_mc_simulation_spin_tpu.ops import trig
+
+
+def test_cos_sin_2pi_accuracy_and_norm():
+    u = jnp.linspace(0.0, 1.0, 200001)[:-1].astype(jnp.float32)
+    c, s = trig.cos_sin_2pi(u)
+    u64 = np.asarray(u, np.float64)
+    np.testing.assert_allclose(np.asarray(c), np.cos(2 * np.pi * u64),
+                               atol=2e-7)
+    np.testing.assert_allclose(np.asarray(s), np.sin(2 * np.pi * u64),
+                               atol=2e-7)
+    norm = np.hypot(np.asarray(c, np.float64), np.asarray(s, np.float64))
+    np.testing.assert_allclose(norm, 1.0, atol=3e-7)
+
+
+def test_cos_sin_2pi_exact_cardinals():
+    """u = 0, 1/4, 1/2, 3/4 hit the quadrant selects exactly (r = 0)."""
+    u = jnp.array([0.0, 0.25, 0.5, 0.75], jnp.float32)
+    c, s = trig.cos_sin_2pi(u)
+    np.testing.assert_allclose(np.asarray(c), [1.0, 0.0, -1.0, 0.0],
+                               atol=2e-8)
+    np.testing.assert_allclose(np.asarray(s), [0.0, 1.0, 0.0, -1.0],
+                               atol=2e-8)
