@@ -31,6 +31,45 @@ _S = (1.5707963234e+00, -6.4596361199e-01,
       7.9681932446e-02, -4.6074307448e-03)
 
 
+# e^(-r) ≈ Σ _ER[k] r^k on r ∈ [-ln2/2, ln2/2] (Chebyshev, rel 6e-9)
+_ER = (9.9999999997e-01, -1.0000000281e+00, 5.0000000844e-01,
+       -1.6666455876e-01, 4.1666280339e-02, -8.3719121942e-03,
+       1.3944600787e-03)
+_LOG2E = 1.4426950408889634
+# Cody-Waite ln2 split: hi has 9 mantissa bits, so n·hi is exact for
+# the n ≤ 182 this domain produces; lo mops up the rest
+_LN2_HI = 0.693359375
+_LN2_LO = -2.1219444005469057e-04
+
+
+def exp_neg(x: jax.Array) -> jax.Array:
+    """e^(-x) for x ≥ 0, f32 — the Metropolis acceptance probability
+    exp(-βΔE) (clamped ΔE ≥ 0).  n = round(x·log₂e); r = x - n·ln2 via
+    a Cody-Waite hi/lo split (argument reduction stays exact); e^(-r)
+    by polynomial; 2^(-n) by writing the exponent bits directly.
+
+    Rel err ≤ ~2e-7 (f32 roundoff); exp_neg(0) == 1.0 exactly, so
+    ΔE ≤ 0 always accepts.  n is clamped so the exponent never wraps:
+    p < 2^-126 is unreachable anyway (uniforms have 2^-24 granularity,
+    so any p below that never accepts)."""
+    x = x.astype(jnp.float32)
+    # magic-number round-to-nearest: adding 1.5·2²³ forces the mantissa
+    # to integer precision; the low mantissa bits then ARE the integer,
+    # so no round op and no float→int convert
+    t = x * jnp.float32(_LOG2E) + jnp.float32(12582912.0)
+    n = t - jnp.float32(12582912.0)
+    ni = jax.lax.bitcast_convert_type(t, jnp.int32) - jnp.int32(0x4B400000)
+    r = (x - n * jnp.float32(_LN2_HI)) - n * jnp.float32(_LN2_LO)
+    p = jnp.float32(_ER[6])
+    for c in (_ER[5], _ER[4], _ER[3], _ER[2], _ER[1], _ER[0]):
+        p = p * r + jnp.float32(c)
+    ni = jnp.minimum(ni, jnp.int32(126))
+    scale = jax.lax.bitcast_convert_type(
+        (jnp.int32(127) - ni) << jnp.int32(23), jnp.float32
+    )
+    return p * scale
+
+
 def cos_sin_2pi(u: jax.Array) -> tuple[jax.Array, jax.Array]:
     """(cos 2πu, sin 2πu) for u ∈ [0, 1), f32 in / f32 out.
 

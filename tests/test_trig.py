@@ -19,6 +19,17 @@ def test_cos_sin_2pi_accuracy_and_norm():
     np.testing.assert_allclose(norm, 1.0, atol=3e-7)
 
 
+def test_exp_neg_accuracy():
+    """exp_neg matches float64 e^-x to ~1e-7 relative over the
+    acceptance-probability domain, and is exactly 1 at x = 0."""
+    x = jnp.linspace(0.0, 30.0, 300001).astype(jnp.float32)
+    got = np.asarray(trig.exp_neg(x), np.float64)
+    want = np.exp(-np.asarray(x, np.float64))
+    rel = np.max(np.abs(got - want) / want)
+    assert rel < 3e-7
+    assert float(trig.exp_neg(jnp.float32(0.0))) == 1.0
+
+
 def test_cos_sin_2pi_exact_cardinals():
     """u = 0, 1/4, 1/2, 3/4 hit the quadrant selects exactly (r = 0)."""
     u = jnp.array([0.0, 0.25, 0.5, 0.75], jnp.float32)
