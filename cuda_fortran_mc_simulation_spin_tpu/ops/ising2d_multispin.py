@@ -1,0 +1,407 @@
+"""Bit-packed (multispin-coded) checkerboard Metropolis for Ising2D.
+
+The fused int8 phase kernel (ops/ising2d_pallas.py) is VPU-compute
+bound: ~9 int32 word-ops per site at the measured ~10¹² i32 op/s leave
+the 8192² headline at ~1.1×10¹¹ flips/s, 40% of the HBM roofline.
+This kernel stores 32 spins per int32 word (bit k of word row Y is
+lattice row y = 32Y + k of one checkerboard color) and runs the whole
+update in boolean algebra, ~3-4 word-ops per 32 sites:
+
+- neighbor geometry: y±1 are single-bit funnel shifts with a carry bit
+  from the adjacent word row; x±1 are lane rolls of whole words; the
+  row-parity left/right selection of the dual-color layout
+  (core/lattice.py:18-28) becomes constant bit masks 0xAAAA.../0x5555...
+  because bit parity IS row parity;
+- the 4-neighbor count is a bit-sliced 4:3 counter (two half-adder
+  layers), giving ones/twos/fours planes;
+- acceptance: the only positive-ΔE cases are (spin up, count 3|4) and
+  (spin down, count 1|0) (ΔE = 4 resp. 8 — the reference's exparr
+  levels, /root/reference/src/ising2d_gpu_m.f90:122-131); the Bernoulli
+  planes B4 ~ exp(-4β), B8 ~ exp(-8β) come from per-bit random chains:
+  with p = 0.d₁d₂…d_k binary, B = fold(r_j | B if d_j else r_j & B)
+  over digits LSB→MSB gives P(bit) = p exactly at k-digit resolution
+  (2⁻²⁰ here, an order below the f32 rounding of exp(-βΔE) thresholds
+  the unpacked kernels use on p₈ ≈ 7×10⁻⁴).
+
+This is the multispin coding technique of the classic CUDA Ising
+literature (PAPERS.md "A Performance Study of the 2D Ising Model on
+GPUs") re-built on TPU word lanes: the reference itself updates one
+spin per thread (/root/reference/src/ising2d_gpu_m.f90:148-162).
+
+Same dual-color dense storage and update order as the int8 engine, so
+physics (detailed balance, checkerboard phasing) is identical; the RNG
+*consumption pattern* differs (bit chains vs one u32 compare per site),
+so trajectories match the int8 engine statistically, not bitwise.
+Validation: packed-vs-unpacked single-phase equivalence given injected
+Bernoulli planes (bitwise, CPU+TPU), chain-probability statistics, and
+equilibrium energy at Tc on the chip (tests/test_ising2d_multispin.py).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from cuda_fortran_mc_simulation_spin_tpu.models.base import CheckerboardState
+from cuda_fortran_mc_simulation_spin_tpu.ops import stencil
+from cuda_fortran_mc_simulation_spin_tpu.ops.ising2d_pallas import (
+    seeds_from_key,
+)
+
+PACK = 32          # spins per word (int32)
+CHAIN_BITS = 20    # Bernoulli-chain resolution: P quantized to 2^-20
+_ODD_BITS = 0xAAAAAAAA   # word bits at odd lattice rows
+_EVEN_BITS = 0x55555555
+_TYP = 32          # word-rows per grid block (multiple of 8)
+
+
+def packable(ny: int, half: int) -> bool:
+    """Shape is servable by the multispin kernel: the y extent packs
+    into whole words and word-rows tile into 8-sublane granules."""
+    return ny % (PACK * 8) == 0 and half % 128 == 0
+
+
+def _pick_typ(nyp: int) -> int:
+    """Largest multiple-of-8 divisor of nyp not exceeding _TYP (the
+    8-word-row halo BlockSpec trick needs 8-aligned tiles)."""
+    typ = min(_TYP, nyp)
+    typ -= typ % 8
+    while typ >= 8:
+        if nyp % typ == 0:
+            return typ
+        typ -= 8
+    raise ValueError(f"nyp={nyp} needs a multiple-of-8 tiling "
+                     "(ny % 256 == 0)")
+
+
+def pack_color(plane: jax.Array) -> jax.Array:
+    """(..., ny, half) ±1 int8 color plane -> (..., ny//32, half) int32
+    with bit k of word row Y = (spin at row 32Y+k) > 0."""
+    ny, half = plane.shape[-2:]
+    bits = (plane > 0).astype(jnp.uint32)
+    bits = bits.reshape(plane.shape[:-2] + (ny // PACK, PACK, half))
+    w = jnp.zeros(plane.shape[:-2] + (ny // PACK, half), jnp.uint32)
+    for k in range(PACK):
+        w = w | (bits[..., k, :] << np.uint32(k))
+    return w.astype(jnp.int32)
+
+
+def unpack_color(w: jax.Array) -> jax.Array:
+    """Inverse of :func:`pack_color` (to ±1 int8)."""
+    wu = w.astype(jnp.uint32)
+    rows = [
+        (((wu >> np.uint32(k)) & jnp.uint32(1)).astype(jnp.int32) * 2 - 1)
+        for k in range(PACK)
+    ]
+    stacked = jnp.stack(rows, axis=-2)  # (..., nyp, 32, half)
+    shape = w.shape[:-2] + (w.shape[-2] * PACK, w.shape[-1])
+    return stacked.reshape(shape).astype(jnp.int8)
+
+
+def popcount_sum(w: jax.Array) -> jax.Array:
+    """Total set-bit (spin-up) count over packed planes (SWAR)."""
+    u = w.astype(jnp.uint32)
+    u = u - ((u >> jnp.uint32(1)) & jnp.uint32(0x55555555))
+    u = ((u & jnp.uint32(0x33333333))
+         + ((u >> jnp.uint32(2)) & jnp.uint32(0x33333333)))
+    u = (u + (u >> jnp.uint32(4))) & jnp.uint32(0x0F0F0F0F)
+    per_word = (u * jnp.uint32(0x01010101)) >> jnp.uint32(24)
+    return jnp.sum(per_word.astype(jnp.int32))
+
+
+def chain_digits(p: float, k: int = CHAIN_BITS) -> list[int]:
+    """Binary digits d₁..d_k (MSB first) of p rounded to k bits."""
+    q = int(round(min(max(p, 0.0), 1.0) * (1 << k)))
+    if q >= (1 << k):  # p == 1 within resolution: handled by caller
+        q = (1 << k) - 1
+    return [(q >> (k - 1 - j)) & 1 for j in range(k)]
+
+
+def _bern_plane(shape, digits, gen):
+    """Bernoulli(0.d₁d₂…) bit plane from fresh random words.
+
+    LSB→MSB: B ← r|B on digit 1, r&B on digit 0; trailing zero digits
+    are skipped (they only mask an all-zero start)."""
+    j = len(digits) - 1
+    while j >= 0 and digits[j] == 0:
+        j -= 1
+    if j < 0:
+        return jnp.zeros(shape, jnp.uint32)
+    b = gen()  # digit j is 1: B = r | 0
+    for d in reversed(digits[:j]):
+        r = gen()
+        b = (r | b) if d else (r & b)
+    return b
+
+
+def _nbr_planes(o, w_prev, w_next, color: int):
+    """(up, dn, center, side) one-bit neighbor planes for a packed
+    other-color block.  w_prev/w_next: word rows above/below (spliced
+    halos).  All uint32."""
+    one = jnp.uint32(1)
+    up = (o << one) | (w_prev >> jnp.uint32(31))
+    dn = (o >> one) | (w_next << jnp.uint32(31))
+    minus = pltpu.roll(o, 1, axis=1)            # x: i-1
+    plus = pltpu.roll(o, o.shape[1] - 1, axis=1)  # x: i+1
+    odd = jnp.uint32(_ODD_BITS)
+    even = jnp.uint32(_EVEN_BITS)
+    if color == 0:
+        side = (plus & odd) | (minus & even)
+    else:
+        side = (minus & odd) | (plus & even)
+    return up, dn, o, side
+
+
+def _count_planes(n1, n2, n3, n4):
+    """Bit-sliced count of 4 one-bit planes -> (ones, twos, fours)."""
+    s1 = n1 ^ n2
+    c1 = n1 & n2
+    s2 = n3 ^ n4
+    c2 = n3 & n4
+    ones = s1 ^ s2
+    c3 = s1 & s2
+    twos = c1 ^ c2 ^ c3
+    fours = (c1 & c2) | (c3 & (c1 ^ c2))
+    return ones, twos, fours
+
+
+def _flip_plane(x, ones, twos, fours, b4, b8):
+    """Packed Metropolis decision: flip mask for spin plane ``x`` given
+    neighbor-count planes and Bernoulli threshold planes."""
+    nx_ = ~x
+    nf = ~fours
+    c3p = twos & ones & nf
+    c1p = ones & ~twos & nf
+    c0p = ~(ones | twos | fours)
+    need4 = (x & c3p) | (nx_ & c1p)
+    need8 = (x & fours) | (nx_ & c0p)
+    return ~(need4 | need8) | (need4 & b4) | (need8 & b8)
+
+
+def packed_phase_reference(xw, ow, color: int, b4, b8):
+    """Pure-jnp packed phase on full planes (periodic wrap via roll) —
+    the oracle the Pallas kernel is tested against bitwise."""
+    xw = xw.astype(jnp.uint32)
+    ow = ow.astype(jnp.uint32)
+    w_prev = jnp.roll(ow, 1, axis=0)
+    w_next = jnp.roll(ow, -1, axis=0)
+    one = jnp.uint32(1)
+    up = (ow << one) | (w_prev >> jnp.uint32(31))
+    dn = (ow >> one) | (w_next << jnp.uint32(31))
+    minus = jnp.roll(ow, 1, axis=1)
+    plus = jnp.roll(ow, -1, axis=1)
+    odd = jnp.uint32(_ODD_BITS)
+    even = jnp.uint32(_EVEN_BITS)
+    if color == 0:
+        side = (plus & odd) | (minus & even)
+    else:
+        side = (minus & odd) | (plus & even)
+    ones, twos, fours = _count_planes(up, dn, ow, side)
+    flip = _flip_plane(xw, ones, twos, fours,
+                       b4.astype(jnp.uint32), b8.astype(jnp.uint32))
+    return (xw ^ flip).astype(jnp.int32)
+
+
+def _pc_plane(u):
+    """Per-word set-bit count (SWAR), uint32 plane -> int32 plane."""
+    u = u - ((u >> jnp.uint32(1)) & jnp.uint32(0x55555555))
+    u = ((u & jnp.uint32(0x33333333))
+         + ((u >> jnp.uint32(2)) & jnp.uint32(0x33333333)))
+    u = (u + (u >> jnp.uint32(4))) & jnp.uint32(0x0F0F0F0F)
+    return ((u * jnp.uint32(0x01010101)) >> jnp.uint32(24)).astype(
+        jnp.int32)
+
+
+def _pc_sum(u):
+    return jnp.sum(_pc_plane(u))
+
+
+def _phase_kernel(seed_ref, x_ref, oc_ref, oup_ref, odn_ref, *rest,
+                  color: int, d4, d8, has_bits: bool,
+                  measuring: bool = False):
+    refs = list(rest)
+    obs_ref = refs.pop() if measuring else None
+    if has_bits:
+        b4_ref, b8_ref, out_ref = refs
+    else:
+        (out_ref,) = refs
+    r = pl.program_id(0)
+    i = pl.program_id(1)
+    x = pltpu.bitcast(x_ref[0], jnp.uint32)
+    o = pltpu.bitcast(oc_ref[0], jnp.uint32)
+    w_prev, w_next = stencil.splice_updown(
+        o,
+        pltpu.bitcast(oup_ref[0, 7:8, :], jnp.uint32),
+        pltpu.bitcast(odn_ref[0, 0:1, :], jnp.uint32),
+    )
+    up, dn, ctr, side = _nbr_planes(o, w_prev, w_next, color)
+    ones, twos, fours = _count_planes(up, dn, ctr, side)
+    if has_bits:
+        b4 = pltpu.bitcast(b4_ref[0], jnp.uint32)
+        b8 = pltpu.bitcast(b8_ref[0], jnp.uint32)
+    else:
+        tile_tag = i * jnp.int32(-1640531527) + r * jnp.int32(0x3C6EF35F)
+        pltpu.prng_seed(seed_ref[0], seed_ref[1] ^ tile_tag)
+
+        def gen():
+            return pltpu.bitcast(pltpu.prng_random_bits(x.shape),
+                                 jnp.uint32)
+
+        b4 = _bern_plane(x.shape, d4, gen)
+        b8 = _bern_plane(x.shape, d8, gen)
+    flip = _flip_plane(x, ones, twos, fours, b4, b8)
+    new = x ^ flip
+    out_ref[0] = pltpu.bitcast(new, jnp.int32)
+    if measuring:
+        # phase-b fused (m, e): the count planes come from the FINAL
+        # other-color values, so e = -Σ_b s_b·(2c-4) covers every bond
+        # once (same trick as the int8 measure-in-phase kernels);
+        # s = 2·bit-1 and Σ s·(2c-4) = 4·Σ(bit·c) - 8·Σbit - 2·Σc + 4N.
+        nblk = jnp.int32(x.shape[0] * x.shape[1] * PACK)
+        s_x = _pc_sum(new)
+        s_c = (_pc_sum(ones) + 2 * _pc_sum(twos) + 4 * _pc_sum(fours))
+        s_xc = (_pc_sum(new & ones) + 2 * _pc_sum(new & twos)
+                + 4 * _pc_sum(new & fours))
+        m = 2 * (s_x + _pc_sum(o)) - 2 * nblk
+        e = -(4 * s_xc - 8 * s_x - 2 * s_c + 4 * nblk)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+        row = jnp.where(lane == 0, m, jnp.where(lane == 1, e, 0))
+
+        @pl.when(i == 0)
+        def _():
+            obs_ref[0] = jnp.zeros_like(obs_ref[0])
+
+        obs_ref[0] = obs_ref[0] + row
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("color", "beta", "nrep", "nyp", "half", "measuring"),
+)
+def _metropolis_phase_packed(xw, ow, seeds, *, color, beta, nrep, nyp,
+                             half, measuring=False):
+    d4 = tuple(chain_digits(float(np.exp(-4.0 * beta))))
+    d8 = tuple(chain_digits(float(np.exp(-8.0 * beta))))
+    typ = _pick_typ(nyp)
+    n = nyp // typ
+    nb8 = nyp // 8
+    kernel = functools.partial(
+        _phase_kernel, color=color, d4=d4, d8=d8, has_bits=False,
+        measuring=measuring,
+    )
+    out_shape = [jax.ShapeDtypeStruct((nrep, nyp, half), jnp.int32)]
+    out_specs = [pl.BlockSpec((1, typ, half), lambda r, i: (r, i, 0),
+                              memory_space=pltpu.VMEM)]
+    if measuring:
+        out_shape.append(
+            jax.ShapeDtypeStruct((nrep, 1, 128), jnp.int32))
+        out_specs.append(pl.BlockSpec((1, 1, 128),
+                                      lambda r, i: (r, 0, 0),
+                                      memory_space=pltpu.VMEM))
+    return pl.pallas_call(
+        kernel,
+        out_shape=tuple(out_shape) if measuring else out_shape[0],
+        grid=(nrep, n),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, typ, half), lambda r, i: (r, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, typ, half), lambda r, i: (r, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (1, 8, half),
+                lambda r, i: (r, (i * typ // 8 - 1 + nb8) % nb8, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, 8, half),
+                lambda r, i: (r, ((i + 1) * typ // 8) % nb8, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=tuple(out_specs) if measuring else out_specs[0],
+        input_output_aliases={1: 0},
+    )(seeds, xw, ow, ow, ow)
+
+
+def phase_packed_with_bits(xw, ow, b4, b8, *, color, interpret=False):
+    """Single packed phase with injected Bernoulli planes — the
+    bitwise-testable entry (mirrors packed_phase_reference)."""
+    nrep, nyp, half = xw.shape
+    typ = _pick_typ(nyp)
+    n = nyp // typ
+    nb8 = nyp // 8
+    kernel = functools.partial(
+        _phase_kernel, color=color, d4=(), d8=(), has_bits=True
+    )
+    blk = pl.BlockSpec((1, typ, half), lambda r, i: (r, i, 0),
+                       memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((nrep, nyp, half), jnp.int32),
+        grid=(nrep, n),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            blk, blk,
+            pl.BlockSpec(
+                (1, 8, half),
+                lambda r, i: (r, (i * typ // 8 - 1 + nb8) % nb8, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, 8, half),
+                lambda r, i: (r, ((i + 1) * typ // 8) % nb8, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            blk, blk,
+        ],
+        out_specs=blk,
+        input_output_aliases={1: 0},
+        interpret=interpret,
+    )(jnp.zeros((2,), jnp.int32), xw, ow, ow, ow, b4, b8)
+
+
+def sweep_measure_packed(model, wa, wb, key):
+    """One MCS + fused per-sweep (m, e) densities from the phase-b
+    kernel (the packed analog of the int8 measure-in-phase path)."""
+    nrep, nyp, half = wa.shape
+    kw = dict(beta=float(model.beta), nrep=nrep, nyp=nyp, half=half)
+    wa = _metropolis_phase_packed(wa, wb, seeds_from_key(key, 0),
+                                  color=0, **kw)
+    wb, obs = _metropolis_phase_packed(wb, wa, seeds_from_key(key, 1),
+                                       color=1, measuring=True, **kw)
+    n_inv = jnp.float32(1.0 / model.nsites)
+    m = obs[:, 0, 0].astype(jnp.float32) * n_inv
+    e = obs[:, 0, 1].astype(jnp.float32) * n_inv
+    return wa, wb, {"m": m, "e": e}
+
+
+def sweep_packed(model, wa, wb, key):
+    """One full MCS on packed color planes (R, ny//32, half) int32."""
+    nrep, nyp, half = wa.shape
+    kw = dict(beta=float(model.beta), nrep=nrep, nyp=nyp, half=half)
+    wa = _metropolis_phase_packed(wa, wb, seeds_from_key(key, 0),
+                                  color=0, **kw)
+    wb = _metropolis_phase_packed(wb, wa, seeds_from_key(key, 1),
+                                  color=1, **kw)
+    return wa, wb
+
+
+def pack_state(state: CheckerboardState):
+    a, b = state
+    batched = a.ndim == 3
+    if not batched:
+        a, b = a[None], b[None]
+    return pack_color(a), pack_color(b), batched
+
+
+def unpack_state(wa, wb, batched: bool) -> CheckerboardState:
+    a, b = unpack_color(wa), unpack_color(wb)
+    if not batched:
+        a, b = a[0], b[0]
+    return CheckerboardState(a, b)

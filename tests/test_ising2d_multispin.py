@@ -1,0 +1,201 @@
+"""Bit-packed multispin Ising kernel (ops/ising2d_multispin.py):
+pack/unpack, packed-vs-canonical stencil equivalence, Bernoulli-chain
+statistics, and interpret-mode kernel vs the jnp packed oracle."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cuda_fortran_mc_simulation_spin_tpu.core import lattice, rng
+from cuda_fortran_mc_simulation_spin_tpu.ops import ising2d_multispin as msb
+
+NY, HALF = 512, 128  # 16 word rows x 128 lanes
+
+
+def _rand_plane(key, shape):
+    return (jax.random.bernoulli(key, 0.5, shape).astype(jnp.int8) * 2
+            - 1)
+
+
+def test_pack_roundtrip():
+    p = _rand_plane(rng.base_key(0), (3, NY, HALF))
+    w = msb.pack_color(p)
+    assert w.shape == (3, NY // 32, HALF) and w.dtype == jnp.int32
+    np.testing.assert_array_equal(np.asarray(msb.unpack_color(w)),
+                                  np.asarray(p))
+
+
+@pytest.mark.parametrize("color", [0, 1])
+def test_packed_reference_matches_canonical_stencil(color):
+    """packed_phase_reference == the canonical unpacked decision
+    (core/lattice.neighbor_sums) given the same Bernoulli planes."""
+    ka, kb, k4, k8 = jax.random.split(rng.base_key(1), 4)
+    a = _rand_plane(ka, (NY, HALF))
+    b = _rand_plane(kb, (NY, HALF))
+    b4u = jax.random.bernoulli(k4, 0.3, (NY, HALF))
+    b8u = jax.random.bernoulli(k8, 0.05, (NY, HALF))
+
+    x, o = (a, b) if color == 0 else (b, a)
+    nsum = lattice.neighbor_sums(o, color, accum_dtype=jnp.int32)
+    half_de = x.astype(jnp.int32) * nsum
+    accept = (half_de <= 0) | jnp.where(half_de == 2, b4u, b8u)
+    want = jnp.where(accept, -x, x)
+
+    got = msb.packed_phase_reference(
+        msb.pack_color(x), msb.pack_color(o), color,
+        msb.pack_color(b4u.astype(jnp.int8) * 2 - 1),
+        msb.pack_color(b8u.astype(jnp.int8) * 2 - 1),
+    )
+    np.testing.assert_array_equal(np.asarray(msb.unpack_color(got)),
+                                  np.asarray(want))
+
+
+@pytest.mark.parametrize("color", [0, 1])
+def test_phase_kernel_interpret_matches_reference(color):
+    """Pallas kernel (interpret mode, injected planes) is bitwise the
+    jnp packed oracle."""
+    ka, kb, k4, k8 = jax.random.split(rng.base_key(2), 4)
+    R = 2
+    wa = msb.pack_color(_rand_plane(ka, (R, NY, HALF)))
+    wb = msb.pack_color(_rand_plane(kb, (R, NY, HALF)))
+    b4 = jax.random.bits(k4, (R, NY // 32, HALF), dtype=jnp.uint32
+                         ).astype(jnp.int32)
+    b8 = jax.random.bits(k8, (R, NY // 32, HALF), dtype=jnp.uint32
+                         ).astype(jnp.int32)
+    x, o = (wa, wb) if color == 0 else (wb, wa)
+    got = msb.phase_packed_with_bits(x, o, b4, b8, color=color,
+                                     interpret=True)
+    want = jax.vmap(
+        lambda xw, ow, p4, p8: msb.packed_phase_reference(
+            xw, ow, color, p4, p8)
+    )(x, o, b4, b8)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_chain_digits_and_probability():
+    """The LSB->MSB random chain realizes P(bit)=p at 2^-k resolution."""
+    for p in (0.25, 0.6875, np.exp(-4 * 0.4407)):
+        d = msb.chain_digits(p, 12)
+        assert abs(sum(b * 2 ** -(i + 1) for i, b in enumerate(d)) - p) \
+            <= 2 ** -12
+    # statistics: mean over 2^21 bits within 5 sigma
+    keys = iter(jax.random.split(rng.base_key(3), 64))
+
+    def gen():
+        return jax.random.bits(next(keys), (512, 128), dtype=jnp.uint32)
+
+    p = float(np.exp(-4 * 0.4407))
+    b = msb._bern_plane((512, 128), msb.chain_digits(p), gen)
+    cnt = sum(int(jnp.sum((b >> np.uint32(k)) & jnp.uint32(1)))
+              for k in range(32))
+    n = 512 * 128 * 32
+    sigma = (p * (1 - p) / n) ** 0.5
+    assert abs(cnt / n - p) < 5 * sigma
+
+
+def _on_tpu() -> bool:
+    return jax.default_backend() != "cpu" or bool(
+        os.environ.get("SPINLAT_TEST_ON_TPU"))
+
+
+@pytest.mark.parametrize("color", [0, 1])
+def test_phase_kernel_mosaic_matches_reference(color):
+    """Compiled (Mosaic) kernel with injected planes is bitwise the jnp
+    packed oracle — the on-chip counterpart of the interpret test."""
+    if not _on_tpu():
+        pytest.skip("needs the chip (Mosaic compile)")
+    ka, kb, k4, k8 = jax.random.split(rng.base_key(7), 4)
+    R = 2
+    wa = msb.pack_color(_rand_plane(ka, (R, NY, HALF)))
+    wb = msb.pack_color(_rand_plane(kb, (R, NY, HALF)))
+    b4 = jax.random.bits(k4, (R, NY // 32, HALF), dtype=jnp.uint32
+                         ).astype(jnp.int32)
+    b8 = jax.random.bits(k8, (R, NY // 32, HALF), dtype=jnp.uint32
+                         ).astype(jnp.int32)
+    x, o = (wa, wb) if color == 0 else (wb, wa)
+    got = msb.phase_packed_with_bits(x, o, b4, b8, color=color)
+    want = jax.vmap(
+        lambda xw, ow, p4, p8: msb.packed_phase_reference(
+            xw, ow, color, p4, p8)
+    )(x, o, b4, b8)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+@pytest.mark.slow
+def test_multispin_onsager_magnetization():
+    """Equilibrium |m| at kbt=2.0 on the packed engine matches
+    Onsager's exact m = (1 - sinh^-4(2β))^(1/8) ≈ 0.9113."""
+    if not _on_tpu():
+        pytest.skip("hardware PRNG path needs the chip")
+    from cuda_fortran_mc_simulation_spin_tpu.models.ising2d import Ising2D
+
+    kbt = 2.0
+    m_exact = (1.0 - np.sinh(2.0 / kbt) ** -4) ** 0.125
+    L = 512
+    model = Ising2D(nx=L, ny=L, kbt=kbt)
+    wa = msb.pack_color(jnp.ones((1, L, L // 2), jnp.int8))
+    wb = msb.pack_color(jnp.ones((1, L, L // 2), jnp.int8))
+    mcs, burn = 2000, 1000
+
+    @jax.jit
+    def run(wa, wb, key):
+        def body(c, t):
+            wa, wb = msb.sweep_packed(model, c[0], c[1],
+                                      rng.sweep_key(key, t))
+            m = (msb.popcount_sum(wa) + msb.popcount_sum(wb)
+                 ) * 2 - L * L
+            return (wa, wb), m
+        _, ms = jax.lax.scan(body, (wa, wb), jnp.arange(mcs))
+        return ms
+
+    ms = np.asarray(jax.device_get(run(wa, wb, rng.base_key(8))),
+                    np.float64) / (L * L)
+    m_mc = np.abs(ms)[burn:].mean()
+    assert m_mc == pytest.approx(m_exact, abs=0.005)
+
+
+def test_sweep_measure_packed_matches_state_observables():
+    """Fused (m, e) from the phase-b kernel equal the observables
+    computed from the unpacked final state."""
+    if not _on_tpu():
+        pytest.skip("hardware PRNG path needs the chip")
+    from cuda_fortran_mc_simulation_spin_tpu.models.ising2d import Ising2D
+
+    model = Ising2D(nx=2 * HALF, ny=NY, kbt=2.26918531421)
+    st = jax.vmap(lambda k: model.init_state("random", k))(
+        jax.random.split(rng.base_key(9), 2))
+    wa, wb = msb.pack_color(st.a), msb.pack_color(st.b)
+    wa, wb, obs = msb.sweep_measure_packed(model, wa, wb,
+                                           rng.base_key(10))
+    final = type(st)(msb.unpack_color(wa), msb.unpack_color(wb))
+    n_inv = 1.0 / model.nsites
+    for r in range(2):
+        s1 = type(st)(final.a[r], final.b[r])
+        m_want = float(model.magne_sum(s1)) * n_inv
+        e_want = float(model.energy_sum(s1)) * n_inv
+        np.testing.assert_allclose(float(obs["m"][r]), m_want,
+                                   rtol=0, atol=1e-6)
+        np.testing.assert_allclose(float(obs["e"][r]), e_want,
+                                   rtol=0, atol=1e-6)
+
+
+def test_sweep_packed_absorbing_at_low_t():
+    """β large: chains are all-zero, so only ΔE ≤ 0 flips happen; the
+    all-up state is absorbing (same invariant the int8 engine's tests
+    use)."""
+    if jax.default_backend() == "cpu" and not os.environ.get(
+            "SPINLAT_TEST_ON_TPU"):
+        pytest.skip("hardware PRNG path needs the chip")
+    from cuda_fortran_mc_simulation_spin_tpu.models.ising2d import Ising2D
+
+    model = Ising2D(nx=2 * HALF, ny=NY, kbt=0.05)
+    wa = msb.pack_color(jnp.ones((1, NY, HALF), jnp.int8))
+    wb = msb.pack_color(jnp.ones((1, NY, HALF), jnp.int8))
+    for t in range(3):
+        wa, wb = msb.sweep_packed(model, wa, wb, rng.sweep_key(
+            rng.base_key(4), t))
+    assert int(jnp.sum(msb.unpack_color(wa))) == NY * HALF
+    assert int(jnp.sum(msb.unpack_color(wb))) == NY * HALF
