@@ -36,7 +36,9 @@ def main() -> None:
     n = 8192 if on_accel else 256
     # long scan amortizes the per-dispatch host→device latency (~30ms
     # through the axon tunnel) so the kernel throughput dominates
-    sweeps = 256 if on_accel else 4
+    # (measured: 256 sweeps reports 2.9e11, 4096 sweeps 5.0e11 — the
+    # fixed dispatch cost halves short runs)
+    sweeps = 4096 if on_accel else 4
 
     model = Ising2D(nx=n, ny=n, kbt=2.26918531421)
     state = model.init_state("allup")

@@ -108,6 +108,23 @@ def _multisweep_eligible(cfg, model, runner_kwargs) -> bool:
     return ising2d_multisweep.fits_vmem(ny, half)
 
 
+def _multispin_eligible(cfg, model, runner_kwargs) -> bool:
+    """Use the bit-packed multispin kernel for plain Ising2D m/e
+    relaxations on packable shapes (ny % 256 == 0, nx % 256 == 0) —
+    ~2.6× the int8 engines at 8192² and the only fused-measurement
+    path above the VMEM-multisweep size cap."""
+    if cfg.model != "ising2d" or runner_kwargs:
+        return False
+    try:
+        if getattr(model, "resolved_backend", "jnp") != "pallas":
+            return False
+    except ValueError:
+        return False
+    from cuda_fortran_mc_simulation_spin_tpu.ops import ising2d_multispin
+    ny, half = model.color_shape
+    return ising2d_multispin.packable(ny, half)
+
+
 def _run_accumulating(cfg, model, accumulators, fold, err,
                       checkpoint_path=None, checkpoint_every=0,
                       runner_kwargs=None):
@@ -140,6 +157,17 @@ def _run_accumulating(cfg, model, accumulators, fold, err,
             sweep_mod.make_helical_runner(
                 model, cfg.mcs, max(batch, 1), cfg.init_state,
                 **runner_kwargs,
+            )
+        )
+        if batch == 1:
+            inner = runner
+            runner = jax.jit(
+                lambda k: jax.tree.map(lambda v: v[0], inner(k))
+            )
+    elif _multispin_eligible(cfg, model, runner_kwargs):
+        runner = jax.jit(
+            sweep_mod.make_multispin_runner(
+                model, cfg.mcs, max(batch, 1), cfg.init_state
             )
         )
         if batch == 1:

@@ -132,6 +132,41 @@ def make_batch_runner(
     return run
 
 
+def make_multispin_runner(
+    model,
+    mcs: int,
+    batch: int,
+    init_kind: str = "allup",
+) -> Callable[[jax.Array], dict[str, jax.Array]]:
+    """`run(call_key) -> {m,e: (batch, mcs)}` on the bit-packed
+    multispin kernel (ops/ising2d_multispin.py) with per-sweep (m, e)
+    fused into phase b — the fastest Ising2D ensemble path, and the
+    only fused-measurement one for lattices beyond the VMEM-multisweep
+    size cap."""
+    from cuda_fortran_mc_simulation_spin_tpu.ops import ising2d_multispin
+
+    def run(call_key: jax.Array) -> dict[str, jax.Array]:
+        init_keys = jax.vmap(
+            lambda r: jax.random.fold_in(rng.init_key(call_key), r)
+        )(jnp.arange(batch))
+        state = jax.vmap(lambda k: model.init_state(init_kind, k))(
+            init_keys
+        )
+        wa = ising2d_multispin.pack_color(state.a)
+        wb = ising2d_multispin.pack_color(state.b)
+
+        def body(c, t):
+            wa, wb, obs = ising2d_multispin.sweep_measure_packed(
+                model, c[0], c[1], rng.sweep_key(call_key, t)
+            )
+            return (wa, wb), obs
+
+        _, series = lax.scan(body, (wa, wb), jnp.arange(1, mcs + 1))
+        return jax.tree.map(lambda x: jnp.swapaxes(x, 0, 1), series)
+
+    return run
+
+
 def make_multisweep_runner(
     model,
     mcs: int,

@@ -182,6 +182,62 @@ def test_sweep_measure_packed_matches_state_observables():
                                    rtol=0, atol=1e-6)
 
 
+def test_multispin_matches_phase_kernel_statistically():
+    """m(t) ensemble means from the multispin runner agree with the
+    int8 phase-kernel runner (independent streams, wide gate — same
+    methodology as the multisweep cross-check in test_tpu_kernels)."""
+    if not _on_tpu():
+        pytest.skip("hardware PRNG path needs the chip")
+    from cuda_fortran_mc_simulation_spin_tpu.engine import sweep as sw
+    from cuda_fortran_mc_simulation_spin_tpu.models.ising2d import Ising2D
+
+    m = Ising2D(nx=256, ny=256, kbt=2.26918531421)
+    mcs, nsamp = 20, 8
+    runner = jax.jit(sw.make_sample_runner(m, mcs))
+    phase_curves = np.stack([
+        np.asarray(jax.device_get(
+            runner(rng.sample_key(rng.base_key(0), i)))["m"], np.float64)
+        for i in range(nsamp)
+    ])
+    ms_runner = jax.jit(sw.make_multispin_runner(m, mcs, nsamp))
+    ms_curves = np.asarray(
+        jax.device_get(ms_runner(rng.base_key(1))["m"]), np.float64)
+    sem = phase_curves.std(0, ddof=1) / np.sqrt(nsamp)
+    diff = np.abs(phase_curves.mean(0) - ms_curves.mean(0))
+    assert np.all(diff < 9 * sem + 5e-3)
+
+
+def test_protocol_routes_multispin(monkeypatch):
+    """run_relaxation on a packable Ising2D shape selects the multispin
+    runner (and completes end-to-end)."""
+    if not _on_tpu():
+        pytest.skip("hardware PRNG path needs the chip")
+    import io
+
+    from cuda_fortran_mc_simulation_spin_tpu.config import RunConfig
+    from cuda_fortran_mc_simulation_spin_tpu.engine import (
+        protocols,
+        sweep as sw,
+    )
+
+    called = {}
+    orig = sw.make_multispin_runner
+
+    def spy(*a, **k):
+        called["yes"] = True
+        return orig(*a, **k)
+
+    monkeypatch.setattr(sw, "make_multispin_runner", spy)
+    cfg = RunConfig(model="ising2d", nx=256, ny=256,
+                    kbt=2.26918531421, mcs=4, tot_sample=2, replicas=2)
+    out = io.StringIO()
+    protocols.run_relaxation(cfg, out=out, err=io.StringIO())
+    assert called.get("yes"), "multispin runner was not routed"
+    rows = [l for l in out.getvalue().splitlines()
+            if l and not l.startswith("#")]
+    assert len(rows) == 4
+
+
 def test_sweep_packed_absorbing_at_low_t():
     """β large: chains are all-zero, so only ΔE ≤ 0 flips happen; the
     all-up state is absorbing (same invariant the int8 engine's tests
