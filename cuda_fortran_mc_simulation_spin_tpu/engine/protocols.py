@@ -113,7 +113,7 @@ def _multispin_eligible(cfg, model, runner_kwargs) -> bool:
     relaxations on packable shapes (ny % 256 == 0, nx % 256 == 0) —
     ~2.6× the int8 engines at 8192² and the only fused-measurement
     path above the VMEM-multisweep size cap."""
-    if cfg.model != "ising2d" or runner_kwargs:
+    if cfg.model not in ("ising2d", "ising3d") or runner_kwargs:
         return False
     try:
         if getattr(model, "resolved_backend", "jnp") != "pallas":
@@ -121,7 +121,10 @@ def _multispin_eligible(cfg, model, runner_kwargs) -> bool:
     except ValueError:
         return False
     from cuda_fortran_mc_simulation_spin_tpu.ops import ising2d_multispin
-    ny, half = model.color_shape
+    if cfg.model == "ising3d":
+        _, ny, half = model.color_shape
+    else:
+        ny, half = model.color_shape
     return ising2d_multispin.packable(ny, half)
 
 
@@ -165,10 +168,11 @@ def _run_accumulating(cfg, model, accumulators, fold, err,
                 lambda k: jax.tree.map(lambda v: v[0], inner(k))
             )
     elif _multispin_eligible(cfg, model, runner_kwargs):
+        mk = (sweep_mod.make_multispin3d_runner
+              if cfg.model == "ising3d"
+              else sweep_mod.make_multispin_runner)
         runner = jax.jit(
-            sweep_mod.make_multispin_runner(
-                model, cfg.mcs, max(batch, 1), cfg.init_state
-            )
+            mk(model, cfg.mcs, max(batch, 1), cfg.init_state)
         )
         if batch == 1:
             inner = runner

@@ -167,6 +167,41 @@ def make_multispin_runner(
     return run
 
 
+def make_multispin3d_runner(
+    model,
+    mcs: int,
+    batch: int,
+    init_kind: str = "allup",
+) -> Callable[[jax.Array], dict[str, jax.Array]]:
+    """3-D analog of :func:`make_multispin_runner`
+    (ops/ising3d_multispin.py)."""
+    from cuda_fortran_mc_simulation_spin_tpu.ops import (
+        ising2d_multispin,
+        ising3d_multispin,
+    )
+
+    def run(call_key: jax.Array) -> dict[str, jax.Array]:
+        init_keys = jax.vmap(
+            lambda r: jax.random.fold_in(rng.init_key(call_key), r)
+        )(jnp.arange(batch))
+        state = jax.vmap(lambda k: model.init_state(init_kind, k))(
+            init_keys
+        )
+        wa = ising2d_multispin.pack_color(state.a)
+        wb = ising2d_multispin.pack_color(state.b)
+
+        def body(c, t):
+            wa, wb, obs = ising3d_multispin.sweep_measure_packed3d(
+                model, c[0], c[1], rng.sweep_key(call_key, t)
+            )
+            return (wa, wb), obs
+
+        _, series = lax.scan(body, (wa, wb), jnp.arange(1, mcs + 1))
+        return jax.tree.map(lambda x: jnp.swapaxes(x, 0, 1), series)
+
+    return run
+
+
 def make_multisweep_runner(
     model,
     mcs: int,
