@@ -366,6 +366,221 @@ def phase_packed_with_bits(xw, ow, b4, b8, *, color, interpret=False):
     )(jnp.zeros((2,), jnp.int32), xw, ow, ow, ow, b4, b8)
 
 
+# ---------------------------------------------------------------------------
+# halo-aware packed phase for the domain-sharded (shard_map) path
+# ---------------------------------------------------------------------------
+
+def packed_sharded_phase_reference(xw, ow, color: int, b4, b8,
+                                   hup01, hdn01):
+    """Pure-jnp packed phase on a y-sharded local block: instead of
+    periodic word-row wrap, the first word row's up-carry comes from
+    ``hup01`` and the last word row's down-carry from ``hdn01``
+    ((1, half) int32 0/1 planes of the exchanged boundary sites)."""
+    xw = xw.astype(jnp.uint32)
+    ow = ow.astype(jnp.uint32)
+    syn_up = hup01.astype(jnp.uint32) << jnp.uint32(31)
+    syn_dn = hdn01.astype(jnp.uint32)
+    w_prev = jnp.concatenate([syn_up, ow[:-1]], axis=0)
+    w_next = jnp.concatenate([ow[1:], syn_dn], axis=0)
+    one = jnp.uint32(1)
+    up = (ow << one) | (w_prev >> jnp.uint32(31))
+    dn = (ow >> one) | (w_next << jnp.uint32(31))
+    minus = jnp.roll(ow, 1, axis=1)
+    plus = jnp.roll(ow, -1, axis=1)
+    odd = jnp.uint32(_ODD_BITS)
+    even = jnp.uint32(_EVEN_BITS)
+    if color == 0:
+        side = (plus & odd) | (minus & even)
+    else:
+        side = (minus & odd) | (plus & even)
+    ones, twos, fours = _count_planes(up, dn, ow, side)
+    flip = _flip_plane(xw, ones, twos, fours,
+                       b4.astype(jnp.uint32), b8.astype(jnp.uint32))
+    return (xw ^ flip).astype(jnp.int32)
+
+
+def _sharded_phase_kernel(seed_ref, offs_ref, x_ref, oc_ref, oup_ref,
+                          odn_ref, hup_ref, hdn_ref, *rest,
+                          color: int, d4, d8, typ: int, nblk: int,
+                          has_bits: bool, measuring: bool = False):
+    refs = list(rest)
+    obs_ref = refs.pop() if measuring else None
+    if has_bits:
+        b4_ref, b8_ref, out_ref = refs
+    else:
+        (out_ref,) = refs
+    r = pl.program_id(0)
+    i = pl.program_id(1)
+    x = pltpu.bitcast(x_ref[0], jnp.uint32)
+    o = pltpu.bitcast(oc_ref[0], jnp.uint32)
+    # word row above / below: in-shard from the 8-word-row neighbor
+    # blocks; at the shard edges a synthetic word carrying the exchanged
+    # boundary bit (up-carry reads bit 31, down-carry reads bit 0)
+    syn_up = pltpu.bitcast(hup_ref[0, 7:8, :], jnp.uint32) << jnp.uint32(31)
+    syn_dn = pltpu.bitcast(hdn_ref[0, 0:1, :], jnp.uint32)
+    up_row = jnp.where(i == 0, syn_up,
+                       pltpu.bitcast(oup_ref[0, 7:8, :], jnp.uint32))
+    dn_row = jnp.where(i == nblk - 1, syn_dn,
+                       pltpu.bitcast(odn_ref[0, 0:1, :], jnp.uint32))
+    w_prev, w_next = stencil.splice_updown(o, up_row, dn_row)
+    up, dn, ctr, side = _nbr_planes(o, w_prev, w_next, color)
+    ones, twos, fours = _count_planes(up, dn, ctr, side)
+    if has_bits:
+        b4 = pltpu.bitcast(b4_ref[0], jnp.uint32)
+        b8 = pltpu.bitcast(b8_ref[0], jnp.uint32)
+    else:
+        # streams keyed by GLOBAL (replica, word-row block): trajectories
+        # are invariant to the mesh shape for a fixed tile size
+        wrow_g = offs_ref[1] + i * typ
+        rep_g = offs_ref[0] + r
+        tile_tag = (wrow_g * jnp.int32(-1640531527)
+                    + rep_g * jnp.int32(0x3C6EF35F))
+        pltpu.prng_seed(seed_ref[0], seed_ref[1] ^ tile_tag)
+
+        def gen():
+            return pltpu.bitcast(pltpu.prng_random_bits(x.shape),
+                                 jnp.uint32)
+
+        b4 = _bern_plane(x.shape, d4, gen)
+        b8 = _bern_plane(x.shape, d8, gen)
+    flip = _flip_plane(x, ones, twos, fours, b4, b8)
+    new = x ^ flip
+    out_ref[0] = pltpu.bitcast(new, jnp.int32)
+    if measuring:
+        nblk_sites = jnp.int32(x.shape[0] * x.shape[1] * PACK)
+        s_x = _pc_sum(new)
+        s_c = (_pc_sum(ones) + 2 * _pc_sum(twos) + 4 * _pc_sum(fours))
+        s_xc = (_pc_sum(new & ones) + 2 * _pc_sum(new & twos)
+                + 4 * _pc_sum(new & fours))
+        m = 2 * (s_x + _pc_sum(o)) - 2 * nblk_sites
+        e = -(4 * s_xc - 8 * s_x - 2 * s_c + 4 * nblk_sites)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+        row = jnp.where(lane == 0, m, jnp.where(lane == 1, e, 0))
+
+        @pl.when(i == 0)
+        def _():
+            obs_ref[0] = jnp.zeros_like(obs_ref[0])
+
+        obs_ref[0] = obs_ref[0] + row
+
+
+def _interpret_chain_planes(seeds, rep0, wrow0, nrep, nyp, half, d4, d8):
+    """CPU-interpret fallback for the Bernoulli planes: threefry chains
+    keyed per (global replica, global word row) — mesh-shape invariant,
+    different stream than the on-chip hardware PRNG (same statistics)."""
+    base = jax.random.fold_in(
+        jax.random.PRNGKey(seeds[0].astype(jnp.uint32)), seeds[1]
+    )
+
+    def plane(digits, tag, kg):
+        cnt = [0]
+
+        def gen():
+            cnt[0] += 1
+            return jax.random.bits(
+                jax.random.fold_in(kg, tag * 64 + cnt[0]), (half,),
+                dtype=jnp.uint32)
+
+        return _bern_plane((half,), tuple(digits), gen)
+
+    def per_rep(r):
+        kr = jax.random.fold_in(base, rep0 + r)
+
+        def per_row(g):
+            kg = jax.random.fold_in(kr, wrow0 + g)
+            return plane(d4, 0, kg), plane(d8, 1, kg)
+
+        return jax.vmap(per_row)(jnp.arange(nyp))
+
+    b4, b8 = jax.vmap(per_rep)(jnp.arange(nrep))
+    return b4.astype(jnp.int32), b8.astype(jnp.int32)
+
+
+def sharded_phase_packed(xw, ow, hup01, hdn01, seeds, offs, *,
+                         color: int, beta: float,
+                         b4=None, b8=None, interpret: bool = False,
+                         measuring: bool = False):
+    """One packed checkerboard phase of a y-sharded local block.
+
+    xw, ow: (R, Lp, half) packed local color blocks (Lp = L_rows/32);
+    hup01/hdn01: (R, 1, half) int32 0/1 exchanged boundary sites of the
+    other color (halo.exchange_halo_rows_packed); offs: (rep0, wrow0)
+    GLOBAL offsets in (replica, word-row) units.  ``measuring`` (phase 1
+    only) additionally returns per-shard (m, e) partial sums (R,) —
+    caller psums over the mesh's spatial axis."""
+    nrep, nyp, half = xw.shape
+    d4 = tuple(chain_digits(float(np.exp(-4.0 * beta))))
+    d8 = tuple(chain_digits(float(np.exp(-8.0 * beta))))
+    typ = _pick_typ(nyp)
+    n = nyp // typ
+    nb8 = nyp // 8
+    if interpret and b4 is None:
+        b4, b8 = _interpret_chain_planes(
+            seeds, offs[0], offs[1], nrep, nyp, half, d4, d8)
+    has_bits = b4 is not None
+    # 8-word-row alignment: exchanged planes sit where the in-array
+    # neighbor blocks place theirs (up -> row 7, dn -> row 0)
+    hup = jnp.pad(hup01, ((0, 0), (7, 0), (0, 0)))
+    hdn = jnp.pad(hdn01, ((0, 0), (0, 7), (0, 0)))
+    kernel = functools.partial(
+        _sharded_phase_kernel, color=color, d4=d4, d8=d8, typ=typ,
+        nblk=n, has_bits=has_bits, measuring=measuring,
+    )
+    blk = pl.BlockSpec((1, typ, half), lambda r, i: (r, i, 0),
+                       memory_space=pltpu.VMEM)
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.SMEM),
+        pl.BlockSpec(memory_space=pltpu.SMEM),
+        blk, blk,
+        pl.BlockSpec(
+            (1, 8, half),
+            lambda r, i: (r, (i * typ // 8 - 1 + nb8) % nb8, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        pl.BlockSpec(
+            (1, 8, half),
+            lambda r, i: (r, ((i + 1) * typ // 8) % nb8, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        pl.BlockSpec((1, 8, half), lambda r, i: (r, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 8, half), lambda r, i: (r, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    operands = [seeds, offs, xw, ow, ow, ow, hup, hdn]
+    if has_bits:
+        in_specs += [blk, blk]
+        operands += [b4, b8]
+    out_shape = [jax.ShapeDtypeStruct((nrep, nyp, half), jnp.int32)]
+    out_specs = [blk]
+    if measuring:
+        out_shape.append(jax.ShapeDtypeStruct((nrep, 1, 128), jnp.int32))
+        out_specs.append(pl.BlockSpec((1, 1, 128),
+                                      lambda r, i: (r, 0, 0),
+                                      memory_space=pltpu.VMEM))
+    res = pl.pallas_call(
+        kernel,
+        out_shape=tuple(out_shape) if measuring else out_shape[0],
+        grid=(nrep, n),
+        in_specs=in_specs,
+        out_specs=tuple(out_specs) if measuring else out_specs[0],
+        input_output_aliases={2: 0},
+        interpret=interpret,
+    )(*operands)
+    if measuring:
+        state_out, obs = res
+        return state_out, obs[:, 0, 0], obs[:, 0, 1]
+    return res
+
+
+def shard_packed_ok(local_shape: tuple[int, ...]) -> bool:
+    """Local packed (R, Lp, half) word-block shape is tileable."""
+    if len(local_shape) != 3:
+        return False
+    _, nyp, half = local_shape
+    return half % 128 == 0 and nyp % 8 == 0
+
+
 def sweep_measure_packed(model, wa, wb, key):
     """One MCS + fused per-sweep (m, e) densities from the phase-b
     kernel (the packed analog of the int8 measure-in-phase path)."""

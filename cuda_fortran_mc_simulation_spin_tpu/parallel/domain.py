@@ -171,6 +171,76 @@ def _shard_pallas_mode(model, local_shape,
         return False, False
 
 
+def _shard_packed_mode(model, mesh: Mesh, replicas: int,
+                       n_over_relax: int = 0) -> tuple[bool, bool]:
+    """(use_packed, interpret) — route the domain-sharded Ising2D sweep
+    through the bit-packed multispin halo kernel
+    (ops/ising2d_multispin.sharded_phase_packed) when shapes allow.
+
+    Opt-out with SPINLAT_SHARD_PACKED=0;
+    SPINLAT_SHARD_PALLAS_INTERPRET=1 runs it in interpret mode on CPU
+    (threefry chain planes keyed by global word rows)."""
+    import os
+
+    from cuda_fortran_mc_simulation_spin_tpu.ops import ising2d_multispin
+
+    if not isinstance(model, Ising2D) or n_over_relax:
+        return False, False
+    if os.environ.get("SPINLAT_SHARD_PACKED") == "0":
+        return False, False
+    ysh = mesh.shape["y"]
+    xsh = mesh.shape.get("x", 1)
+    if xsh > 1:
+        return False, False
+    dp = mesh.shape["dp"]
+    ny, half = model.color_shape
+    if ny % (32 * ysh) or replicas % dp:
+        return False, False
+    local = (replicas // dp, ny // 32 // ysh, half)
+    if not ising2d_multispin.shard_packed_ok(local):
+        return False, False
+    if os.environ.get("SPINLAT_SHARD_PALLAS_INTERPRET") == "1":
+        return True, True
+    try:
+        return model.resolved_backend == "pallas", False
+    except ValueError:
+        return False, False
+
+
+def _ising_local_sweep_packed(model: Ising2D, wa, wb, key, ysh,
+                              rep0, wrow0, want_obs=False,
+                              interpret=False):
+    """One local MCS on PACKED (R, Lp, half) word blocks: boundary bits
+    over ICI (exchange_halo_rows_packed — 1/32nd of the int8 halo
+    payload), both phases in the multispin kernel, per-shard (m, e)
+    partials fused into phase b."""
+    from cuda_fortran_mc_simulation_spin_tpu.ops import (
+        ising2d_multispin as msb,
+        ising2d_pallas,
+    )
+    from cuda_fortran_mc_simulation_spin_tpu.parallel.halo import (
+        exchange_halo_rows_packed,
+    )
+
+    offs = jnp.stack([jnp.int32(rep0), jnp.int32(wrow0)])
+    beta = float(model.beta)
+    hup, hdn = exchange_halo_rows_packed(wb, "y", ysh)
+    wa = msb.sharded_phase_packed(
+        wa, wb, hup, hdn, ising2d_pallas.seeds_from_key(key, 0), offs,
+        color=0, beta=beta, interpret=interpret,
+    )
+    hup, hdn = exchange_halo_rows_packed(wa, "y", ysh)
+    res = msb.sharded_phase_packed(
+        wb, wa, hup, hdn, ising2d_pallas.seeds_from_key(key, 1), offs,
+        color=1, beta=beta, interpret=interpret, measuring=want_obs,
+    )
+    if want_obs:
+        wb, m, e = res
+        return wa, wb, {"m": m.astype(jnp.float32),
+                        "e": e.astype(jnp.float32)}
+    return wa, res, None
+
+
 def _ising_local_sweep(model: Ising2D, a, b, key, ysh, xsh, rep0, row0,
                        col0, want_obs=False):
     """One local MCS; returns (a, b, obs_or_None) — obs are per-shard
@@ -600,15 +670,38 @@ def make_sharded_sample_runner(model, mesh: Mesh, mcs: int,
     t <= mcs_over_relax, /root/reference/app/xy2d_gpu_over_relaxation
     .f90:45-47), with halo exchange per OR phase.
     """
-    step = _make_local_step(model, mesh, n_over_relax=n_over_relax)
+    use_packed, packed_interp = _shard_packed_mode(
+        model, mesh, replicas, n_over_relax)
+    step = _make_local_step(model, mesh, n_over_relax=n_over_relax,
+                            packed=use_packed,
+                            packed_interpret=packed_interp)
     _check_replicas(replicas, mesh)
     mcs_or = mcs_over_relax or mcs
+
+    if use_packed:
+        from cuda_fortran_mc_simulation_spin_tpu.ops import (
+            ising2d_multispin as msb,
+        )
+
+        spec = _state_spec(mesh)
+        pack_sharded = jax.shard_map(
+            lambda s: CheckerboardState(msb.pack_color(s.a),
+                                        msb.pack_color(s.b)),
+            mesh=mesh,
+            in_specs=(CheckerboardState(spec, spec),),
+            out_specs=CheckerboardState(spec, spec),
+            check_vma=False,
+        )
+    else:
+        pack_sharded = None
 
     def run(key: jax.Array):
         init_keys = jr.split(rng.init_key(key), replicas)
         state = jax.vmap(lambda k: model.init_state(init_kind, k))(
             init_keys
         )
+        if pack_sharded is not None:
+            state = pack_sharded(state)
 
         def body(state, t):
             return step(state, rng.sweep_key(key, t), t <= mcs_or)
@@ -681,7 +774,8 @@ def _check_replicas(replicas: int, mesh: Mesh) -> None:
 
 
 def _make_local_step(model, mesh: Mesh, n_over_relax: int = 0,
-                     with_obs: bool = True):
+                     with_obs: bool = True, packed: bool = False,
+                     packed_interpret: bool = False):
     """Non-jitted shard_map step (for composing inside scans):
     (state, key, do_or) -> (state, {obs}) or just state (with_obs=False).
 
@@ -767,6 +861,12 @@ def _make_local_step(model, mesh: Mesh, n_over_relax: int = 0,
             state = CheckerboardState(a, b)
             if with_obs and obs is None:
                 obs = _ising3d_local_obs(model, a, b, ysh)
+        elif packed:
+            a, b, obs = _ising_local_sweep_packed(
+                model, state.a, state.b, key, ysh, rep0, row0,
+                want_obs=with_obs, interpret=packed_interpret,
+            )
+            state = CheckerboardState(a, b)
         else:
             a, b, obs = _ising_local_sweep(model, state.a, state.b, key,
                                            ysh, xsh, rep0, row0, col0,

@@ -36,6 +36,30 @@ def exchange_halo_rows(
     return halo_up, halo_dn
 
 
+def exchange_halo_rows_packed(
+    wo: jax.Array, axis: str, axis_size: int
+) -> tuple[jax.Array, jax.Array]:
+    """(halo_up01, halo_dn01) for a y-sharded BIT-PACKED block
+    (R, Lp, half) int32, 32 lattice rows per word (bit k = row 32Y+k,
+    ops/ising2d_multispin.py): the exchanged payload is one extracted
+    boundary bit-row per direction as a 0/1 int32 plane — 1/32nd of the
+    packed word rows, and the kernels splice the single bit back into
+    their carry chains."""
+    import jax.numpy as jnp
+
+    top01 = (wo[:, :1, :].astype(jnp.uint32) & jnp.uint32(1)).astype(
+        jnp.int32)          # first lattice row of this shard
+    bot01 = ((wo[:, -1:, :].astype(jnp.uint32) >> jnp.uint32(31))
+             & jnp.uint32(1)).astype(jnp.int32)  # last lattice row
+    if axis_size == 1:
+        return bot01, top01
+    fwd = [(i, (i + 1) % axis_size) for i in range(axis_size)]
+    bwd = [(i, (i - 1) % axis_size) for i in range(axis_size)]
+    halo_up = lax.ppermute(bot01, axis, fwd)
+    halo_dn = lax.ppermute(top01, axis, bwd)
+    return halo_up, halo_dn
+
+
 def exchange_halo_cols(
     local: jax.Array, axis: str, axis_size: int, col_axis: int = -1
 ) -> tuple[jax.Array, jax.Array]:

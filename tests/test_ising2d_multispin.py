@@ -238,6 +238,134 @@ def test_protocol_routes_multispin(monkeypatch):
     assert len(rows) == 4
 
 
+@pytest.mark.parametrize("color", [0, 1])
+def test_packed_sharded_reference_matches_halo_stencil(color):
+    """packed_sharded_phase_reference == the canonical halo-stencil
+    decision (lattice.neighbor_sums_halo) given the same planes."""
+    ka, kb, k4, k8, kh = jax.random.split(rng.base_key(30), 5)
+    x = _rand_plane(ka, (NY, HALF))
+    o = _rand_plane(kb, (NY, HALF))
+    hup = _rand_plane(kh, (1, HALF))        # row above the block
+    hdn = _rand_plane(jax.random.fold_in(kh, 1), (1, HALF))
+    b4u = jax.random.bernoulli(k4, 0.3, (NY, HALF))
+    b8u = jax.random.bernoulli(k8, 0.05, (NY, HALF))
+    nsum = lattice.neighbor_sums_halo(
+        o.astype(jnp.int32), hup.astype(jnp.int32),
+        hdn.astype(jnp.int32), color)
+    half_de = x.astype(jnp.int32) * nsum
+    accept = (half_de <= 0) | jnp.where(half_de == 2, b4u, b8u)
+    want = jnp.where(accept, -x, x)
+    got = msb.packed_sharded_phase_reference(
+        msb.pack_color(x), msb.pack_color(o), color,
+        msb.pack_color(b4u.astype(jnp.int8) * 2 - 1),
+        msb.pack_color(b8u.astype(jnp.int8) * 2 - 1),
+        (hup > 0).astype(jnp.int32), (hdn > 0).astype(jnp.int32),
+    )
+    np.testing.assert_array_equal(np.asarray(msb.unpack_color(got)),
+                                  np.asarray(want))
+
+
+@pytest.mark.parametrize("color", [0, 1])
+def test_sharded_phase_packed_interpret_matches_reference(color):
+    ka, kb, k4, k8, kh = jax.random.split(rng.base_key(31), 5)
+    R = 2
+    x = msb.pack_color(_rand_plane(ka, (R, NY, HALF)))
+    o = msb.pack_color(_rand_plane(kb, (R, NY, HALF)))
+    hup = (jax.random.bernoulli(kh, 0.5, (R, 1, HALF))
+           ).astype(jnp.int32)
+    hdn = (jax.random.bernoulli(jax.random.fold_in(kh, 1), 0.5,
+                                (R, 1, HALF))).astype(jnp.int32)
+    b4 = jax.random.bits(k4, (R, NY // 32, HALF), dtype=jnp.uint32
+                         ).astype(jnp.int32)
+    b8 = jax.random.bits(k8, (R, NY // 32, HALF), dtype=jnp.uint32
+                         ).astype(jnp.int32)
+    got = msb.sharded_phase_packed(
+        x, o, hup, hdn, jnp.zeros((2,), jnp.int32),
+        jnp.zeros((2,), jnp.int32), color=color, beta=0.44,
+        b4=b4, b8=b8, interpret=True,
+    )
+    want = jax.vmap(
+        lambda xw, ow, p4, p8, h1, h2: msb.packed_sharded_phase_reference(
+            xw, ow, color, p4, p8, h1, h2)
+    )(x, o, b4, b8, hup, hdn)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def _virtual_mesh_or_skip(dp, y):
+    from cuda_fortran_mc_simulation_spin_tpu.parallel import mesh as mm
+
+    if len(jax.devices()) < dp * y:
+        pytest.skip("needs a virtual multi-device mesh (conftest)")
+    return mm.make_mesh(dp, y)
+
+
+def test_sharded_packed_runner_mesh_shape_invariant(monkeypatch):
+    """Full packed sharded runner (interpret mode): (1,1) and (2,2)
+    meshes produce bit-identical (m, e) series — global word-row keyed
+    chains + boundary-bit halo exchange."""
+    monkeypatch.setenv("SPINLAT_SHARD_PALLAS_INTERPRET", "1")
+    from cuda_fortran_mc_simulation_spin_tpu.models.ising2d import Ising2D
+    from cuda_fortran_mc_simulation_spin_tpu.parallel import domain
+
+    model = Ising2D(nx=2 * HALF, ny=NY, kbt=2.26918531421,
+                    backend="jnp")
+    series = {}
+    for dp, y in ((1, 1), (2, 2)):
+        mesh = _virtual_mesh_or_skip(dp, y)
+        assert domain._shard_packed_mode(model, mesh, 4)[0]
+        run = domain.make_sharded_sample_runner(model, mesh, mcs=3,
+                                                replicas=4)
+        series[(dp, y)] = jax.device_get(run(rng.base_key(33)))
+    for k in ("m", "e"):
+        np.testing.assert_array_equal(
+            np.asarray(series[(1, 1)][k]), np.asarray(series[(2, 2)][k]))
+
+
+def test_sharded_packed_runner_absorbing_low_t(monkeypatch):
+    """T→0 on the packed sharded runner: chains are all-zero, the
+    ordered start stays absorbed (m ≡ 1, e ≡ -2) on a (2,2) mesh."""
+    monkeypatch.setenv("SPINLAT_SHARD_PALLAS_INTERPRET", "1")
+    from cuda_fortran_mc_simulation_spin_tpu.models.ising2d import Ising2D
+    from cuda_fortran_mc_simulation_spin_tpu.parallel import domain
+
+    model = Ising2D(nx=2 * HALF, ny=NY, kbt=0.05, backend="jnp")
+    mesh = _virtual_mesh_or_skip(2, 2)
+    run = domain.make_sharded_sample_runner(model, mesh, mcs=2,
+                                            replicas=4)
+    out = jax.device_get(run(rng.base_key(34)))
+    np.testing.assert_allclose(np.asarray(out["m"]), 1.0, atol=0)
+    np.testing.assert_allclose(np.asarray(out["e"]), -2.0, atol=0)
+
+
+def test_sharded_packed_runner_on_chip():
+    """Hardware-PRNG packed sharded runner on a (1,1) mesh: absorbing
+    at T→0 and sane decay at Tc."""
+    if not _on_tpu() or jax.default_backend() == "cpu":
+        pytest.skip("needs the chip")
+    from cuda_fortran_mc_simulation_spin_tpu.models.ising2d import Ising2D
+    from cuda_fortran_mc_simulation_spin_tpu.parallel import (
+        domain,
+        mesh as mm,
+    )
+
+    mesh = mm.make_mesh(1, 1)
+    cold = Ising2D(nx=2 * HALF, ny=NY, kbt=0.05)
+    assert domain._shard_packed_mode(cold, mesh, 2)[0]
+    run = domain.make_sharded_sample_runner(cold, mesh, mcs=2,
+                                            replicas=2)
+    out = jax.device_get(run(rng.base_key(35)))
+    np.testing.assert_allclose(np.asarray(out["m"]), 1.0, atol=0)
+    np.testing.assert_allclose(np.asarray(out["e"]), -2.0, atol=0)
+
+    hot = Ising2D(nx=512, ny=512, kbt=2.26918531421)
+    run2 = domain.make_sharded_sample_runner(hot, mesh, mcs=16,
+                                             replicas=2)
+    out2 = jax.device_get(run2(rng.base_key(36)))
+    m = np.asarray(out2["m"], np.float64)
+    assert 0.3 < m[:, -1].mean() < 1.0
+    assert np.all(np.isfinite(np.asarray(out2["e"])))
+
+
 def test_sweep_packed_absorbing_at_low_t():
     """β large: chains are all-zero, so only ΔE ≤ 0 flips happen; the
     all-up state is absorbing (same invariant the int8 engine's tests
