@@ -269,6 +269,213 @@ def phase3d_packed_with_bits(xw, ow, b4, b8, b12, *, color,
     )(jnp.zeros((2,), jnp.int32), xw, ow, ow, ow, b4, b8, b12)
 
 
+# ---------------------------------------------------------------------------
+# halo-aware packed phase for the z-sharded (shard_map) path
+# ---------------------------------------------------------------------------
+
+def packed_sharded_phase3d_reference(xw, ow, color: int, b4, b8, b12,
+                                     hzm, hzp, z0_parity: int = 0):
+    """Pure-jnp packed 3-D phase on a z-sharded local block: the z±1
+    neighbors of the edge planes come from exchanged PACKED halo planes
+    (1, nyp, half) instead of a periodic wrap."""
+    xw = xw.astype(jnp.uint32)
+    ow = ow.astype(jnp.uint32)
+    zm = jnp.concatenate([hzm.astype(jnp.uint32), ow[:-1]], axis=0)
+    zp = jnp.concatenate([ow[1:], hzp.astype(jnp.uint32)], axis=0)
+    w_prev = jnp.roll(ow, 1, axis=1)
+    w_next = jnp.roll(ow, -1, axis=1)
+    one = jnp.uint32(1)
+    up = (ow << one) | (w_prev >> jnp.uint32(31))
+    dn = (ow >> one) | (w_next << jnp.uint32(31))
+    minus = jnp.roll(ow, 1, axis=2)
+    plus = jnp.roll(ow, -1, axis=2)
+    nz = ow.shape[0]
+    z_odd = (((jnp.arange(nz) + z0_parity) & 1) == 1)[:, None, None]
+    modd = jnp.where(z_odd, jnp.uint32(_EVEN_BITS), jnp.uint32(_ODD_BITS))
+    meven = jnp.where(z_odd, jnp.uint32(_ODD_BITS), jnp.uint32(_EVEN_BITS))
+    if color == 0:
+        side = (plus & modd) | (minus & meven)
+    else:
+        side = (minus & modd) | (plus & meven)
+    b1, b2, b4c = _count6(zm, zp, up, dn, ow, side)
+    flip = _flip_plane3d(xw, b1, b2, b4c,
+                         b4.astype(jnp.uint32), b8.astype(jnp.uint32),
+                         b12.astype(jnp.uint32))
+    return (xw ^ flip).astype(jnp.int32)
+
+
+def _sharded_phase3d_kernel(seed_ref, offs_ref, x_ref, oc_ref, ozm_ref,
+                            ozp_ref, hzm_ref, hzp_ref, *rest,
+                            color: int, d4, d8, d12, nz: int,
+                            has_bits: bool, measuring: bool = False):
+    refs = list(rest)
+    obs_ref = refs.pop() if measuring else None
+    if has_bits:
+        b4_ref, b8_ref, b12_ref, out_ref = refs
+    else:
+        (out_ref,) = refs
+    r = pl.program_id(0)
+    z = pl.program_id(1)
+    x = pltpu.bitcast(x_ref[0, 0], jnp.uint32)
+    o = pltpu.bitcast(oc_ref[0, 0], jnp.uint32)
+    zm = jnp.where(z == 0,
+                   pltpu.bitcast(hzm_ref[0, 0], jnp.uint32),
+                   pltpu.bitcast(ozm_ref[0, 0], jnp.uint32))
+    zp = jnp.where(z == nz - 1,
+                   pltpu.bitcast(hzp_ref[0, 0], jnp.uint32),
+                   pltpu.bitcast(ozp_ref[0, 0], jnp.uint32))
+    up, dn = _y_planes(o)
+    # local z parity equals global (local nz even per shard)
+    side = _side_plane(o, color, (z & 1) == 1)
+    b1, b2, b4c = _count6(zm, zp, up, dn, o, side)
+    if has_bits:
+        p4 = pltpu.bitcast(b4_ref[0, 0], jnp.uint32)
+        p8 = pltpu.bitcast(b8_ref[0, 0], jnp.uint32)
+        p12 = pltpu.bitcast(b12_ref[0, 0], jnp.uint32)
+    else:
+        z_g = offs_ref[1] + z
+        rep_g = offs_ref[0] + r
+        tile_tag = (z_g * jnp.int32(-1640531527)
+                    + rep_g * jnp.int32(0x3C6EF35F))
+        pltpu.prng_seed(seed_ref[0], seed_ref[1] ^ tile_tag)
+
+        def gen():
+            return pltpu.bitcast(pltpu.prng_random_bits(x.shape),
+                                 jnp.uint32)
+
+        p4 = _bern_plane(x.shape, d4, gen)
+        p8 = _bern_plane(x.shape, d8, gen)
+        p12 = _bern_plane(x.shape, d12, gen)
+    flip = _flip_plane3d(x, b1, b2, b4c, p4, p8, p12)
+    new = x ^ flip
+    out_ref[0, 0] = pltpu.bitcast(new, jnp.int32)
+    if measuring:
+        nblk = jnp.int32(x.shape[0] * x.shape[1] * PACK)
+        s_x = _pc_sum(new)
+        s_c = _pc_sum(b1) + 2 * _pc_sum(b2) + 4 * _pc_sum(b4c)
+        s_xc = (_pc_sum(new & b1) + 2 * _pc_sum(new & b2)
+                + 4 * _pc_sum(new & b4c))
+        m = 2 * (s_x + _pc_sum(o)) - 2 * nblk
+        e = -(4 * s_xc - 12 * s_x - 2 * s_c + 6 * nblk)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+        row = jnp.where(lane == 0, m, jnp.where(lane == 1, e, 0))
+
+        @pl.when(z == 0)
+        def _():
+            obs_ref[0] = jnp.zeros_like(obs_ref[0])
+
+        obs_ref[0] = obs_ref[0] + row
+
+
+def _interpret_chain_planes3d(seeds, rep0, z0, nrep, nz, nyp, half,
+                              d4, d8, d12):
+    """CPU-interpret fallback: threefry chains keyed per (global
+    replica, global z-plane) — mesh-shape invariant."""
+    base = jax.random.fold_in(
+        jax.random.PRNGKey(seeds[0].astype(jnp.uint32)), seeds[1]
+    )
+
+    def plane(digits, tag, kg):
+        cnt = [0]
+
+        def gen():
+            cnt[0] += 1
+            return jax.random.bits(
+                jax.random.fold_in(kg, tag * 64 + cnt[0]),
+                (nyp, half), dtype=jnp.uint32)
+
+        return _bern_plane((nyp, half), tuple(digits), gen)
+
+    def per_rep(r):
+        kr = jax.random.fold_in(base, rep0 + r)
+
+        def per_z(g):
+            kg = jax.random.fold_in(kr, z0 + g)
+            return (plane(d4, 0, kg), plane(d8, 1, kg),
+                    plane(d12, 2, kg))
+
+        return jax.vmap(per_z)(jnp.arange(nz))
+
+    b4, b8, b12 = jax.vmap(per_rep)(jnp.arange(nrep))
+    return (b4.astype(jnp.int32), b8.astype(jnp.int32),
+            b12.astype(jnp.int32))
+
+
+def sharded_phase3d_packed(xw, ow, hzm, hzp, seeds, offs, *,
+                           color: int, beta: float,
+                           b4=None, b8=None, b12=None,
+                           interpret: bool = False,
+                           measuring: bool = False):
+    """One packed 3-D checkerboard phase of a z-sharded local block.
+
+    xw, ow: (R, nz_loc, nyp, half) packed local color volumes; hzm/hzp:
+    (R, 1, nyp, half) exchanged packed z-halo planes (whole word planes
+    — z neighbors share bit positions, so no bit extraction is needed);
+    offs: (rep0, z0) global offsets.  Local nz must be even so local z
+    parity equals global."""
+    nrep, nz, nyp, half = xw.shape
+    d4 = tuple(chain_digits(float(np.exp(-4.0 * beta))))
+    d8 = tuple(chain_digits(float(np.exp(-8.0 * beta))))
+    d12 = tuple(chain_digits(float(np.exp(-12.0 * beta))))
+    if interpret and b4 is None:
+        b4, b8, b12 = _interpret_chain_planes3d(
+            seeds, offs[0], offs[1], nrep, nz, nyp, half, d4, d8, d12)
+    has_bits = b4 is not None
+    kernel = functools.partial(
+        _sharded_phase3d_kernel, color=color, d4=d4, d8=d8, d12=d12,
+        nz=nz, has_bits=has_bits, measuring=measuring,
+    )
+    plane = pl.BlockSpec((1, 1, nyp, half), lambda r, z: (r, z, 0, 0),
+                         memory_space=pltpu.VMEM)
+    zmspec = pl.BlockSpec(
+        (1, 1, nyp, half), lambda r, z: (r, (z - 1 + nz) % nz, 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+    zpspec = pl.BlockSpec(
+        (1, 1, nyp, half), lambda r, z: (r, (z + 1) % nz, 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+    halo = pl.BlockSpec((1, 1, nyp, half), lambda r, z: (r, 0, 0, 0),
+                        memory_space=pltpu.VMEM)
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.SMEM),
+        pl.BlockSpec(memory_space=pltpu.SMEM),
+        plane, plane, zmspec, zpspec, halo, halo,
+    ]
+    operands = [seeds, offs, xw, ow, ow, ow, hzm, hzp]
+    if has_bits:
+        in_specs += [plane, plane, plane]
+        operands += [b4, b8, b12]
+    out_shape = [jax.ShapeDtypeStruct((nrep, nz, nyp, half), jnp.int32)]
+    out_specs = [plane]
+    if measuring:
+        out_shape.append(jax.ShapeDtypeStruct((nrep, 1, 128), jnp.int32))
+        out_specs.append(pl.BlockSpec((1, 1, 128),
+                                      lambda r, z: (r, 0, 0),
+                                      memory_space=pltpu.VMEM))
+    res = pl.pallas_call(
+        kernel,
+        out_shape=tuple(out_shape) if measuring else out_shape[0],
+        grid=(nrep, nz),
+        in_specs=in_specs,
+        out_specs=tuple(out_specs) if measuring else out_specs[0],
+        input_output_aliases={2: 0},
+        interpret=interpret,
+    )(*operands)
+    if measuring:
+        state_out, obs = res
+        return state_out, obs[:, 0, 0], obs[:, 0, 1]
+    return res
+
+
+def shard_packed3d_ok(local_shape: tuple[int, ...]) -> bool:
+    """Local packed (R, nz_loc, nyp, half) block is servable."""
+    if len(local_shape) != 4:
+        return False
+    _, nz, nyp, half = local_shape
+    return half % 128 == 0 and nyp % 8 == 0 and nz % 2 == 0
+
+
 def sweep_packed3d(model, wa, wb, key):
     """One full MCS on packed color volumes (R, nz, ny//32, half)."""
     nrep, nz, nyp, half = wa.shape

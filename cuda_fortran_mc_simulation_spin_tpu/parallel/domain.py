@@ -184,27 +184,45 @@ def _shard_packed_mode(model, mesh: Mesh, replicas: int,
 
     from cuda_fortran_mc_simulation_spin_tpu.ops import ising2d_multispin
 
-    if not isinstance(model, Ising2D) or n_over_relax:
-        return False, False
+    from cuda_fortran_mc_simulation_spin_tpu.models.ising3d import Ising3D
+    from cuda_fortran_mc_simulation_spin_tpu.ops import ising3d_multispin
+
+    is2d = isinstance(model, Ising2D)
+    is3d = isinstance(model, Ising3D)
+    if not (is2d or is3d) or n_over_relax:
+        return None, False
     if os.environ.get("SPINLAT_SHARD_PACKED") == "0":
-        return False, False
+        return None, False
     ysh = mesh.shape["y"]
     xsh = mesh.shape.get("x", 1)
     if xsh > 1:
-        return False, False
+        return None, False
     dp = mesh.shape["dp"]
-    ny, half = model.color_shape
-    if ny % (32 * ysh) or replicas % dp:
-        return False, False
-    local = (replicas // dp, ny // 32 // ysh, half)
-    if not ising2d_multispin.shard_packed_ok(local):
-        return False, False
+    if replicas % dp:
+        return None, False
+    if is2d:
+        ny, half = model.color_shape
+        if ny % (32 * ysh):
+            return None, False
+        local = (replicas // dp, ny // 32 // ysh, half)
+        if not ising2d_multispin.shard_packed_ok(local):
+            return None, False
+        kind = "2d"
+    else:
+        nz, ny, half = model.color_shape
+        if nz % (2 * ysh) or ny % 32:
+            return None, False
+        local = (replicas // dp, nz // ysh, ny // 32, half)
+        if not ising3d_multispin.shard_packed3d_ok(local):
+            return None, False
+        kind = "3d"
     if os.environ.get("SPINLAT_SHARD_PALLAS_INTERPRET") == "1":
-        return True, True
+        return kind, True
     try:
-        return model.resolved_backend == "pallas", False
+        return (kind if model.resolved_backend == "pallas" else None,
+                False)
     except ValueError:
-        return False, False
+        return None, False
 
 
 def _ising_local_sweep_packed(model: Ising2D, wa, wb, key, ysh,
@@ -232,6 +250,35 @@ def _ising_local_sweep_packed(model: Ising2D, wa, wb, key, ysh,
     hup, hdn = exchange_halo_rows_packed(wa, "y", ysh)
     res = msb.sharded_phase_packed(
         wb, wa, hup, hdn, ising2d_pallas.seeds_from_key(key, 1), offs,
+        color=1, beta=beta, interpret=interpret, measuring=want_obs,
+    )
+    if want_obs:
+        wb, m, e = res
+        return wa, wb, {"m": m.astype(jnp.float32),
+                        "e": e.astype(jnp.float32)}
+    return wa, res, None
+
+
+def _ising3d_local_sweep_packed(model, wa, wb, key, ysh, rep0, z0,
+                                want_obs=False, interpret=False):
+    """One local MCS on PACKED (R, nz_loc, nyp, half) word volumes:
+    packed z-halo planes over ICI (8× less than int8), both phases in
+    the 3-D multispin kernel, fused per-shard (m, e) partials."""
+    from cuda_fortran_mc_simulation_spin_tpu.ops import (
+        ising2d_pallas,
+        ising3d_multispin as ms3,
+    )
+
+    offs = jnp.stack([jnp.int32(rep0), jnp.int32(z0)])
+    beta = float(model.beta)
+    hzm, hzp = exchange_halo_rows(wb, "y", ysh, row_axis=1)
+    wa = ms3.sharded_phase3d_packed(
+        wa, wb, hzm, hzp, ising2d_pallas.seeds_from_key(key, 0), offs,
+        color=0, beta=beta, interpret=interpret,
+    )
+    hzm, hzp = exchange_halo_rows(wa, "y", ysh, row_axis=1)
+    res = ms3.sharded_phase3d_packed(
+        wb, wa, hzm, hzp, ising2d_pallas.seeds_from_key(key, 1), offs,
         color=1, beta=beta, interpret=interpret, measuring=want_obs,
     )
     if want_obs:
@@ -683,7 +730,7 @@ def make_sharded_sample_runner(model, mesh: Mesh, mcs: int,
             ising2d_multispin as msb,
         )
 
-        spec = _state_spec(mesh)
+        spec = _state_spec(mesh, 4 if use_packed == "3d" else 3)
         pack_sharded = jax.shard_map(
             lambda s: CheckerboardState(msb.pack_color(s.a),
                                         msb.pack_color(s.b)),
@@ -774,7 +821,7 @@ def _check_replicas(replicas: int, mesh: Mesh) -> None:
 
 
 def _make_local_step(model, mesh: Mesh, n_over_relax: int = 0,
-                     with_obs: bool = True, packed: bool = False,
+                     with_obs: bool = True, packed: str | None = None,
                      packed_interpret: bool = False):
     """Non-jitted shard_map step (for composing inside scans):
     (state, key, do_or) -> (state, {obs}) or just state (with_obs=False).
@@ -854,6 +901,12 @@ def _make_local_step(model, mesh: Mesh, n_over_relax: int = 0,
             state = CheckerboardState(a, b)
             if with_obs and obs is None:
                 obs = _clock_local_obs(model, a, b, ysh, xsh)
+        elif is_3d and packed == "3d":
+            a, b, obs = _ising3d_local_sweep_packed(
+                model, state.a, state.b, key, ysh, rep0, row0,
+                want_obs=with_obs, interpret=packed_interpret,
+            )
+            state = CheckerboardState(a, b)
         elif is_3d:
             a, b, obs = _ising3d_local_sweep(model, state.a, state.b,
                                              key, ysh, rep0, row0,
@@ -861,7 +914,7 @@ def _make_local_step(model, mesh: Mesh, n_over_relax: int = 0,
             state = CheckerboardState(a, b)
             if with_obs and obs is None:
                 obs = _ising3d_local_obs(model, a, b, ysh)
-        elif packed:
+        elif packed == "2d":
             a, b, obs = _ising_local_sweep_packed(
                 model, state.a, state.b, key, ysh, rep0, row0,
                 want_obs=with_obs, interpret=packed_interpret,

@@ -91,6 +91,92 @@ def test_phase3d_kernel_mosaic_matches_reference(color):
     np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
 
 
+@pytest.mark.parametrize("color", [0, 1])
+def test_packed3d_sharded_reference_matches_halo_stencil(color):
+    ka, kb, k4, k8, k12, kh = jax.random.split(rng.base_key(40), 6)
+    x = _rand_vol(ka, (NZ, NY, HALF))
+    o = _rand_vol(kb, (NZ, NY, HALF))
+    hzm = _rand_vol(kh, (1, NY, HALF))
+    hzp = _rand_vol(jax.random.fold_in(kh, 1), (1, NY, HALF))
+    b4u = jax.random.bernoulli(k4, 0.3, (NZ, NY, HALF))
+    b8u = jax.random.bernoulli(k8, 0.1, (NZ, NY, HALF))
+    b12u = jax.random.bernoulli(k12, 0.02, (NZ, NY, HALF))
+    nsum = lattice.neighbor_sums3d_halo(
+        o.astype(jnp.int32), hzm.astype(jnp.int32),
+        hzp.astype(jnp.int32), color)
+    k = x.astype(jnp.int32) * nsum
+    accept = (k <= 0) | jnp.where(k == 2, b4u,
+                                  jnp.where(k == 4, b8u, b12u))
+    want = jnp.where(accept, -x, x)
+    got = ms3.packed_sharded_phase3d_reference(
+        ms2.pack_color(x), ms2.pack_color(o), color,
+        ms2.pack_color(b4u.astype(jnp.int8) * 2 - 1),
+        ms2.pack_color(b8u.astype(jnp.int8) * 2 - 1),
+        ms2.pack_color(b12u.astype(jnp.int8) * 2 - 1),
+        ms2.pack_color(hzm), ms2.pack_color(hzp),
+    )
+    np.testing.assert_array_equal(np.asarray(ms2.unpack_color(got)),
+                                  np.asarray(want))
+
+
+@pytest.mark.parametrize("color", [0, 1])
+def test_sharded_phase3d_packed_interpret_matches_reference(color):
+    ka, kb, k4, k8, k12, kh = jax.random.split(rng.base_key(41), 6)
+    R = 1
+    x = ms2.pack_color(_rand_vol(ka, (R, NZ, NY, HALF)))
+    o = ms2.pack_color(_rand_vol(kb, (R, NZ, NY, HALF)))
+    hzm = ms2.pack_color(_rand_vol(kh, (R, 1, NY, HALF)))
+    hzp = ms2.pack_color(_rand_vol(jax.random.fold_in(kh, 1),
+                                   (R, 1, NY, HALF)))
+    shp = (R, NZ, NY // 32, HALF)
+    b4, b8, b12 = _bits(k4, shp), _bits(k8, shp), _bits(k12, shp)
+    got = ms3.sharded_phase3d_packed(
+        x, o, hzm, hzp, jnp.zeros((2,), jnp.int32),
+        jnp.zeros((2,), jnp.int32), color=color, beta=0.22,
+        b4=b4, b8=b8, b12=b12, interpret=True,
+    )
+    want = jax.vmap(
+        lambda xw, ow, p4, p8, p12, h1, h2:
+        ms3.packed_sharded_phase3d_reference(
+            xw, ow, color, p4, p8, p12, h1, h2)
+    )(x, o, b4, b8, b12, hzm, hzp)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_sharded_packed3d_runner_mesh_invariant_and_absorbing(
+        monkeypatch):
+    """Full packed 3-D sharded runner (interpret mode): (1,1) vs (2,2)
+    bitwise, plus the T→0 absorbing known answer."""
+    monkeypatch.setenv("SPINLAT_SHARD_PALLAS_INTERPRET", "1")
+    from cuda_fortran_mc_simulation_spin_tpu.models.ising3d import Ising3D
+    from cuda_fortran_mc_simulation_spin_tpu.parallel import (
+        domain,
+        mesh as mm,
+    )
+
+    if len(jax.devices()) < 4:
+        pytest.skip("needs a virtual multi-device mesh (conftest)")
+    model = Ising3D(nx=2 * HALF, ny=NY, nz=NZ, kbt=4.511536,
+                    backend="jnp")
+    series = {}
+    for dp, y in ((1, 1), (2, 2)):
+        mesh = mm.make_mesh(dp, y)
+        assert domain._shard_packed_mode(model, mesh, 4)[0] == "3d"
+        run = domain.make_sharded_sample_runner(model, mesh, mcs=2,
+                                                replicas=4)
+        series[(dp, y)] = jax.device_get(run(rng.base_key(43)))
+    for k in ("m", "e"):
+        np.testing.assert_array_equal(
+            np.asarray(series[(1, 1)][k]), np.asarray(series[(2, 2)][k]))
+
+    cold = Ising3D(nx=2 * HALF, ny=NY, nz=NZ, kbt=0.05, backend="jnp")
+    run = domain.make_sharded_sample_runner(cold, mm.make_mesh(2, 2),
+                                            mcs=2, replicas=4)
+    out = jax.device_get(run(rng.base_key(44)))
+    np.testing.assert_allclose(np.asarray(out["m"]), 1.0, atol=0)
+    np.testing.assert_allclose(np.asarray(out["e"]), -3.0, atol=0)
+
+
 def test_sweep_measure_packed3d_matches_state_observables():
     if not _on_tpu():
         pytest.skip("hardware PRNG path needs the chip")
