@@ -337,6 +337,33 @@ def test_sharded_packed_runner_absorbing_low_t(monkeypatch):
     np.testing.assert_allclose(np.asarray(out["e"]), -2.0, atol=0)
 
 
+@pytest.mark.slow
+def test_multispin_ner_exponent_at_tc():
+    """NER decay m(t) ~ t^(-β/νz) at Tc (β/νz = 0.0577) on the packed
+    headline engine at 1024² — the reference's flagship physics
+    (/root/reference/app/ising2d_gpu_relaxation.f90:34-51) on the
+    multispin kernel, wide gate (32 samples × 100 MCS)."""
+    if not _on_tpu() or jax.default_backend() == "cpu":
+        pytest.skip("hardware PRNG path needs the chip")
+    from cuda_fortran_mc_simulation_spin_tpu.engine import sweep as sw
+    from cuda_fortran_mc_simulation_spin_tpu.models.ising2d import Ising2D
+
+    m = Ising2D(nx=1024, ny=1024, kbt=2.26918531421)
+    R, MCS, CALLS = 8, 100, 4
+    runner = jax.jit(sw.make_multispin_runner(m, MCS, R))
+    curves = [
+        np.asarray(jax.device_get(
+            runner(rng.sample_key(rng.base_key(50), c))["m"]),
+            np.float64)
+        for c in range(CALLS)
+    ]
+    m_t = np.concatenate(curves, axis=0).mean(0)
+    t = np.arange(1, MCS + 1)
+    sel = t >= 10
+    slope = np.polyfit(np.log(t[sel]), np.log(m_t[sel]), 1)[0]
+    assert 0.03 < -slope < 0.09, slope
+
+
 def test_sharded_packed_runner_on_chip():
     """Hardware-PRNG packed sharded runner on a (1,1) mesh: absorbing
     at T→0 and sane decay at Tc."""
