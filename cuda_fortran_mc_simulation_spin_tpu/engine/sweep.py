@@ -142,8 +142,16 @@ def make_multispin_runner(
     multispin kernel (ops/ising2d_multispin.py) with per-sweep (m, e)
     fused into phase b — the fastest Ising2D ensemble path, and the
     only fused-measurement one for lattices beyond the VMEM-multisweep
-    size cap."""
+    size cap.  Lattices whose packed planes fit VMEM run the whole-
+    lattice multisweep kernel (S sweeps per invocation, zero HBM
+    traffic between sweeps); larger ones stream phase pairs."""
     from cuda_fortran_mc_simulation_spin_tpu.ops import ising2d_multispin
+
+    ny, half = model.color_shape
+    resident = ising2d_multispin.multisweep_fits_vmem(ny, half)
+    chunk = min(64, mcs)
+    n_chunks = -(-mcs // chunk)
+    padded = n_chunks * chunk
 
     def run(call_key: jax.Array) -> dict[str, jax.Array]:
         init_keys = jax.vmap(
@@ -154,6 +162,22 @@ def make_multispin_runner(
         )
         wa = ising2d_multispin.pack_color(state.a)
         wb = ising2d_multispin.pack_color(state.b)
+
+        if resident:
+            def body(c, ci):
+                wa, wb, obs = ising2d_multispin.multisweep_packed(
+                    model, c[0], c[1], rng.sweep_key(call_key, ci),
+                    chunk,
+                )
+                return (wa, wb), obs
+
+            _, series = lax.scan(body, (wa, wb), jnp.arange(n_chunks))
+            out = {}
+            for k, v in series.items():
+                # (n_chunks, batch, chunk) -> (batch, mcs)
+                v = jnp.moveaxis(v, 0, 1).reshape(batch, padded)
+                out[k] = v[:, :mcs]
+            return out
 
         def body(c, t):
             wa, wb, obs = ising2d_multispin.sweep_measure_packed(

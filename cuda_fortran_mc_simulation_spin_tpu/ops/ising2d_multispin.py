@@ -117,7 +117,10 @@ def popcount_sum(w: jax.Array) -> jax.Array:
 def chain_digits(p: float, k: int = CHAIN_BITS) -> list[int]:
     """Binary digits d₁..d_k (MSB first) of p rounded to k bits."""
     q = int(round(min(max(p, 0.0), 1.0) * (1 << k)))
-    if q >= (1 << k):  # p == 1 within resolution: handled by caller
+    if q >= (1 << k):
+        # p rounds to 1: clamp to 1 - 2^-k (the always-accept ΔE ≤ 0
+        # branch is separate, so this only touches p(ΔE>0) ≈ 1 runs at
+        # absurdly high T, where the 2^-k deficit is far below noise)
         q = (1 << k) - 1
     return [(q >> (k - 1 - j)) & 1 for j in range(k)]
 
@@ -364,6 +367,114 @@ def phase_packed_with_bits(xw, ow, b4, b8, *, color, interpret=False):
         input_output_aliases={1: 0},
         interpret=interpret,
     )(jnp.zeros((2,), jnp.int32), xw, ow, ow, ow, b4, b8)
+
+
+# ---------------------------------------------------------------------------
+# whole-lattice VMEM-resident packed multisweep (ensemble fast path)
+# ---------------------------------------------------------------------------
+
+# both packed colors + ~12 live word-plane temporaries must fit VMEM
+_MS_VMEM_PLANE_WORDS = 160 << 10
+
+
+def multisweep_fits_vmem(ny: int, half: int) -> bool:
+    return (ny // PACK) * half <= _MS_VMEM_PLANE_WORDS
+
+
+def _ms_kernel(seed_ref, wa_in, wb_in, wa_ref, wb_ref, obs_ref,
+               *, sweeps: int, d4, d8):
+    """S full MCS on whole resident packed planes + fused per-sweep
+    (m, e).  Grid = (replicas,): the whole lattice is one block, so
+    word-row wrap is a plain sublane roll (no halo splicing) and each
+    sweep is pure VPU work — zero HBM traffic between sweeps."""
+    r = pl.program_id(0)
+    pltpu.prng_seed(seed_ref[0],
+                    seed_ref[1] ^ (r * jnp.int32(0x3C6EF35F)))
+    wa_ref[0] = wa_in[0]
+    wb_ref[0] = wb_in[0]
+    shape = wa_ref.shape[1:]
+    nyp = shape[0]
+    nsites = jnp.int32(shape[0] * shape[1] * PACK)
+
+    def gen():
+        return pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
+
+    def phase(x, o, color):
+        w_prev = pltpu.roll(o, 1, axis=0)
+        w_next = pltpu.roll(o, nyp - 1, axis=0)
+        up, dn, ctr, side = _nbr_planes(o, w_prev, w_next, color)
+        ones, twos, fours = _count_planes(up, dn, ctr, side)
+        b4 = _bern_plane(shape, d4, gen)
+        b8 = _bern_plane(shape, d8, gen)
+        flip = _flip_plane(x, ones, twos, fours, b4, b8)
+        return x ^ flip, ones, twos, fours
+
+    def body(s, _):
+        wa = pltpu.bitcast(wa_ref[0], jnp.uint32)
+        wb = pltpu.bitcast(wb_ref[0], jnp.uint32)
+        wa, _, _, _ = phase(wa, wb, 0)
+        wb, ones, twos, fours = phase(wb, wa, 1)
+        wa_ref[0] = pltpu.bitcast(wa, jnp.int32)
+        wb_ref[0] = pltpu.bitcast(wb, jnp.int32)
+        # fused (m, e) from the phase-b counts (final a values)
+        s_x = _pc_sum(wb)
+        s_c = (_pc_sum(ones) + 2 * _pc_sum(twos) + 4 * _pc_sum(fours))
+        s_xc = (_pc_sum(wb & ones) + 2 * _pc_sum(wb & twos)
+                + 4 * _pc_sum(wb & fours))
+        m = 2 * (s_x + _pc_sum(wa)) - 2 * nsites
+        e = -(4 * s_xc - 8 * s_x - 2 * s_c + 4 * nsites)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+        row = jnp.where(lane == 0, m, jnp.where(lane == 1, e, 0))
+        obs_ref[0, pl.ds(s, 1), :] = row
+        return 0
+
+    jax.lax.fori_loop(0, sweeps, body, 0)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("sweeps", "beta", "nrep", "nyp", "half")
+)
+def _multisweep_packed(wa, wb, seeds, *, sweeps, beta, nrep, nyp, half):
+    d4 = tuple(chain_digits(float(np.exp(-4.0 * beta))))
+    d8 = tuple(chain_digits(float(np.exp(-8.0 * beta))))
+    kernel = functools.partial(_ms_kernel, sweeps=sweeps, d4=d4, d8=d8)
+    plane = pl.BlockSpec((1, nyp, half), lambda r: (r, 0, 0),
+                         memory_space=pltpu.VMEM)
+    obs = pl.BlockSpec((1, sweeps, 128), lambda r: (r, 0, 0),
+                       memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((nrep, nyp, half), jnp.int32),
+            jax.ShapeDtypeStruct((nrep, nyp, half), jnp.int32),
+            jax.ShapeDtypeStruct((nrep, sweeps, 128), jnp.int32),
+        ),
+        grid=(nrep,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM), plane, plane],
+        out_specs=(plane, plane, obs),
+        input_output_aliases={1: 0, 2: 1},
+    )(seeds, wa, wb)
+
+
+def multisweep_packed(model, wa, wb, key, sweeps: int):
+    """Advance ``sweeps`` MCS on packed planes with fused per-sweep
+    (m, e) densities of shape (R, sweeps) — the packed analog of
+    ops/ising2d_multisweep for VMEM-resident ensemble shapes."""
+    nrep, nyp, half = wa.shape
+    if not multisweep_fits_vmem(nyp * PACK, half):
+        raise ValueError(
+            f"packed lattice {nyp * PACK}x{2 * half} exceeds the "
+            "VMEM-resident multisweep budget; use sweep_measure_packed"
+        )
+    wa, wb, obs = _multisweep_packed(
+        wa, wb, seeds_from_key(key, 0), sweeps=sweeps,
+        beta=float(model.beta), nrep=nrep, nyp=nyp, half=half,
+    )
+    n_inv = jnp.float32(1.0 / model.nsites)
+    return wa, wb, {
+        "m": obs[:, :, 0].astype(jnp.float32) * n_inv,
+        "e": obs[:, :, 1].astype(jnp.float32) * n_inv,
+    }
 
 
 # ---------------------------------------------------------------------------

@@ -337,6 +337,41 @@ def test_sharded_packed_runner_absorbing_low_t(monkeypatch):
     np.testing.assert_allclose(np.asarray(out["e"]), -2.0, atol=0)
 
 
+def test_multisweep_packed_matches_state_observables():
+    """Final-sweep fused (m, e) from the VMEM-resident packed
+    multisweep equal direct reductions on the final state, and the
+    runner's resident path is exercised at an ensemble shape."""
+    if not _on_tpu() or jax.default_backend() == "cpu":
+        pytest.skip("hardware PRNG path needs the chip")
+    from cuda_fortran_mc_simulation_spin_tpu.models.ising2d import Ising2D
+
+    model = Ising2D(nx=2 * HALF, ny=NY, kbt=2.26918531421)
+    st = jax.vmap(lambda k: model.init_state("random", k))(
+        jax.random.split(rng.base_key(60), 2))
+    wa, wb = msb.pack_color(st.a), msb.pack_color(st.b)
+    wa, wb, obs = msb.multisweep_packed(model, wa, wb,
+                                        rng.base_key(61), 8)
+    final = type(st)(msb.unpack_color(wa), msb.unpack_color(wb))
+    n_inv = 1.0 / model.nsites
+    for r in range(2):
+        s1 = type(st)(final.a[r], final.b[r])
+        np.testing.assert_allclose(
+            float(obs["m"][r, -1]),
+            float(model.magne_sum(s1)) * n_inv, rtol=0, atol=1e-6)
+        np.testing.assert_allclose(
+            float(obs["e"][r, -1]),
+            float(model.energy_sum(s1)) * n_inv, rtol=0, atol=1e-6)
+
+    # absorbing at T->0 through the runner's resident path
+    from cuda_fortran_mc_simulation_spin_tpu.engine import sweep as sw
+
+    cold = Ising2D(nx=2 * HALF, ny=NY, kbt=0.05)
+    runner = jax.jit(sw.make_multispin_runner(cold, 4, 2))
+    out = jax.device_get(runner(rng.base_key(62)))
+    np.testing.assert_allclose(np.asarray(out["m"]), 1.0, atol=0)
+    np.testing.assert_allclose(np.asarray(out["e"]), -2.0, atol=0)
+
+
 @pytest.mark.slow
 def test_multispin_ner_exponent_at_tc():
     """NER decay m(t) ~ t^(-β/νz) at Tc (β/νz = 0.0577) on the packed
