@@ -198,11 +198,18 @@ def make_multispin3d_runner(
     init_kind: str = "allup",
 ) -> Callable[[jax.Array], dict[str, jax.Array]]:
     """3-D analog of :func:`make_multispin_runner`
-    (ops/ising3d_multispin.py)."""
+    (ops/ising3d_multispin.py): VMEM-resident whole-volume multisweep
+    when the packed volume fits, streaming z-plane phases otherwise."""
     from cuda_fortran_mc_simulation_spin_tpu.ops import (
         ising2d_multispin,
         ising3d_multispin,
     )
+
+    nz, ny, half = model.color_shape
+    resident = ising3d_multispin.multisweep3d_fits_vmem(nz, ny, half)
+    chunk = min(64, mcs)
+    n_chunks = -(-mcs // chunk)
+    padded = n_chunks * chunk
 
     def run(call_key: jax.Array) -> dict[str, jax.Array]:
         init_keys = jax.vmap(
@@ -213,6 +220,21 @@ def make_multispin3d_runner(
         )
         wa = ising2d_multispin.pack_color(state.a)
         wb = ising2d_multispin.pack_color(state.b)
+
+        if resident:
+            def body(c, ci):
+                wa, wb, obs = ising3d_multispin.multisweep_packed3d(
+                    model, c[0], c[1], rng.sweep_key(call_key, ci),
+                    chunk,
+                )
+                return (wa, wb), obs
+
+            _, series = lax.scan(body, (wa, wb), jnp.arange(n_chunks))
+            out = {}
+            for k, v in series.items():
+                v = jnp.moveaxis(v, 0, 1).reshape(batch, padded)
+                out[k] = v[:, :mcs]
+            return out
 
         def body(c, t):
             wa, wb, obs = ising3d_multispin.sweep_measure_packed3d(

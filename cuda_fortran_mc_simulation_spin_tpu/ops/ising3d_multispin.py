@@ -270,6 +270,164 @@ def phase3d_packed_with_bits(xw, ow, b4, b8, b12, *, color,
 
 
 # ---------------------------------------------------------------------------
+# whole-volume VMEM-resident packed multisweep (3-D ensemble fast path)
+# ---------------------------------------------------------------------------
+
+# both packed color volumes + ~12 z-block temporaries must fit VMEM
+_MS3_VMEM_VOL_WORDS = 1 << 20
+_MS3_TZ = 32
+
+
+def multisweep3d_fits_vmem(nz: int, ny: int, half: int) -> bool:
+    return (nz % _MS3_TZ == 0
+            and nz * (ny // PACK) * half <= _MS3_VMEM_VOL_WORDS)
+
+
+def _ms3_kernel(seed_ref, wa_in, wb_in, wa_ref, wb_ref, obs_ref,
+                *, sweeps: int, d4, d8, d12, tz: int, nz: int,
+                nyp: int, half: int):
+    """S full 3-D MCS on resident packed volumes + fused per-sweep
+    (m, e).  Grid = (replicas,); phases run over z-blocks of ``tz``
+    planes (whole-volume temporaries would blow VMEM), reading z-edge
+    planes from the resident ref — the per-(replica, z-plane) grid of
+    the streaming kernel collapses into in-kernel loops, which is the
+    whole win at ensemble shapes where single planes are tiny."""
+    r = pl.program_id(0)
+    pltpu.prng_seed(seed_ref[0],
+                    seed_ref[1] ^ (r * jnp.int32(0x3C6EF35F)))
+    wa_ref[0] = wa_in[0]
+    wb_ref[0] = wb_in[0]
+    nblk = nz // tz
+    shape = (tz, nyp, half)
+    nsites_blk = jnp.int32(tz * nyp * half * PACK)
+
+    def gen():
+        return pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
+
+    def load_blk(ref, i):
+        return pltpu.bitcast(ref[0, pl.ds(i * tz, tz)], jnp.uint32)
+
+    def nbr_counts(o_ref_full, i, o, color):
+        zm_edge = pltpu.bitcast(
+            o_ref_full[0, pl.ds((i * tz - 1 + nz) % nz, 1)], jnp.uint32)
+        zp_edge = pltpu.bitcast(
+            o_ref_full[0, pl.ds(((i + 1) * tz) % nz, 1)], jnp.uint32)
+        zm = jnp.concatenate([zm_edge, o[:-1]], axis=0)
+        zp = jnp.concatenate([o[1:], zp_edge], axis=0)
+        w_prev = pltpu.roll(o, 1, axis=1)
+        w_next = pltpu.roll(o, nyp - 1, axis=1)
+        one = jnp.uint32(1)
+        up = (o << one) | (w_prev >> jnp.uint32(31))
+        dn = (o >> one) | (w_next << jnp.uint32(31))
+        minus = pltpu.roll(o, 1, axis=2)
+        plus = pltpu.roll(o, half - 1, axis=2)
+        z_odd = (((jax.lax.broadcasted_iota(jnp.int32, (tz, 1, 1), 0)
+                   + i * tz) & 1) == 1)
+        modd = jnp.where(z_odd, jnp.uint32(_EVEN_BITS),
+                         jnp.uint32(_ODD_BITS))
+        meven = jnp.where(z_odd, jnp.uint32(_ODD_BITS),
+                          jnp.uint32(_EVEN_BITS))
+        if color == 0:
+            side = (plus & modd) | (minus & meven)
+        else:
+            side = (minus & modd) | (plus & meven)
+        return _count6(zm, zp, up, dn, o, side)
+
+    def phase_a(i, _):
+        x = load_blk(wa_ref, i)
+        o = load_blk(wb_ref, i)
+        b1, b2, b4c = nbr_counts(wb_ref, i, o, 0)
+        p4 = _bern_plane(shape, d4, gen)
+        p8 = _bern_plane(shape, d8, gen)
+        p12 = _bern_plane(shape, d12, gen)
+        flip = _flip_plane3d(x, b1, b2, b4c, p4, p8, p12)
+        wa_ref[0, pl.ds(i * tz, tz)] = pltpu.bitcast(x ^ flip,
+                                                     jnp.int32)
+        return 0
+
+    def phase_b_measure(i, carry):
+        m, e = carry
+        x = load_blk(wb_ref, i)
+        o = load_blk(wa_ref, i)
+        b1, b2, b4c = nbr_counts(wa_ref, i, o, 1)
+        p4 = _bern_plane(shape, d4, gen)
+        p8 = _bern_plane(shape, d8, gen)
+        p12 = _bern_plane(shape, d12, gen)
+        flip = _flip_plane3d(x, b1, b2, b4c, p4, p8, p12)
+        new = x ^ flip
+        wb_ref[0, pl.ds(i * tz, tz)] = pltpu.bitcast(new, jnp.int32)
+        s_x = _pc_sum(new)
+        s_c = _pc_sum(b1) + 2 * _pc_sum(b2) + 4 * _pc_sum(b4c)
+        s_xc = (_pc_sum(new & b1) + 2 * _pc_sum(new & b2)
+                + 4 * _pc_sum(new & b4c))
+        m = m + 2 * (s_x + _pc_sum(o)) - 2 * nsites_blk
+        e = e - (4 * s_xc - 12 * s_x - 2 * s_c + 6 * nsites_blk)
+        return m, e
+
+    def body(s, _):
+        jax.lax.fori_loop(0, nblk, phase_a, 0)
+        m, e = jax.lax.fori_loop(
+            0, nblk, phase_b_measure, (jnp.int32(0), jnp.int32(0)))
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+        row = jnp.where(lane == 0, m, jnp.where(lane == 1, e, 0))
+        obs_ref[0, pl.ds(s, 1), :] = row
+        return 0
+
+    jax.lax.fori_loop(0, sweeps, body, 0)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("sweeps", "beta", "nrep", "nz", "nyp", "half"),
+)
+def _multisweep_packed3d(wa, wb, seeds, *, sweeps, beta, nrep, nz, nyp,
+                         half):
+    d4 = tuple(chain_digits(float(np.exp(-4.0 * beta))))
+    d8 = tuple(chain_digits(float(np.exp(-8.0 * beta))))
+    d12 = tuple(chain_digits(float(np.exp(-12.0 * beta))))
+    kernel = functools.partial(
+        _ms3_kernel, sweeps=sweeps, d4=d4, d8=d8, d12=d12,
+        tz=_MS3_TZ, nz=nz, nyp=nyp, half=half,
+    )
+    vol = pl.BlockSpec((1, nz, nyp, half), lambda r: (r, 0, 0, 0),
+                       memory_space=pltpu.VMEM)
+    obs = pl.BlockSpec((1, sweeps, 128), lambda r: (r, 0, 0),
+                       memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((nrep, nz, nyp, half), jnp.int32),
+            jax.ShapeDtypeStruct((nrep, nz, nyp, half), jnp.int32),
+            jax.ShapeDtypeStruct((nrep, sweeps, 128), jnp.int32),
+        ),
+        grid=(nrep,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM), vol, vol],
+        out_specs=(vol, vol, obs),
+        input_output_aliases={1: 0, 2: 1},
+    )(seeds, wa, wb)
+
+
+def multisweep_packed3d(model, wa, wb, key, sweeps: int):
+    """Advance ``sweeps`` 3-D MCS on packed volumes with fused
+    per-sweep (m, e) densities (R, sweeps)."""
+    nrep, nz, nyp, half = wa.shape
+    if not multisweep3d_fits_vmem(nz, nyp * PACK, half):
+        raise ValueError(
+            f"packed volume {nz}x{nyp * PACK}x{2 * half} exceeds the "
+            "VMEM-resident 3-D multisweep budget"
+        )
+    wa, wb, obs = _multisweep_packed3d(
+        wa, wb, seeds_from_key(key, 0), sweeps=sweeps,
+        beta=float(model.beta), nrep=nrep, nz=nz, nyp=nyp, half=half,
+    )
+    n_inv = jnp.float32(1.0 / model.nsites)
+    return wa, wb, {
+        "m": obs[:, :, 0].astype(jnp.float32) * n_inv,
+        "e": obs[:, :, 1].astype(jnp.float32) * n_inv,
+    }
+
+
+# ---------------------------------------------------------------------------
 # halo-aware packed phase for the z-sharded (shard_map) path
 # ---------------------------------------------------------------------------
 

@@ -200,6 +200,39 @@ def test_sweep_measure_packed3d_matches_state_observables():
                                    rtol=0, atol=1e-6)
 
 
+def test_multisweep_packed3d_matches_state_observables():
+    """Final-sweep fused (m, e) from the resident 3-D multisweep equal
+    direct reductions; runner resident path absorbing at T→0."""
+    if not _on_tpu() or jax.default_backend() == "cpu":
+        pytest.skip("hardware PRNG path needs the chip")
+    from cuda_fortran_mc_simulation_spin_tpu.models.ising3d import Ising3D
+
+    model = Ising3D(nx=2 * HALF, ny=NY, nz=32, kbt=4.511536)
+    st = jax.vmap(lambda k: model.init_state("random", k))(
+        jax.random.split(rng.base_key(70), 2))
+    wa, wb = ms2.pack_color(st.a), ms2.pack_color(st.b)
+    wa, wb, obs = ms3.multisweep_packed3d(model, wa, wb,
+                                          rng.base_key(71), 6)
+    final = type(st)(ms2.unpack_color(wa), ms2.unpack_color(wb))
+    n_inv = 1.0 / model.nsites
+    for r in range(2):
+        s1 = type(st)(final.a[r], final.b[r])
+        np.testing.assert_allclose(
+            float(obs["m"][r, -1]),
+            float(model.magne_sum(s1)) * n_inv, rtol=0, atol=1e-6)
+        np.testing.assert_allclose(
+            float(obs["e"][r, -1]),
+            float(model.energy_sum(s1)) * n_inv, rtol=0, atol=1e-6)
+
+    from cuda_fortran_mc_simulation_spin_tpu.engine import sweep as sw
+
+    cold = Ising3D(nx=2 * HALF, ny=NY, nz=32, kbt=0.05)
+    runner = jax.jit(sw.make_multispin3d_runner(cold, 4, 2))
+    out = jax.device_get(runner(rng.base_key(72)))
+    np.testing.assert_allclose(np.asarray(out["m"]), 1.0, atol=0)
+    np.testing.assert_allclose(np.asarray(out["e"]), -3.0, atol=0)
+
+
 def test_multispin3d_matches_phase_kernel_statistically():
     """m(t) means vs the int8 3-D phase-kernel runner (independent
     streams, wide gate)."""
