@@ -121,10 +121,16 @@ def _multispin_eligible(cfg, model, runner_kwargs) -> bool:
     except ValueError:
         return False
     from cuda_fortran_mc_simulation_spin_tpu.ops import ising2d_multispin
+    if model.nsites > ising2d_multispin.OBS_INT32_MAX_SITES:
+        # fused int32 (m, e) accumulators would wrap — int8 f32 path
+        return False
     if cfg.model == "ising3d":
+        from cuda_fortran_mc_simulation_spin_tpu.ops import (
+            ising3d_multispin,
+        )
         _, ny, half = model.color_shape
-    else:
-        ny, half = model.color_shape
+        return ising3d_multispin.packable3d(ny, half)
+    ny, half = model.color_shape
     return ising2d_multispin.packable(ny, half)
 
 

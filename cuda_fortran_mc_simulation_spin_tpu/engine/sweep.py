@@ -132,6 +132,55 @@ def make_batch_runner(
     return run
 
 
+def _make_packed_runner(model, mcs, batch, init_kind, resident,
+                        multisweep_fn, stream_fn):
+    """Shared body of the multispin runners: init + pack once, then
+    either chunked VMEM-resident multisweeps or streamed phase pairs,
+    with per-sweep fused (m, e) either way."""
+    from cuda_fortran_mc_simulation_spin_tpu.ops import ising2d_multispin
+
+    chunk = min(64, mcs)
+    n_chunks = -(-mcs // chunk)
+    padded = n_chunks * chunk
+
+    def run(call_key: jax.Array) -> dict[str, jax.Array]:
+        init_keys = jax.vmap(
+            lambda r: jax.random.fold_in(rng.init_key(call_key), r)
+        )(jnp.arange(batch))
+        state = jax.vmap(lambda k: model.init_state(init_kind, k))(
+            init_keys
+        )
+        wa = ising2d_multispin.pack_color(state.a)
+        wb = ising2d_multispin.pack_color(state.b)
+
+        if resident:
+            def body(c, ci):
+                wa, wb, obs = multisweep_fn(
+                    model, c[0], c[1], rng.sweep_key(call_key, ci),
+                    chunk,
+                )
+                return (wa, wb), obs
+
+            _, series = lax.scan(body, (wa, wb), jnp.arange(n_chunks))
+            out = {}
+            for k, v in series.items():
+                # (n_chunks, batch, chunk) -> (batch, mcs)
+                v = jnp.moveaxis(v, 0, 1).reshape(batch, padded)
+                out[k] = v[:, :mcs]
+            return out
+
+        def body(c, t):
+            wa, wb, obs = stream_fn(
+                model, c[0], c[1], rng.sweep_key(call_key, t)
+            )
+            return (wa, wb), obs
+
+        _, series = lax.scan(body, (wa, wb), jnp.arange(1, mcs + 1))
+        return jax.tree.map(lambda x: jnp.swapaxes(x, 0, 1), series)
+
+    return run
+
+
 def make_multispin_runner(
     model,
     mcs: int,
@@ -148,47 +197,12 @@ def make_multispin_runner(
     from cuda_fortran_mc_simulation_spin_tpu.ops import ising2d_multispin
 
     ny, half = model.color_shape
-    resident = ising2d_multispin.multisweep_fits_vmem(ny, half)
-    chunk = min(64, mcs)
-    n_chunks = -(-mcs // chunk)
-    padded = n_chunks * chunk
-
-    def run(call_key: jax.Array) -> dict[str, jax.Array]:
-        init_keys = jax.vmap(
-            lambda r: jax.random.fold_in(rng.init_key(call_key), r)
-        )(jnp.arange(batch))
-        state = jax.vmap(lambda k: model.init_state(init_kind, k))(
-            init_keys
-        )
-        wa = ising2d_multispin.pack_color(state.a)
-        wb = ising2d_multispin.pack_color(state.b)
-
-        if resident:
-            def body(c, ci):
-                wa, wb, obs = ising2d_multispin.multisweep_packed(
-                    model, c[0], c[1], rng.sweep_key(call_key, ci),
-                    chunk,
-                )
-                return (wa, wb), obs
-
-            _, series = lax.scan(body, (wa, wb), jnp.arange(n_chunks))
-            out = {}
-            for k, v in series.items():
-                # (n_chunks, batch, chunk) -> (batch, mcs)
-                v = jnp.moveaxis(v, 0, 1).reshape(batch, padded)
-                out[k] = v[:, :mcs]
-            return out
-
-        def body(c, t):
-            wa, wb, obs = ising2d_multispin.sweep_measure_packed(
-                model, c[0], c[1], rng.sweep_key(call_key, t)
-            )
-            return (wa, wb), obs
-
-        _, series = lax.scan(body, (wa, wb), jnp.arange(1, mcs + 1))
-        return jax.tree.map(lambda x: jnp.swapaxes(x, 0, 1), series)
-
-    return run
+    return _make_packed_runner(
+        model, mcs, batch, init_kind,
+        ising2d_multispin.multisweep_fits_vmem(ny, half),
+        ising2d_multispin.multisweep_packed,
+        ising2d_multispin.sweep_measure_packed,
+    )
 
 
 def make_multispin3d_runner(
@@ -200,52 +214,15 @@ def make_multispin3d_runner(
     """3-D analog of :func:`make_multispin_runner`
     (ops/ising3d_multispin.py): VMEM-resident whole-volume multisweep
     when the packed volume fits, streaming z-plane phases otherwise."""
-    from cuda_fortran_mc_simulation_spin_tpu.ops import (
-        ising2d_multispin,
-        ising3d_multispin,
-    )
+    from cuda_fortran_mc_simulation_spin_tpu.ops import ising3d_multispin
 
     nz, ny, half = model.color_shape
-    resident = ising3d_multispin.multisweep3d_fits_vmem(nz, ny, half)
-    chunk = min(64, mcs)
-    n_chunks = -(-mcs // chunk)
-    padded = n_chunks * chunk
-
-    def run(call_key: jax.Array) -> dict[str, jax.Array]:
-        init_keys = jax.vmap(
-            lambda r: jax.random.fold_in(rng.init_key(call_key), r)
-        )(jnp.arange(batch))
-        state = jax.vmap(lambda k: model.init_state(init_kind, k))(
-            init_keys
-        )
-        wa = ising2d_multispin.pack_color(state.a)
-        wb = ising2d_multispin.pack_color(state.b)
-
-        if resident:
-            def body(c, ci):
-                wa, wb, obs = ising3d_multispin.multisweep_packed3d(
-                    model, c[0], c[1], rng.sweep_key(call_key, ci),
-                    chunk,
-                )
-                return (wa, wb), obs
-
-            _, series = lax.scan(body, (wa, wb), jnp.arange(n_chunks))
-            out = {}
-            for k, v in series.items():
-                v = jnp.moveaxis(v, 0, 1).reshape(batch, padded)
-                out[k] = v[:, :mcs]
-            return out
-
-        def body(c, t):
-            wa, wb, obs = ising3d_multispin.sweep_measure_packed3d(
-                model, c[0], c[1], rng.sweep_key(call_key, t)
-            )
-            return (wa, wb), obs
-
-        _, series = lax.scan(body, (wa, wb), jnp.arange(1, mcs + 1))
-        return jax.tree.map(lambda x: jnp.swapaxes(x, 0, 1), series)
-
-    return run
+    return _make_packed_runner(
+        model, mcs, batch, init_kind,
+        ising3d_multispin.multisweep3d_fits_vmem(nz, ny, half),
+        ising3d_multispin.multisweep_packed3d,
+        ising3d_multispin.sweep_measure_packed3d,
+    )
 
 
 def make_multisweep_runner(

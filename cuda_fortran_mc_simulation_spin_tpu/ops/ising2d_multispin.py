@@ -54,6 +54,19 @@ from cuda_fortran_mc_simulation_spin_tpu.ops.ising2d_pallas import (
 )
 
 PACK = 32          # spins per word (int32)
+# fused (m, e) partials accumulate in int32 (exact, so sums are
+# independent of block/shard order — the bitwise mesh-invariance
+# guarantee); |e_sum| ≤ 3N caps the measurable lattice
+OBS_INT32_MAX_SITES = (2 ** 31 - 1) // 3
+
+
+def _check_obs_sites(nsites: int) -> None:
+    if nsites > OBS_INT32_MAX_SITES:
+        raise ValueError(
+            f"lattice of {nsites} sites overflows the int32 fused-"
+            f"observable accumulators (max {OBS_INT32_MAX_SITES}); "
+            "measure with a separate reduction pass"
+        )
 CHAIN_BITS = 20    # Bernoulli-chain resolution: P quantized to 2^-20
 _ODD_BITS = 0xAAAAAAAA   # word bits at odd lattice rows
 _EVEN_BITS = 0x55555555
@@ -695,6 +708,7 @@ def shard_packed_ok(local_shape: tuple[int, ...]) -> bool:
 def sweep_measure_packed(model, wa, wb, key):
     """One MCS + fused per-sweep (m, e) densities from the phase-b
     kernel (the packed analog of the int8 measure-in-phase path)."""
+    _check_obs_sites(model.nsites)
     nrep, nyp, half = wa.shape
     kw = dict(beta=float(model.beta), nrep=nrep, nyp=nyp, half=half)
     wa = _metropolis_phase_packed(wa, wb, seeds_from_key(key, 0),

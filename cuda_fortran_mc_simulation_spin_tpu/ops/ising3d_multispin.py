@@ -648,6 +648,11 @@ def sweep_packed3d(model, wa, wb, key):
 
 def sweep_measure_packed3d(model, wa, wb, key):
     """One MCS + fused per-sweep (m, e) densities from phase b."""
+    from cuda_fortran_mc_simulation_spin_tpu.ops.ising2d_multispin import (
+        _check_obs_sites,
+    )
+
+    _check_obs_sites(model.nsites)
     nrep, nz, nyp, half = wa.shape
     kw = dict(beta=float(model.beta), nrep=nrep, nz=nz, nyp=nyp,
               half=half)

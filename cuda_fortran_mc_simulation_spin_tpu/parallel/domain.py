@@ -172,10 +172,12 @@ def _shard_pallas_mode(model, local_shape,
 
 
 def _shard_packed_mode(model, mesh: Mesh, replicas: int,
-                       n_over_relax: int = 0) -> tuple[bool, bool]:
-    """(use_packed, interpret) — route the domain-sharded Ising2D sweep
-    through the bit-packed multispin halo kernel
-    (ops/ising2d_multispin.sharded_phase_packed) when shapes allow.
+                       n_over_relax: int = 0
+                       ) -> tuple[str | None, bool]:
+    """(kind, interpret) with kind ∈ {"2d", "3d", None} — route the
+    domain-sharded Ising sweep through the bit-packed multispin halo
+    kernels (ops/ising2d_multispin.sharded_phase_packed /
+    ops/ising3d_multispin.sharded_phase3d_packed) when shapes allow.
 
     Opt-out with SPINLAT_SHARD_PACKED=0;
     SPINLAT_SHARD_PALLAS_INTERPRET=1 runs it in interpret mode on CPU
@@ -199,6 +201,9 @@ def _shard_packed_mode(model, mesh: Mesh, replicas: int,
         return None, False
     dp = mesh.shape["dp"]
     if replicas % dp:
+        return None, False
+    if model.nsites > ising2d_multispin.OBS_INT32_MAX_SITES:
+        # fused int32 (m, e) partials would wrap; int8 f32-obs path
         return None, False
     if is2d:
         ny, half = model.color_shape
