@@ -19,6 +19,8 @@ from __future__ import annotations
 
 from typing import Any, Callable
 
+import os
+
 import jax
 import jax.numpy as jnp
 from jax import lax
@@ -374,6 +376,48 @@ def make_helical_runner(
     from cuda_fortran_mc_simulation_spin_tpu.models.clock_helical import (
         Clock2DHelical,
     )
+    from cuda_fortran_mc_simulation_spin_tpu.models.ising2d_helical import (
+        Ising2DHelical,
+    )
+    from cuda_fortran_mc_simulation_spin_tpu.ops import (
+        helical_multispin as hms,
+    )
+
+    if (isinstance(model, Ising2DHelical) and hms.fits(model)
+            and os.environ.get("SPINLAT_HELICAL_PACKED") != "0"):
+        # flat even/odd bit-packed engine: ~4x the masked kernels on
+        # the committed 1001x1000 geometry (BENCHMARKS.md)
+        m_half = model.nsites // 2
+        chunk = min(chunk, mcs)
+        n_chunks = -(-mcs // chunk)
+        padded = n_chunks * chunk
+
+        def run(call_key: jax.Array) -> dict[str, jax.Array]:
+            init_keys = jax.vmap(
+                lambda r: jax.random.fold_in(rng.init_key(call_key), r)
+            )(jnp.arange(batch))
+            flat = jax.vmap(lambda k: model.init_state(init_kind, k))(
+                init_keys
+            )
+            a, b = hms.split_flat(flat)
+            wa = hms.pack_flat(a, m_half)
+            wb = hms.pack_flat(b, m_half)
+
+            def body(c, ci):
+                wa, wb, obs = hms.multisweep(
+                    model, c[0], c[1], rng.sweep_key(call_key, ci),
+                    chunk,
+                )
+                return (wa, wb), obs
+
+            _, series = lax.scan(body, (wa, wb), jnp.arange(n_chunks))
+            out = {}
+            for k, v in series.items():
+                v = jnp.moveaxis(v, 0, 1).reshape(batch, padded)
+                out[k] = v[:, :mcs]
+            return out
+
+        return run
 
     ms = (hp.clock_multisweep if isinstance(model, Clock2DHelical)
           else hp.ising_multisweep)
