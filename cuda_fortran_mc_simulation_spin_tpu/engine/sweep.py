@@ -298,6 +298,16 @@ def helical_pallas_eligible(model, n_over_relax: int = 0) -> bool:
     if isinstance(model, (Ising2DHelical, Clock2DHelical)):
         if n_over_relax != 0:
             return False
+        if (isinstance(model, Ising2DHelical)
+                and os.environ.get("SPINLAT_HELICAL_PACKED") != "0"):
+            from cuda_fortran_mc_simulation_spin_tpu.ops import (
+                helical_multispin,
+            )
+
+            # the flat packed engine has much looser shape gates than
+            # the masked kernels (no ny tiling requirement)
+            if helical_multispin.fits(model):
+                return True
         if not helical_pallas.ising_fits_vmem(model.ny, model.nx):
             return False
         # ny without a multiple-of-8 divisor runs in single-block mode

@@ -154,16 +154,6 @@ def helical_offsets(nx: int) -> tuple[tuple[int, ...], tuple[int, ...]]:
     return (0, -1, h, -(h + 1)), (0, 1, h + 1, -h)
 
 
-def pad_mask(m: int, rows: int) -> np.ndarray:
-    """(rows, 128) uint32: set bits = valid sites (< m)."""
-    g = np.arange(rows * LANES).reshape(rows, LANES)
-    base = g * PACK
-    nbits = np.clip(m - base, 0, PACK)
-    full = np.uint64(1)
-    mask = ((full << nbits.astype(np.uint64)) - 1).astype(np.uint32)
-    return mask
-
-
 def packed_helical_phase_reference(xw, ow, offs, b4, b8, m: int):
     """Pure-jnp packed phase (oracle): neighbor planes via shift_mod
     with jnp.roll."""
@@ -185,6 +175,43 @@ def flat_phase_reference(x_flat, o_flat, offs, b4u, b8u):
     half_de = x_flat.astype(jnp.int32) * nsum
     accept = (half_de <= 0) | jnp.where(half_de == 2, b4u, b8u)
     return jnp.where(accept, -x_flat, x_flat)
+
+
+def _phase_bits_kernel(x_ref, o_ref, b4_ref, b8_ref, out_ref,
+                       *, offs, m: int):
+    """Single phase with injected Bernoulli planes — exercises the
+    in-kernel shift/blend path (_pltpu_roll) so interpret-mode CPU
+    tests cover the Mosaic code, mirroring the sibling engines."""
+    x = pltpu.bitcast(x_ref[0], jnp.uint32)
+    o = pltpu.bitcast(o_ref[0], jnp.uint32)
+    n1, n2, n3, n4 = (
+        _shift_mod_impl(o, d, m, _pltpu_roll) for d in offs
+    )
+    ones, twos, fours = _count_planes(n1, n2, n3, n4)
+    flip = _flip_plane(x, ones, twos, fours,
+                       pltpu.bitcast(b4_ref[0], jnp.uint32),
+                       pltpu.bitcast(b8_ref[0], jnp.uint32))
+    out_ref[0] = pltpu.bitcast(x ^ flip, jnp.int32)
+
+
+def phase_packed_with_bits(xw, ow, b4, b8, *, offs, m: int,
+                           interpret: bool = False):
+    """(R, rows, 128) packed phase with injected planes (bitwise
+    testable against packed_helical_phase_reference)."""
+    nrep, rows, lanes = xw.shape
+    kernel = functools.partial(_phase_bits_kernel, offs=tuple(offs),
+                               m=m)
+    blk = pl.BlockSpec((1, rows, lanes), lambda r: (r, 0, 0),
+                       memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((nrep, rows, lanes), jnp.int32),
+        grid=(nrep,),
+        in_specs=[blk, blk, blk, blk],
+        out_specs=blk,
+        input_output_aliases={0: 0},
+        interpret=interpret,
+    )(xw, ow, b4, b8)
 
 
 def _ms_kernel(seed_ref, wa_in, wb_in, wa_ref, wb_ref, obs_ref,

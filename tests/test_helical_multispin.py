@@ -85,6 +85,36 @@ def test_packed_phase_matches_flat_oracle(color):
     np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
 
 
+@pytest.mark.parametrize("color", [0, 1])
+def test_phase_kernel_interpret_matches_reference(color):
+    """Pallas phase with injected planes (interpret mode on CPU, Mosaic
+    on TPU) is bitwise the jnp packed oracle — covers the in-kernel
+    _pltpu_roll shift path."""
+    ka, kb, k4, k8 = jax.random.split(rng.base_key(8), 4)
+    R = 2
+    rows = hms.grid_rows(M)
+    x = hms.pack_flat(_rand_flat(ka, (R, M)), M)
+    o = hms.pack_flat(_rand_flat(kb, (R, M)), M)
+    b4 = jax.random.bits(k4, (R, rows, 128), dtype=jnp.uint32
+                         ).astype(jnp.int32)
+    b8 = jax.random.bits(k8, (R, rows, 128), dtype=jnp.uint32
+                         ).astype(jnp.int32)
+    offs = hms.helical_offsets(NX)[color]
+    interpret = jax.default_backend() == "cpu"
+    got = hms.phase_packed_with_bits(x, o, b4, b8, offs=offs, m=M,
+                                     interpret=interpret)
+    want = jax.vmap(
+        lambda xw, ow, p4, p8: hms.packed_helical_phase_reference(
+            xw, ow, offs, p4, p8, M)
+    )(x, o, b4, b8)
+    # pads may differ (reference shifts see pad garbage differently);
+    # compare the valid sites
+    np.testing.assert_array_equal(
+        np.asarray(jax.vmap(lambda w: hms.unpack_flat(w, M))(got)),
+        np.asarray(jax.vmap(lambda w: hms.unpack_flat(w, M))(want)),
+    )
+
+
 @pytest.mark.slow
 def test_helical_multispin_ner_exponent_at_tc():
     """NER decay m(t) ~ t^(-β/νz) at Tc on the packed flat engine at
