@@ -142,8 +142,8 @@ def _make_packed_runner(model, mcs, batch, init_kind, resident,
     from cuda_fortran_mc_simulation_spin_tpu.ops import ising2d_multispin
 
     chunk = min(64, mcs)
-    n_chunks = -(-mcs // chunk)
-    padded = n_chunks * chunk
+    n_full = mcs // chunk
+    rest = mcs - n_full * chunk
 
     def run(call_key: jax.Array) -> dict[str, jax.Array]:
         init_keys = jax.vmap(
@@ -163,13 +163,25 @@ def _make_packed_runner(model, mcs, batch, init_kind, resident,
                 )
                 return (wa, wb), obs
 
-            _, series = lax.scan(body, (wa, wb), jnp.arange(n_chunks))
-            out = {}
-            for k, v in series.items():
-                # (n_chunks, batch, chunk) -> (batch, mcs)
-                v = jnp.moveaxis(v, 0, 1).reshape(batch, padded)
-                out[k] = v[:, :mcs]
-            return out
+            (wa, wb), series = lax.scan(
+                body, (wa, wb), jnp.arange(n_full)
+            )
+            parts = {
+                # (n_full, batch, chunk) -> (batch, n_full*chunk)
+                k: jnp.moveaxis(v, 0, 1).reshape(batch, n_full * chunk)
+                for k, v in series.items()
+            }
+            if rest:
+                # `sweeps` is a static kernel arg, so the remainder runs
+                # at its exact length instead of a padded full chunk
+                _, _, tail = multisweep_fn(
+                    model, wa, wb, rng.sweep_key(call_key, n_full), rest
+                )
+                parts = {
+                    k: jnp.concatenate([parts[k], tail[k]], axis=1)
+                    for k in parts
+                }
+            return parts
 
         def body(c, t):
             wa, wb, obs = stream_fn(

@@ -266,13 +266,12 @@ def _halo_phase_kernel(seed_ref, offs_ref, x_ref, oc_ref, oup_ref,
     out = jnp.where(accept, -x, x)
     out_ref[0] = out.astype(jnp.int8)
     if measuring:
+        # int32 partials: exact, so per-shard sums are independent of
+        # block order (same guarantee as the packed engines' fused obs)
         m = jnp.sum(out) + jnp.sum(o)
         e = -jnp.sum(out * nsum)
         lane = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
-        row = jnp.where(
-            lane == 0, m.astype(jnp.float32),
-            jnp.where(lane == 1, e.astype(jnp.float32), 0.0),
-        )
+        row = jnp.where(lane == 0, m, jnp.where(lane == 1, e, 0))
 
         @pl.when(i == 0)
         def _():
@@ -313,6 +312,13 @@ def sharded_phase(
     """
     nrep, L, half = x.shape
     has_cols = halo_lf is not None
+    if measuring and L * half * 2 > (2 ** 31 - 1) // 2:
+        # |e partial| ≤ 2·N_local: int32 fused accumulators would wrap
+        raise ValueError(
+            f"local block of {L * half * 2} sites overflows the int32 "
+            "fused-observable accumulators; measure with a separate "
+            "reduction pass"
+        )
     t4, t8 = accept_thresholds_u32(beta)
     ty = _pick_tile_rows(L, half)
     n = L // ty
@@ -384,7 +390,7 @@ def sharded_phase(
                               memory_space=pltpu.VMEM)]
     if measuring:
         out_shape.append(
-            jax.ShapeDtypeStruct((nrep, 1, 128), jnp.float32))
+            jax.ShapeDtypeStruct((nrep, 1, 128), jnp.int32))
         out_specs.append(pl.BlockSpec((1, 1, 128),
                                       lambda r, i: (r, 0, 0),
                                       memory_space=pltpu.VMEM))

@@ -159,14 +159,13 @@ def _halo_phase_kernel(seed_ref, offs_ref, x_ref, oc_ref, ozm_ref,
     out_ref[0, 0] = out.astype(jnp.int8)
     if measuring:
         # phase-1 nsum is built from final other-color values; each bond
-        # appears exactly once in Σ_x s_new·nsum
+        # appears exactly once in Σ_x s_new·nsum.  int32 partials are
+        # exact (f32 would round past 2^24 on large shards), matching
+        # the packed engines' bitwise shard-invariance guarantee.
         m = jnp.sum(out) + jnp.sum(o)
         e = -jnp.sum(out * nsum)
         lane = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
-        row = jnp.where(
-            lane == 0, m.astype(jnp.float32),
-            jnp.where(lane == 1, e.astype(jnp.float32), 0.0),
-        )
+        row = jnp.where(lane == 0, m, jnp.where(lane == 1, e, 0))
 
         @pl.when(z == 0)
         def _():
@@ -186,6 +185,13 @@ def sharded_phase(x, other, halo_zm, halo_zp, seeds, offs, *,
     global offsets.  Call inside shard_map.  ``measuring`` additionally
     returns per-shard (m, e) partial sums (R,) each (phase 1 only)."""
     nrep, L, ny, half = x.shape
+    if measuring and L * ny * half * 2 > (2 ** 31 - 1) // 3:
+        # |e partial| ≤ 3·N_local: int32 fused accumulators would wrap
+        raise ValueError(
+            f"local block of {L * ny * half * 2} sites overflows the "
+            "int32 fused-observable accumulators; measure with a "
+            "separate reduction pass"
+        )
     t_levels = tuple(tables.ising3d_accept_thresholds_u32(beta))
     if interpret and bits is None:
         kb = jax.random.fold_in(
@@ -224,7 +230,7 @@ def sharded_phase(x, other, halo_zm, halo_zp, seeds, offs, *,
     out_specs = [plane]
     if measuring:
         out_shape.append(
-            jax.ShapeDtypeStruct((nrep, 1, 1, 128), jnp.float32))
+            jax.ShapeDtypeStruct((nrep, 1, 1, 128), jnp.int32))
         out_specs.append(pl.BlockSpec((1, 1, 1, 128),
                                       lambda r, z: (r, 0, 0, 0),
                                       memory_space=pltpu.VMEM))

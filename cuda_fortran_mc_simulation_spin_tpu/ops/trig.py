@@ -71,11 +71,17 @@ def exp_neg(x: jax.Array) -> jax.Array:
 
 
 def cos_sin_2pi(u: jax.Array) -> tuple[jax.Array, jax.Array]:
-    """(cos 2πu, sin 2πu) for u ∈ [0, 1), f32 in / f32 out.
+    """(cos 2πu, sin 2πu) for u ∈ (-1, 1), f32 in / f32 out.
 
-    Quadrant fold: 2πu = (π/2)(n + r) with n ∈ {0..4}, |r| ≤ ½; the
+    Quadrant fold: 2πu = (π/2)(n + r) with n ∈ {-4..4}, |r| ≤ ½; the
     quarter-period (cos, sin) pair is rotated into place by n mod 4
-    with selects and one sign flip.
+    with selects and one sign flip.  Negative u is a supported part of
+    the domain (xy2d_multisweep feeds int16-unit phase *differences*
+    in (-1, 1)): `jnp.floor` rounds toward -∞ and the int32 `& 3`
+    is two's-complement, so together they implement a true mod-4 —
+    do not replace them with a truncating cast or a float `% 4`.
+    Accuracy degrades gracefully for large |u| (argument reduction is
+    exact only while 4u stays within f32 integer precision).
     """
     u = u.astype(jnp.float32)
     a = 4.0 * u

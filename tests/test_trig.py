@@ -38,3 +38,25 @@ def test_cos_sin_2pi_exact_cardinals():
                                atol=2e-8)
     np.testing.assert_allclose(np.asarray(s), [0.0, 1.0, 0.0, -1.0],
                                atol=2e-8)
+
+
+def test_cos_sin_2pi_negative_domain():
+    """u ∈ (-1, 1) — xy2d_multisweep feeds negative int16-unit phase
+    differences; floor + two's-complement `& 3` must act as a true
+    mod-4 (pins the documented domain against a future 'simplification'
+    to a truncating cast)."""
+    u = jnp.linspace(-1.0, 1.0, 400003)[1:-1].astype(jnp.float32)
+    c, s = trig.cos_sin_2pi(u)
+    u64 = np.asarray(u, np.float64)
+    np.testing.assert_allclose(np.asarray(c), np.cos(2 * np.pi * u64),
+                               atol=2e-7)
+    np.testing.assert_allclose(np.asarray(s), np.sin(2 * np.pi * u64),
+                               atol=2e-7)
+    # symmetry across 0: cos even, sin odd (±u can fold into different
+    # quadrants at half-integer 4u, so equality holds to 1 ulp, not
+    # bitwise)
+    un = jnp.array([-0.125, -0.375, -0.625, -0.875], jnp.float32)
+    cn, sn = trig.cos_sin_2pi(un)
+    cp, sp = trig.cos_sin_2pi(-un)
+    np.testing.assert_allclose(np.asarray(cn), np.asarray(cp), atol=2e-7)
+    np.testing.assert_allclose(np.asarray(sn), -np.asarray(sp), atol=2e-7)
