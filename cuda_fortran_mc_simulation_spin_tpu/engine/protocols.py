@@ -25,6 +25,7 @@ every ``checkpoint_every`` histories and runs resume exactly
 
 from __future__ import annotations
 
+import os
 import sys
 import time
 from typing import IO
@@ -121,17 +122,38 @@ def _multispin_eligible(cfg, model, runner_kwargs) -> bool:
     except ValueError:
         return False
     from cuda_fortran_mc_simulation_spin_tpu.ops import ising2d_multispin
-    if model.nsites > ising2d_multispin.OBS_INT32_MAX_SITES:
-        # fused int32 (m, e) accumulators would wrap — int8 f32 path
-        return False
     if cfg.model == "ising3d":
+        if model.nsites > ising2d_multispin.OBS_INT32_MAX_SITES:
+            # fused int32 (m, e) accumulators would wrap — int8 f32
+            # path (no committed 3-D workload comes near this)
+            return False
         from cuda_fortran_mc_simulation_spin_tpu.ops import (
             ising3d_multispin,
         )
         _, ny, half = model.color_shape
         return ising3d_multispin.packable3d(ny, half)
+    # 2-D lattices beyond the int32 cap route to per-tile exact
+    # partials reduced in f32 (sweep_measure_packed tiled mode)
     ny, half = model.color_shape
     return ising2d_multispin.packable(ny, half)
+
+
+def _clock_multispin_eligible(cfg, model, runner_kwargs) -> bool:
+    """Use the bit-sliced packed q=6 clock engine
+    (ops/clock_multispin.py) for plain clock m/e relaxations on
+    packable shapes — attacks the reference's largest production
+    workload (clock 2000²-class × 10⁵ MCS × 5000 samples)."""
+    if cfg.model != "clock" or runner_kwargs:
+        return False
+    if os.environ.get("SPINLAT_CLOCK_PACKED") == "0":
+        return False
+    try:
+        if getattr(model, "resolved_backend", "jnp") != "pallas":
+            return False
+    except ValueError:
+        return False
+    from cuda_fortran_mc_simulation_spin_tpu.ops import clock_multispin
+    return clock_multispin.clock_packable(model)
 
 
 def _run_accumulating(cfg, model, accumulators, fold, err,
@@ -179,6 +201,17 @@ def _run_accumulating(cfg, model, accumulators, fold, err,
               else sweep_mod.make_multispin_runner)
         runner = jax.jit(
             mk(model, cfg.mcs, max(batch, 1), cfg.init_state)
+        )
+        if batch == 1:
+            inner = runner
+            runner = jax.jit(
+                lambda k: jax.tree.map(lambda v: v[0], inner(k))
+            )
+    elif _clock_multispin_eligible(cfg, model, runner_kwargs):
+        runner = jax.jit(
+            sweep_mod.make_clock_multispin_runner(
+                model, cfg.mcs, max(batch, 1), cfg.init_state
+            )
         )
         if batch == 1:
             inner = runner

@@ -239,6 +239,42 @@ def make_multispin3d_runner(
     )
 
 
+def make_clock_multispin_runner(
+    model,
+    mcs: int,
+    batch: int,
+    init_kind: str = "allup",
+) -> Callable[[jax.Array], dict[str, jax.Array]]:
+    """`run(call_key) -> {m,e: (batch, mcs)}` on the bit-sliced q=6
+    clock engine (ops/clock_multispin.py) with per-sweep (2m, 2e) fused
+    into phase b — the packed ensemble path for the reference's largest
+    production workload class (clock 2000²-class × 10⁵ MCS × 5000
+    samples, /root/reference/app/
+    clock_dual_lattice_yhalf_tableall_gpu_relaxation.f90:8-9)."""
+    from cuda_fortran_mc_simulation_spin_tpu.ops import clock_multispin
+
+    def run(call_key: jax.Array) -> dict[str, jax.Array]:
+        init_keys = jax.vmap(
+            lambda r: jax.random.fold_in(rng.init_key(call_key), r)
+        )(jnp.arange(batch))
+        state = jax.vmap(lambda k: model.init_state(init_kind, k))(
+            init_keys
+        )
+        wa = clock_multispin.pack_clock_color(state.a)
+        wb = clock_multispin.pack_clock_color(state.b)
+
+        def body(c, t):
+            wa, wb, obs = clock_multispin.sweep_measure_packed6(
+                model, c[0], c[1], rng.sweep_key(call_key, t)
+            )
+            return (wa, wb), obs
+
+        _, series = lax.scan(body, (wa, wb), jnp.arange(1, mcs + 1))
+        return jax.tree.map(lambda x: jnp.swapaxes(x, 0, 1), series)
+
+    return run
+
+
 def make_multisweep_runner(
     model,
     mcs: int,

@@ -1,0 +1,423 @@
+"""Bit-sliced packed q=6 clock engine (ops/clock_multispin.py).
+
+Validation ladder:
+1. pack/unpack roundtrip (CRT split/merge);
+2. packed phase vs a per-site integer oracle (full-lattice numpy,
+   exact 2·cos bond table) given injected consistent proposal/chain
+   planes — bitwise, both colors;
+3. Pallas kernel (interpret) vs the jnp packed oracle — bitwise;
+4. proposal thermometer and chain-plane statistics;
+5. physics: absorbing states, equilibrium energy cross-check vs the
+   int8 jnp engine, fused (m, e) vs direct observables.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cuda_fortran_mc_simulation_spin_tpu.core import rng
+from cuda_fortran_mc_simulation_spin_tpu.core.lattice import (
+    merge_checkerboard,
+    split_checkerboard,
+)
+from cuda_fortran_mc_simulation_spin_tpu.models.clock import Clock2D
+from cuda_fortran_mc_simulation_spin_tpu.ops import clock_multispin as cm
+
+# 2*cos(2*pi*d/6) for d = 0..5 — exact integers
+TWOCOS = np.array([2, 1, -1, -2, -1, 1], dtype=np.int64)
+
+
+def _random_state(key, ny=64, nx=64):
+    full = jax.random.randint(key, (ny, nx), 0, 6, dtype=jnp.int32)
+    return full.astype(jnp.int8)
+
+
+def _rand_plane(key, shape):
+    return jax.random.bits(key, shape, dtype=jnp.uint32).astype(jnp.int32)
+
+
+def _consistent_proposal_planes(key, ny, half):
+    """(ρ, rt1, rt2) packed planes derived from per-site r ∈ [1, 5]."""
+    nyp = ny // 32
+    r = jax.random.randint(key, (ny, half), 1, 6, dtype=jnp.int32)
+    rho = (r & 1).astype(jnp.int8)
+    rt1 = (r % 3 == 1).astype(jnp.int8)
+    rt2 = (r % 3 == 2).astype(jnp.int8)
+
+    def packbits(bits8):
+        b = bits8.astype(jnp.uint32).reshape(nyp, 32, half)
+        w = jnp.zeros((nyp, half), jnp.uint32)
+        for k in range(32):
+            w = w | (b[:, k, :] << np.uint32(k))
+        return w.astype(jnp.int32)
+
+    return (packbits(rho), packbits(rt1), packbits(rt2)), np.asarray(r)
+
+
+def _unpack_bit_plane(w, ny, half):
+    wu = np.asarray(w).astype(np.uint32)
+    rows = [((wu >> np.uint32(k)) & 1).astype(np.int64)
+            for k in range(32)]
+    return np.stack(rows, axis=-2).reshape(ny, half)
+
+
+def _phase_oracle_full(full, color, r_sites, bsites, beta_gates):
+    """Per-site integer Metropolis phase on the full (ny, nx) lattice.
+
+    r_sites, bsites[k]: per-COLOR-ARRAY-site (ny, half) proposal offsets
+    and chain bits; beta_gates unused (decisions carried by bsites).
+    Returns the updated full lattice.
+    """
+    ny, nx = full.shape
+    up = np.roll(full, 1, axis=0)
+    dn = np.roll(full, -1, axis=0)
+    lf = np.roll(full, 1, axis=1)
+    rt = np.roll(full, -1, axis=1)
+    xg, yg = np.meshgrid(np.arange(nx), np.arange(ny))
+    mask = ((xg + yg) & 1) == color
+    # scatter color-array fields to full-lattice positions
+    r_full = np.zeros_like(full)
+    b_full = [np.zeros_like(full) for _ in bsites]
+    # color c site (y, 2i + p') with p' depending on color/parity
+    for y in range(ny):
+        p = y & 1
+        xs = (2 * np.arange(nx // 2)
+              + (p if color == 0 else 1 - p))
+        r_full[y, xs] = r_sites[y]
+        for k in range(len(bsites)):
+            b_full[k][y, xs] = bsites[k][y]
+    new = full.copy()
+    cand = (full + r_full) % 6
+    d_cur = np.zeros_like(full)
+    d_new = np.zeros_like(full)
+    for nbr in (up, dn, lf, rt):
+        d_cur += TWOCOS[(full - nbr) % 6]
+        d_new += TWOCOS[(cand - nbr) % 6]
+    D = d_cur - d_new  # = 2*dE
+    m = np.clip(D, 0, None)
+    g = [(m >> 0) & 1, (m >> 1) & 1, (m >> 2) & 1,
+         ((m >> 3) & 1) | ((m >> 4) & 1), (m >> 4) & 1]
+    passes = np.ones_like(full, dtype=bool)
+    for k in range(5):
+        passes &= (g[k] == 0) | (b_full[k] == 1)
+    accept = (D <= 0) | passes
+    upd = mask & accept
+    new[upd] = cand[upd]
+    return new
+
+
+def test_pack_unpack_roundtrip():
+    full = _random_state(jax.random.PRNGKey(0))
+    a, b = split_checkerboard(full)
+    for plane in (a, b):
+        packed = cm.pack_clock_color(plane)
+        back = cm.unpack_clock_color(*packed)
+        np.testing.assert_array_equal(np.asarray(back),
+                                      np.asarray(plane))
+
+
+@pytest.mark.parametrize("color", [0, 1])
+def test_packed_phase_vs_integer_oracle(color):
+    """packed_phase_reference == per-site integer Metropolis, bitwise,
+    given the same (consistent) injected planes."""
+    key = jax.random.PRNGKey(3 + color)
+    ks = jax.random.split(key, 8)
+    ny = nx = 64
+    half = nx // 2
+    full = _random_state(ks[0], ny, nx)
+    a, b = split_checkerboard(full)
+    wa = cm.pack_clock_color(a)
+    wb = cm.pack_clock_color(b)
+
+    (rho, rt1, rt2), r_sites = _consistent_proposal_planes(
+        ks[1], ny, half)
+    chains = [_rand_plane(k, wa[0].shape) for k in ks[2:7]]
+    planes8 = (rho, rt1, rt2, *chains)
+
+    if color == 0:
+        out = cm.packed_phase_reference(wa, wb, 0, planes8)
+        got_color = cm.unpack_clock_color(*out)
+        got_full = merge_checkerboard(got_color, b)
+    else:
+        out = cm.packed_phase_reference(wb, wa, 1, planes8)
+        got_color = cm.unpack_clock_color(*out)
+        got_full = merge_checkerboard(a, got_color)
+
+    b_sites = [_unpack_bit_plane(c, ny, half) for c in chains]
+    want_full = _phase_oracle_full(
+        np.asarray(full, np.int64), color, r_sites,
+        [bs for bs in b_sites], None)
+    np.testing.assert_array_equal(np.asarray(got_full, np.int64),
+                                  want_full)
+
+
+def test_kernel_interpret_vs_oracle_bitwise():
+    """Pallas kernel (interpret) == jnp packed oracle given the same
+    injected planes, both colors, batched."""
+    key = jax.random.PRNGKey(11)
+    ks = jax.random.split(key, 12)
+    ny, nx, nrep = 256, 256, 2
+    half = nx // 2
+    states = [
+        split_checkerboard(_random_state(ks[i], ny, nx))
+        for i in range(nrep)
+    ]
+    a = jnp.stack([s[0] for s in states])
+    b = jnp.stack([s[1] for s in states])
+    wa = cm.pack_clock_color(a)
+    wb = cm.pack_clock_color(b)
+    shape = wa[0].shape
+    planes8 = tuple(_rand_plane(k, shape) for k in ks[nrep:nrep + 8])
+    # mask rt2 where rt1 set so (rt1, rt2) stays a valid Z3 encoding
+    rho, rt1, rt2 = planes8[:3]
+    rt2 = rt2 & ~rt1
+    # exclude r = 0 (rt1=rt2=0 and rho=0 would be a null proposal that
+    # the engine never generates): force rho there
+    rho = rho | ~(rt1 | rt2)
+    planes8 = (rho, rt1, rt2) + planes8[3:]
+
+    seeds = jnp.zeros((2,), jnp.int32)
+    for color, (x, o) in (((0), (wa, wb)), ((1), (wb, wa))):
+        got = cm.phase_packed(x, o, seeds, color=color, beta=1.1,
+                              inject=planes8, interpret=True)
+        want = jax.vmap(
+            lambda xs, xt0, xt1, os_, ot0, ot1, p0, p1, p2, p3, p4,
+                   p5, p6, p7: cm.packed_phase_reference(
+                (xs, xt0, xt1), (os_, ot0, ot1), color,
+                (p0, p1, p2, p3, p4, p5, p6, p7))
+        )(*x, *o, *planes8)
+        for g, w in zip(got, want):
+            np.testing.assert_array_equal(np.asarray(g), np.asarray(w))
+
+
+def test_draw_planes_statistics():
+    """Proposal categories ≈ their rounded-symmetric probabilities and
+    chain planes ≈ their target Bernoulli rates."""
+    beta = 1.25
+    digit5 = cm.accept_digit_planes(beta)
+    key = jax.random.PRNGKey(42)
+    cnt = [0]
+
+    def gen():
+        cnt[0] += 1
+        return jax.random.bits(
+            jax.random.fold_in(key, cnt[0]), (256, 256),
+            dtype=jnp.uint32)
+
+    rho, rt1, rt2, b1, b2, b4, b8a, b8b = cm.draw_planes(
+        (256, 256), gen, digit5)
+    nbits = 256 * 256 * 32
+
+    def frac(p):
+        return sum(
+            int(np.asarray(jnp.sum(
+                ((p >> np.uint32(k)) & jnp.uint32(1)).astype(jnp.int32)
+            ))) for k in range(32)
+        ) / nbits
+
+    # encoding never produces (rt1 & rt2)
+    assert not bool(np.asarray(jnp.any(rt1 & rt2)))
+    # r distribution: P(rho) = 3/5-ish (r odd: 1,3,5), P(rt1) = 2/5
+    assert abs(frac(rho) - 3 / 5) < 3e-3
+    assert abs(frac(rt1) - 2 / 5) < 3e-3
+    assert abs(frac(rt2) - 2 / 5) < 3e-3
+    for plane, k in ((b1, 1), (b2, 2), (b4, 4), (b8a, 8), (b8b, 8)):
+        p_target = float(np.exp(-0.5 * k * beta))
+        assert abs(frac(plane) - p_target) < 4e-3, (k, frac(plane))
+
+
+def _pack_full(full):
+    a, b = split_checkerboard(full)
+    return cm.pack_clock_color(a[None]), cm.pack_clock_color(b[None])
+
+
+def test_absorbing_states():
+    """β→∞ from the ordered state: no move ever accepted (all chains
+    empty); β→0: everything decorrelates from allup."""
+    model_cold = Clock2D(nx=256, ny=256, kbt=1e-4, q=6, backend="jnp")
+    full0 = jnp.zeros((256, 256), jnp.int8)
+    wa, wb = _pack_full(full0)
+    key = rng.base_key(7)
+    for t in range(3):
+        wa, wb = cm.sweep_packed6(model_cold, wa, wb,
+                                  rng.sweep_key(key, t))
+    assert int(np.asarray(jnp.sum(jnp.abs(wa[0])))) == 0
+    assert int(np.asarray(jnp.sum(jnp.abs(wb[1])))) == 0
+    got = cm.unpack_clock_color(*wa)
+    np.testing.assert_array_equal(np.asarray(got), 0)
+
+    model_hot = Clock2D(nx=256, ny=256, kbt=1e6, q=6, backend="jnp")
+    wa, wb = _pack_full(full0)
+    wa, wb, obs = cm.sweep_measure_packed6(model_hot, wa, wb,
+                                           rng.sweep_key(key, 100))
+    for t in range(101, 105):
+        wa, wb, obs = cm.sweep_measure_packed6(model_hot, wa, wb,
+                                               rng.sweep_key(key, t))
+    assert abs(float(obs["m"][0])) < 0.02
+
+
+def test_fused_obs_match_direct():
+    """Fused (m, e) from the measuring phase == model.observables on
+    the unpacked state (both exact in halves)."""
+    model = Clock2D(nx=256, ny=256, kbt=0.9, q=6, backend="jnp")
+    full = _random_state(jax.random.PRNGKey(5), 256, 256)
+    wa, wb = _pack_full(full)
+    key = rng.base_key(3)
+    wa, wb, obs = cm.sweep_measure_packed6(model, wa, wb,
+                                           rng.sweep_key(key, 1))
+    state = cm.unpack_state(wa, wb, False)
+    want = model.observables(state)
+    assert abs(float(obs["m"][0]) - float(want["m"])) < 2e-6
+    assert abs(float(obs["e"][0]) - float(want["e"])) < 2e-6
+
+
+def test_equilibrium_energy_vs_int8_engine():
+    """⟨e⟩ at kbt=2.0 from the packed engine matches the int8 jnp
+    engine within combined statistical error (different RNG streams —
+    statistical agreement, the ising2d_multispin contract)."""
+    kbt, n, therm, meas = 2.0, 256, 60, 60
+    model = Clock2D(nx=n, ny=n, kbt=kbt, q=6, backend="jnp")
+    key = rng.base_key(17)
+
+    # packed engine
+    wa, wb = _pack_full(jnp.zeros((n, n), jnp.int8))
+    es = []
+    for t in range(therm + meas):
+        wa, wb, obs = cm.sweep_measure_packed6(model, wa, wb,
+                                               rng.sweep_key(key, t))
+        if t >= therm:
+            es.append(float(obs["e"][0]))
+    e_packed = float(np.mean(es))
+
+    # int8 engine
+    state = model.init_state("allup")
+    es8 = []
+    key2 = rng.base_key(18)
+    for t in range(therm + meas):
+        state = model.sweep(state, rng.sweep_key(key2, t))
+        if t >= therm:
+            es8.append(float(model.observables(state)["e"]))
+    e_int8 = float(np.mean(es8))
+
+    # fluctuation scale ~ 1/sqrt(N_meas * N): generous band
+    assert abs(e_packed - e_int8) < 0.02, (e_packed, e_int8)
+
+
+# ---------------------------------------------------------------------------
+# TPU-gated (hardware PRNG / Mosaic) tests
+# ---------------------------------------------------------------------------
+
+import os
+
+
+def _on_tpu() -> bool:
+    return jax.default_backend() != "cpu" or bool(
+        os.environ.get("SPINLAT_TEST_ON_TPU"))
+
+
+def test_kernel_mosaic_vs_oracle_bitwise_on_tpu():
+    """Compiled (Mosaic) kernel == jnp packed oracle, bitwise, given
+    the same injected planes."""
+    if not _on_tpu() or jax.default_backend() == "cpu":
+        pytest.skip("needs the chip")
+    key = jax.random.PRNGKey(21)
+    ks = jax.random.split(key, 12)
+    ny, nx, nrep = 256, 256, 2
+    states = [
+        split_checkerboard(_random_state(ks[i], ny, nx))
+        for i in range(nrep)
+    ]
+    a = jnp.stack([s[0] for s in states])
+    b = jnp.stack([s[1] for s in states])
+    wa = cm.pack_clock_color(a)
+    wb = cm.pack_clock_color(b)
+    shape = wa[0].shape
+    planes8 = tuple(_rand_plane(k, shape) for k in ks[nrep:nrep + 8])
+    rho, rt1, rt2 = planes8[:3]
+    rt2 = rt2 & ~rt1
+    rho = rho | ~(rt1 | rt2)
+    planes8 = (rho, rt1, rt2) + planes8[3:]
+    seeds = jnp.zeros((2,), jnp.int32)
+    for color, (x, o) in ((0, (wa, wb)), (1, (wb, wa))):
+        got = cm.phase_packed(tuple(p + 0 for p in x), o, seeds,
+                              color=color, beta=1.1, inject=planes8)
+        want = jax.vmap(
+            lambda xs, xt0, xt1, os_, ot0, ot1, p0, p1, p2, p3, p4,
+                   p5, p6, p7: cm.packed_phase_reference(
+                (xs, xt0, xt1), (os_, ot0, ot1), color,
+                (p0, p1, p2, p3, p4, p5, p6, p7))
+        )(*x, *o, *planes8)
+        for g, w in zip(got, want):
+            np.testing.assert_array_equal(np.asarray(g), np.asarray(w))
+
+
+def test_fused_obs_on_chip_match_direct():
+    """Hardware-PRNG measuring phase: fused (m, e) == model
+    observables on the unpacked state."""
+    if not _on_tpu() or jax.default_backend() == "cpu":
+        pytest.skip("needs the chip")
+    model = Clock2D(nx=512, ny=512, kbt=0.9, q=6)
+    full = _random_state(jax.random.PRNGKey(6), 512, 512)
+    a, b = split_checkerboard(full)
+    wa = cm.pack_clock_color(a[None])
+    wb = cm.pack_clock_color(b[None])
+    key = rng.base_key(9)
+    wa, wb, obs = cm.sweep_measure_packed6(model, wa, wb,
+                                           rng.sweep_key(key, 1))
+    state = cm.unpack_state(wa, wb, False)
+    want = jax.vmap(lambda _: model.observables(state))(jnp.arange(1))
+    assert abs(float(obs["m"][0]) - float(want["m"][0])) < 3e-6
+    assert abs(float(obs["e"][0]) - float(want["e"][0])) < 3e-6
+
+
+def test_packed_vs_int8_relaxation_curves_on_tpu():
+    """m(t) NER curves from the packed engine match the int8 engine's
+    ensemble mean within statistical error (allup start, kbt=0.9)."""
+    if not _on_tpu() or jax.default_backend() == "cpu":
+        pytest.skip("needs the chip")
+    from cuda_fortran_mc_simulation_spin_tpu.engine import sweep as sw
+
+    n, mcs, nsamp = 256, 30, 24
+    m_int8 = Clock2D(nx=n, ny=n, kbt=0.9, q=6)
+    runner8 = jax.jit(sw.make_batch_runner(m_int8, mcs, nsamp))
+    c8 = np.asarray(jax.device_get(
+        runner8(rng.base_key(2))["m"]), np.float64)
+    runner_p = jax.jit(sw.make_clock_multispin_runner(m_int8, mcs,
+                                                      nsamp))
+    cp = np.asarray(jax.device_get(
+        runner_p(rng.base_key(3))["m"]), np.float64)
+    sem = (c8.std(0, ddof=1) + cp.std(0, ddof=1)) / np.sqrt(nsamp)
+    diff = np.abs(c8.mean(0) - cp.mean(0))
+    assert np.all(diff < 8 * sem + 5e-3), (diff.max(), sem.max())
+
+
+def test_protocol_routes_clock_multispin(monkeypatch):
+    """run_relaxation on a packable q=6 clock shape selects the packed
+    clock runner (and completes end-to-end)."""
+    if not _on_tpu():
+        pytest.skip("hardware PRNG path needs the chip")
+    import io
+
+    from cuda_fortran_mc_simulation_spin_tpu.config import RunConfig
+    from cuda_fortran_mc_simulation_spin_tpu.engine import (
+        protocols,
+        sweep as sw,
+    )
+
+    called = {}
+    orig = sw.make_clock_multispin_runner
+
+    def spy(*a, **k):
+        called["yes"] = True
+        return orig(*a, **k)
+
+    monkeypatch.setattr(sw, "make_clock_multispin_runner", spy)
+    cfg = RunConfig(model="clock", nx=256, ny=256, q=6, kbt=0.9,
+                    mcs=4, tot_sample=2, replicas=2)
+    out = io.StringIO()
+    protocols.run_relaxation(cfg, out=out, err=io.StringIO())
+    assert called.get("yes"), "clock multispin runner was not routed"
+    rows = [l for l in out.getvalue().splitlines()
+            if l and not l.startswith("#")]
+    assert len(rows) == 4
