@@ -239,7 +239,7 @@ def _pc_sum(u):
 
 def _phase_kernel(seed_ref, x_ref, oc_ref, oup_ref, odn_ref, *rest,
                   color: int, d4, d8, has_bits: bool,
-                  measuring: bool = False):
+                  measuring: bool = False, tiled_obs: bool = False):
     refs = list(rest)
     obs_ref = refs.pop() if measuring else None
     if has_bits:
@@ -288,19 +288,26 @@ def _phase_kernel(seed_ref, x_ref, oc_ref, oup_ref, odn_ref, *rest,
         lane = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
         row = jnp.where(lane == 0, m, jnp.where(lane == 1, e, 0))
 
-        @pl.when(i == 0)
-        def _():
-            obs_ref[0] = jnp.zeros_like(obs_ref[0])
+        if tiled_obs:
+            # one exact int32 partial row PER TILE (giant lattices
+            # whose totals would wrap int32); caller reduces the ~32
+            # tile rows in f32
+            obs_ref[0] = row
+        else:
+            @pl.when(i == 0)
+            def _():
+                obs_ref[0] = jnp.zeros_like(obs_ref[0])
 
-        obs_ref[0] = obs_ref[0] + row
+            obs_ref[0] = obs_ref[0] + row
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("color", "beta", "nrep", "nyp", "half", "measuring"),
+    static_argnames=("color", "beta", "nrep", "nyp", "half", "measuring",
+                     "tiled_obs"),
 )
 def _metropolis_phase_packed(xw, ow, seeds, *, color, beta, nrep, nyp,
-                             half, measuring=False):
+                             half, measuring=False, tiled_obs=False):
     d4 = tuple(chain_digits(float(np.exp(-4.0 * beta))))
     d8 = tuple(chain_digits(float(np.exp(-8.0 * beta))))
     typ = _pick_typ(nyp)
@@ -308,17 +315,20 @@ def _metropolis_phase_packed(xw, ow, seeds, *, color, beta, nrep, nyp,
     nb8 = nyp // 8
     kernel = functools.partial(
         _phase_kernel, color=color, d4=d4, d8=d8, has_bits=False,
-        measuring=measuring,
+        measuring=measuring, tiled_obs=tiled_obs,
     )
     out_shape = [jax.ShapeDtypeStruct((nrep, nyp, half), jnp.int32)]
     out_specs = [pl.BlockSpec((1, typ, half), lambda r, i: (r, i, 0),
                               memory_space=pltpu.VMEM)]
     if measuring:
+        nobs = n if tiled_obs else 1
         out_shape.append(
-            jax.ShapeDtypeStruct((nrep, 1, 128), jnp.int32))
-        out_specs.append(pl.BlockSpec((1, 1, 128),
-                                      lambda r, i: (r, 0, 0),
-                                      memory_space=pltpu.VMEM))
+            jax.ShapeDtypeStruct((nrep, nobs, 128), jnp.int32))
+        out_specs.append(pl.BlockSpec(
+            (1, 1, 128),
+            (lambda r, i: (r, i, 0)) if tiled_obs
+            else (lambda r, i: (r, 0, 0)),
+            memory_space=pltpu.VMEM))
     return pl.pallas_call(
         kernel,
         out_shape=tuple(out_shape) if measuring else out_shape[0],
@@ -495,11 +505,14 @@ def multisweep_packed(model, wa, wb, key, sweeps: int):
 # ---------------------------------------------------------------------------
 
 def packed_sharded_phase_reference(xw, ow, color: int, b4, b8,
-                                   hup01, hdn01):
-    """Pure-jnp packed phase on a y-sharded local block: instead of
-    periodic word-row wrap, the first word row's up-carry comes from
+                                   hup01, hdn01,
+                                   halo_lf=None, halo_rt=None):
+    """Pure-jnp packed phase on a (y[, x])-sharded local block: instead
+    of periodic word-row wrap, the first word row's up-carry comes from
     ``hup01`` and the last word row's down-carry from ``hdn01``
-    ((1, half) int32 0/1 planes of the exchanged boundary sites)."""
+    ((1, half) int32 0/1 planes of the exchanged boundary sites).
+    ``halo_lf``/``halo_rt`` ((Lp, 1) packed word columns): x-sharded
+    boundary columns replacing the lane-roll wrap."""
     xw = xw.astype(jnp.uint32)
     ow = ow.astype(jnp.uint32)
     syn_up = hup01.astype(jnp.uint32) << jnp.uint32(31)
@@ -509,8 +522,14 @@ def packed_sharded_phase_reference(xw, ow, color: int, b4, b8,
     one = jnp.uint32(1)
     up = (ow << one) | (w_prev >> jnp.uint32(31))
     dn = (ow >> one) | (w_next << jnp.uint32(31))
-    minus = jnp.roll(ow, 1, axis=1)
-    plus = jnp.roll(ow, -1, axis=1)
+    if halo_lf is not None:
+        minus = jnp.concatenate(
+            [halo_lf.astype(jnp.uint32), ow[:, :-1]], axis=1)
+        plus = jnp.concatenate(
+            [ow[:, 1:], halo_rt.astype(jnp.uint32)], axis=1)
+    else:
+        minus = jnp.roll(ow, 1, axis=1)
+        plus = jnp.roll(ow, -1, axis=1)
     odd = jnp.uint32(_ODD_BITS)
     even = jnp.uint32(_EVEN_BITS)
     if color == 0:
@@ -526,9 +545,13 @@ def packed_sharded_phase_reference(xw, ow, color: int, b4, b8,
 def _sharded_phase_kernel(seed_ref, offs_ref, x_ref, oc_ref, oup_ref,
                           odn_ref, hup_ref, hdn_ref, *rest,
                           color: int, d4, d8, typ: int, nblk: int,
-                          has_bits: bool, measuring: bool = False):
+                          has_bits: bool, has_cols: bool = False,
+                          measuring: bool = False):
     refs = list(rest)
     obs_ref = refs.pop() if measuring else None
+    if has_cols:
+        hlf_ref = refs.pop(0)
+        hrt_ref = refs.pop(0)
     if has_bits:
         b4_ref, b8_ref, out_ref = refs
     else:
@@ -547,26 +570,70 @@ def _sharded_phase_kernel(seed_ref, offs_ref, x_ref, oc_ref, oup_ref,
     dn_row = jnp.where(i == nblk - 1, syn_dn,
                        pltpu.bitcast(odn_ref[0, 0:1, :], jnp.uint32))
     w_prev, w_next = stencil.splice_updown(o, up_row, dn_row)
-    up, dn, ctr, side = _nbr_planes(o, w_prev, w_next, color)
+    if has_cols:
+        # x-sharded block: the lane rolls wrap locally — replace the
+        # edge lanes with the exchanged boundary word-columns (packed
+        # words carry no sub-lane structure along x, so the column
+        # halo needs no bit extraction, unlike the y boundary)
+        one = jnp.uint32(1)
+        up = (o << one) | (w_prev >> jnp.uint32(31))
+        dn = (o >> one) | (w_next << jnp.uint32(31))
+        minus = pltpu.roll(o, 1, axis=1)
+        plus = pltpu.roll(o, o.shape[1] - 1, axis=1)
+        lane = jax.lax.broadcasted_iota(jnp.int32, o.shape, 1)
+        minus = jnp.where(
+            lane == 0,
+            pltpu.bitcast(hlf_ref[0][:, 0:1], jnp.uint32), minus)
+        plus = jnp.where(
+            lane == o.shape[1] - 1,
+            pltpu.bitcast(hrt_ref[0][:, 0:1], jnp.uint32), plus)
+        odd = jnp.uint32(_ODD_BITS)
+        even = jnp.uint32(_EVEN_BITS)
+        if color == 0:
+            side = (plus & odd) | (minus & even)
+        else:
+            side = (minus & odd) | (plus & even)
+        ctr = o
+    else:
+        up, dn, ctr, side = _nbr_planes(o, w_prev, w_next, color)
     ones, twos, fours = _count_planes(up, dn, ctr, side)
     if has_bits:
         b4 = pltpu.bitcast(b4_ref[0], jnp.uint32)
         b8 = pltpu.bitcast(b8_ref[0], jnp.uint32)
     else:
-        # streams keyed by GLOBAL (replica, word-row block): trajectories
-        # are invariant to the mesh shape for a fixed tile size
-        wrow_g = offs_ref[1] + i * typ
+        # streams keyed by GLOBAL (replica, 8-word-row granule,
+        # 128-lane chunk) — granules/chunks never straddle tile or
+        # shard boundaries (typ, local nyp are multiples of 8; local
+        # half a multiple of 128), so trajectories are invariant to
+        # the mesh shape, the tile size, AND x-axis splits
+        # unconditionally (round-2 keyed per tile, which silently lost
+        # the guarantee when shardings picked different tile sizes)
         rep_g = offs_ref[0] + r
-        tile_tag = (wrow_g * jnp.int32(-1640531527)
-                    + rep_g * jnp.int32(0x3C6EF35F))
-        pltpu.prng_seed(seed_ref[0], seed_ref[1] ^ tile_tag)
+        col0 = offs_ref[2] if has_cols else jnp.int32(0)
+        nck = x.shape[1] // 128
+        p4, p8 = [], []
+        for g in range(typ // 8):
+            wrow_g = offs_ref[1] + i * typ + g * 8
+            row_tag = (wrow_g * jnp.int32(-1640531527)
+                       + rep_g * jnp.int32(0x3C6EF35F))
+            c4, c8 = [], []
+            for c in range(nck):
+                tag = row_tag + ((col0 + c * 128)
+                                 * jnp.int32(0x27D4EB2F))
+                pltpu.prng_seed(seed_ref[0], seed_ref[1] ^ tag)
 
-        def gen():
-            return pltpu.bitcast(pltpu.prng_random_bits(x.shape),
-                                 jnp.uint32)
+                def gen():
+                    return pltpu.bitcast(
+                        pltpu.prng_random_bits((8, 128)), jnp.uint32)
 
-        b4 = _bern_plane(x.shape, d4, gen)
-        b8 = _bern_plane(x.shape, d8, gen)
+                c4.append(_bern_plane((8, 128), d4, gen))
+                c8.append(_bern_plane((8, 128), d8, gen))
+            p4.append(c4[0] if nck == 1
+                      else jnp.concatenate(c4, axis=1))
+            p8.append(c8[0] if nck == 1
+                      else jnp.concatenate(c8, axis=1))
+        b4 = p4[0] if typ == 8 else jnp.concatenate(p4, axis=0)
+        b8 = p8[0] if typ == 8 else jnp.concatenate(p8, axis=0)
     flip = _flip_plane(x, ones, twos, fours, b4, b8)
     new = x ^ flip
     out_ref[0] = pltpu.bitcast(new, jnp.int32)
@@ -588,13 +655,16 @@ def _sharded_phase_kernel(seed_ref, offs_ref, x_ref, oc_ref, oup_ref,
         obs_ref[0] = obs_ref[0] + row
 
 
-def _interpret_chain_planes(seeds, rep0, wrow0, nrep, nyp, half, d4, d8):
+def _interpret_chain_planes(seeds, rep0, wrow0, col0, nrep, nyp, half,
+                            d4, d8):
     """CPU-interpret fallback for the Bernoulli planes: threefry chains
-    keyed per (global replica, global word row) — mesh-shape invariant,
-    different stream than the on-chip hardware PRNG (same statistics)."""
+    keyed per (global replica, global word row, 128-lane chunk) —
+    mesh-shape invariant including x-splits, different stream than the
+    on-chip hardware PRNG (same statistics)."""
     base = jax.random.fold_in(
         jax.random.PRNGKey(seeds[0].astype(jnp.uint32)), seeds[1]
     )
+    nck = half // 128
 
     def plane(digits, tag, kg):
         cnt = [0]
@@ -602,17 +672,23 @@ def _interpret_chain_planes(seeds, rep0, wrow0, nrep, nyp, half, d4, d8):
         def gen():
             cnt[0] += 1
             return jax.random.bits(
-                jax.random.fold_in(kg, tag * 64 + cnt[0]), (half,),
+                jax.random.fold_in(kg, tag * 64 + cnt[0]), (128,),
                 dtype=jnp.uint32)
 
-        return _bern_plane((half,), tuple(digits), gen)
+        return _bern_plane((128,), tuple(digits), gen)
 
     def per_rep(r):
         kr = jax.random.fold_in(base, rep0 + r)
 
         def per_row(g):
             kg = jax.random.fold_in(kr, wrow0 + g)
-            return plane(d4, 0, kg), plane(d8, 1, kg)
+
+            def per_chunk(c):
+                kc = jax.random.fold_in(kg, col0 + c * 128)
+                return plane(d4, 0, kc), plane(d8, 1, kc)
+
+            c4, c8 = jax.vmap(per_chunk)(jnp.arange(nck))
+            return c4.reshape(half), c8.reshape(half)
 
         return jax.vmap(per_row)(jnp.arange(nyp))
 
@@ -622,17 +698,25 @@ def _interpret_chain_planes(seeds, rep0, wrow0, nrep, nyp, half, d4, d8):
 
 def sharded_phase_packed(xw, ow, hup01, hdn01, seeds, offs, *,
                          color: int, beta: float,
+                         halo_lf=None, halo_rt=None,
                          b4=None, b8=None, interpret: bool = False,
                          measuring: bool = False):
-    """One packed checkerboard phase of a y-sharded local block.
+    """One packed checkerboard phase of a (y[, x])-sharded local block.
 
     xw, ow: (R, Lp, half) packed local color blocks (Lp = L_rows/32);
     hup01/hdn01: (R, 1, half) int32 0/1 exchanged boundary sites of the
     other color (halo.exchange_halo_rows_packed); offs: (rep0, wrow0)
     GLOBAL offsets in (replica, word-row) units.  ``measuring`` (phase 1
     only) additionally returns per-shard (m, e) partial sums (R,) —
-    caller psums over the mesh's spatial axis."""
+    caller psums over the mesh's spatial axes.
+
+    ``halo_lf``/``halo_rt`` ((R, Lp, 1) packed word COLUMNS of the
+    other color, with offs extended to (rep0, wrow0, lane0)): the
+    x-sharded variant — exchanged boundary columns are whole packed
+    words (bits run along y, which x-sharding never cuts), so the
+    column halo needs no bit extraction."""
     nrep, nyp, half = xw.shape
+    has_cols = halo_lf is not None
     d4 = tuple(chain_digits(float(np.exp(-4.0 * beta))))
     d8 = tuple(chain_digits(float(np.exp(-8.0 * beta))))
     typ = _pick_typ(nyp)
@@ -640,7 +724,9 @@ def sharded_phase_packed(xw, ow, hup01, hdn01, seeds, offs, *,
     nb8 = nyp // 8
     if interpret and b4 is None:
         b4, b8 = _interpret_chain_planes(
-            seeds, offs[0], offs[1], nrep, nyp, half, d4, d8)
+            seeds, offs[0], offs[1],
+            offs[2] if has_cols else jnp.int32(0),
+            nrep, nyp, half, d4, d8)
     has_bits = b4 is not None
     # 8-word-row alignment: exchanged planes sit where the in-array
     # neighbor blocks place theirs (up -> row 7, dn -> row 0)
@@ -648,7 +734,8 @@ def sharded_phase_packed(xw, ow, hup01, hdn01, seeds, offs, *,
     hdn = jnp.pad(hdn01, ((0, 0), (0, 7), (0, 0)))
     kernel = functools.partial(
         _sharded_phase_kernel, color=color, d4=d4, d8=d8, typ=typ,
-        nblk=n, has_bits=has_bits, measuring=measuring,
+        nblk=n, has_bits=has_bits, has_cols=has_cols,
+        measuring=measuring,
     )
     blk = pl.BlockSpec((1, typ, half), lambda r, i: (r, i, 0),
                        memory_space=pltpu.VMEM)
@@ -672,6 +759,15 @@ def sharded_phase_packed(xw, ow, hup01, hdn01, seeds, offs, *,
                      memory_space=pltpu.VMEM),
     ]
     operands = [seeds, offs, xw, ow, ow, ow, hup, hdn]
+    if has_cols:
+        # 128-lane alignment: exchanged word columns ride in lane 0
+        col_spec = pl.BlockSpec((1, typ, 128), lambda r, i: (r, i, 0),
+                                memory_space=pltpu.VMEM)
+        in_specs += [col_spec, col_spec]
+        operands += [
+            jnp.pad(halo_lf, ((0, 0), (0, 0), (0, 127))),
+            jnp.pad(halo_rt, ((0, 0), (0, 0), (0, 127))),
+        ]
     if has_bits:
         in_specs += [blk, blk]
         operands += [b4, b8]
@@ -707,17 +803,33 @@ def shard_packed_ok(local_shape: tuple[int, ...]) -> bool:
 
 def sweep_measure_packed(model, wa, wb, key):
     """One MCS + fused per-sweep (m, e) densities from the phase-b
-    kernel (the packed analog of the int8 measure-in-phase path)."""
-    _check_obs_sites(model.nsites)
+    kernel (the packed analog of the int8 measure-in-phase path).
+
+    Lattices whose totals would wrap the int32 accumulators (nsites >
+    OBS_INT32_MAX_SITES, e.g. 32768²) emit one exact int32 partial per
+    tile instead and reduce the ~nyp/32 tile rows in f32 — the
+    densities keep ≲1e-7 relative accuracy and the packed engine keeps
+    serving giant lattices instead of dropping to the int8 path."""
     nrep, nyp, half = wa.shape
+    tiled = model.nsites > OBS_INT32_MAX_SITES
+    if tiled and _pick_typ(nyp) * PACK * half > (2 ** 31 - 1) // 2:
+        # |e tile partial| ≤ 2·tile_sites must stay exact
+        raise ValueError(
+            "single tile overflows the int32 per-tile observable "
+            "partials; measure with a separate reduction pass")
     kw = dict(beta=float(model.beta), nrep=nrep, nyp=nyp, half=half)
     wa = _metropolis_phase_packed(wa, wb, seeds_from_key(key, 0),
                                   color=0, **kw)
     wb, obs = _metropolis_phase_packed(wb, wa, seeds_from_key(key, 1),
-                                       color=1, measuring=True, **kw)
+                                       color=1, measuring=True,
+                                       tiled_obs=tiled, **kw)
     n_inv = jnp.float32(1.0 / model.nsites)
-    m = obs[:, 0, 0].astype(jnp.float32) * n_inv
-    e = obs[:, 0, 1].astype(jnp.float32) * n_inv
+    if tiled:
+        m = jnp.sum(obs[:, :, 0].astype(jnp.float32), axis=1) * n_inv
+        e = jnp.sum(obs[:, :, 1].astype(jnp.float32), axis=1) * n_inv
+    else:
+        m = obs[:, 0, 0].astype(jnp.float32) * n_inv
+        e = obs[:, 0, 1].astype(jnp.float32) * n_inv
     return wa, wb, {"m": m, "e": e}
 
 

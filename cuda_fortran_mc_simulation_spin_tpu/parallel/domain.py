@@ -197,7 +197,7 @@ def _shard_packed_mode(model, mesh: Mesh, replicas: int,
         return None, False
     ysh = mesh.shape["y"]
     xsh = mesh.shape.get("x", 1)
-    if xsh > 1:
+    if xsh > 1 and not is2d:
         return None, False
     dp = mesh.shape["dp"]
     if replicas % dp:
@@ -207,9 +207,9 @@ def _shard_packed_mode(model, mesh: Mesh, replicas: int,
         return None, False
     if is2d:
         ny, half = model.color_shape
-        if ny % (32 * ysh):
+        if ny % (32 * ysh) or half % xsh:
             return None, False
-        local = (replicas // dp, ny // 32 // ysh, half)
+        local = (replicas // dp, ny // 32 // ysh, half // xsh)
         if not ising2d_multispin.shard_packed_ok(local):
             return None, False
         kind = "2d"
@@ -230,32 +230,49 @@ def _shard_packed_mode(model, mesh: Mesh, replicas: int,
         return None, False
 
 
-def _ising_local_sweep_packed(model: Ising2D, wa, wb, key, ysh,
-                              rep0, wrow0, want_obs=False,
+def _ising_local_sweep_packed(model: Ising2D, wa, wb, key, ysh, xsh,
+                              rep0, wrow0, col0, want_obs=False,
                               interpret=False):
     """One local MCS on PACKED (R, Lp, half) word blocks: boundary bits
     over ICI (exchange_halo_rows_packed — 1/32nd of the int8 halo
     payload), both phases in the multispin kernel, per-shard (m, e)
-    partials fused into phase b."""
+    partials fused into phase b.  With an x mesh axis the shards also
+    exchange boundary WORD COLUMNS (whole packed words — x-sharding
+    never cuts the bit axis), completing the (dx, dy) decomposition for
+    the packed engine."""
     from cuda_fortran_mc_simulation_spin_tpu.ops import (
         ising2d_multispin as msb,
         ising2d_pallas,
     )
     from cuda_fortran_mc_simulation_spin_tpu.parallel.halo import (
+        exchange_halo_cols,
         exchange_halo_rows_packed,
     )
 
-    offs = jnp.stack([jnp.int32(rep0), jnp.int32(wrow0)])
+    if xsh > 1:
+        offs = jnp.stack([jnp.int32(rep0), jnp.int32(wrow0),
+                          jnp.int32(col0)])
+
+        def colkw(o):
+            hl, hr = exchange_halo_cols(o, "x", xsh, col_axis=2)
+            return dict(halo_lf=hl, halo_rt=hr)
+    else:
+        offs = jnp.stack([jnp.int32(rep0), jnp.int32(wrow0)])
+
+        def colkw(o):
+            return {}
+
     beta = float(model.beta)
     hup, hdn = exchange_halo_rows_packed(wb, "y", ysh)
     wa = msb.sharded_phase_packed(
         wa, wb, hup, hdn, ising2d_pallas.seeds_from_key(key, 0), offs,
-        color=0, beta=beta, interpret=interpret,
+        color=0, beta=beta, interpret=interpret, **colkw(wb),
     )
     hup, hdn = exchange_halo_rows_packed(wa, "y", ysh)
     res = msb.sharded_phase_packed(
         wb, wa, hup, hdn, ising2d_pallas.seeds_from_key(key, 1), offs,
         color=1, beta=beta, interpret=interpret, measuring=want_obs,
+        **colkw(wa),
     )
     if want_obs:
         wb, m, e = res
@@ -921,8 +938,8 @@ def _make_local_step(model, mesh: Mesh, n_over_relax: int = 0,
                 obs = _ising3d_local_obs(model, a, b, ysh)
         elif packed == "2d":
             a, b, obs = _ising_local_sweep_packed(
-                model, state.a, state.b, key, ysh, rep0, row0,
-                want_obs=with_obs, interpret=packed_interpret,
+                model, state.a, state.b, key, ysh, xsh, rep0, row0,
+                col0, want_obs=with_obs, interpret=packed_interpret,
             )
             state = CheckerboardState(a, b)
         else:

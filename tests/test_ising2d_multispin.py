@@ -445,3 +445,94 @@ def test_sweep_packed_absorbing_at_low_t():
             rng.base_key(4), t))
     assert int(jnp.sum(msb.unpack_color(wa))) == NY * HALF
     assert int(jnp.sum(msb.unpack_color(wb))) == NY * HALF
+
+
+def test_sharded_packed_granule_keying_tile_split_invariance_on_tpu():
+    """Hardware-PRNG chains are keyed per global 8-word-row granule,
+    so a y-split into local blocks with a DIFFERENT tile size
+    (_pick_typ(96)=32 vs _pick_typ(48)=24) produces bitwise the same
+    phase as the unsplit block — the unconditional mesh-shape
+    invariance guarantee (round 2 keyed per tile, which broke for
+    unequal-tile shardings)."""
+    if not _on_tpu() or jax.default_backend() == "cpu":
+        pytest.skip("hardware PRNG path")
+    R, G, HALF2 = 1, 96, 256
+    ka, kb = jax.random.split(rng.base_key(77))
+    x = msb.pack_color(_rand_plane(ka, (R, G * 32, HALF2)))
+    o = msb.pack_color(_rand_plane(kb, (R, G * 32, HALF2)))
+    seeds = jnp.array([123, 7], jnp.int32)
+
+    def hup01(start):
+        row = (start - 1) % G
+        return ((o[:, row:row + 1, :].astype(jnp.uint32)
+                 >> jnp.uint32(31)) & jnp.uint32(1)).astype(jnp.int32)
+
+    def hdn01(start, n):
+        row = (start + n) % G
+        return (o[:, row:row + 1, :] & 1).astype(jnp.int32)
+
+    assert msb._pick_typ(G) != msb._pick_typ(G // 2)
+    full = msb.sharded_phase_packed(
+        x, o, hup01(0), hdn01(0, G), seeds,
+        jnp.zeros((2,), jnp.int32), color=0, beta=0.44)
+    parts = []
+    for s in (0, G // 2):
+        offs = jnp.array([0, s], jnp.int32)
+        parts.append(msb.sharded_phase_packed(
+            x[:, s:s + G // 2], o[:, s:s + G // 2],
+            hup01(s), hdn01(s, G // 2), seeds, offs,
+            color=0, beta=0.44))
+    got = jnp.concatenate(parts, axis=1)
+    np.testing.assert_array_equal(np.asarray(full), np.asarray(got))
+
+
+def test_tiled_obs_matches_accumulated_on_tpu():
+    """tiled_obs mode (giant-lattice path): per-tile int32 partials sum
+    to exactly the accumulated (m, e) of the same phase (same seeds →
+    same hardware-PRNG stream → identical flips)."""
+    if not _on_tpu() or jax.default_backend() == "cpu":
+        pytest.skip("hardware PRNG path")
+    R = 2
+    ka, kb = jax.random.split(rng.base_key(78))
+    wa = msb.pack_color(_rand_plane(ka, (R, 1024, 512)))
+    wb = msb.pack_color(_rand_plane(kb, (R, 1024, 512)))
+    seeds = jnp.array([5, 9], jnp.int32)
+    kw = dict(color=1, beta=0.44, nrep=R, nyp=32, half=512,
+              measuring=True)
+    # the x operand is donated (input_output_aliases) — fresh copy per
+    # call
+    out1, obs_acc = msb._metropolis_phase_packed(
+        wb + 0, wa, seeds, **kw)
+    out2, obs_tiled = msb._metropolis_phase_packed(
+        wb + 0, wa, seeds, tiled_obs=True, **kw)
+    np.testing.assert_array_equal(np.asarray(out1), np.asarray(out2))
+    got = np.asarray(obs_tiled).sum(axis=1)
+    want = np.asarray(obs_acc)[:, 0]
+    np.testing.assert_array_equal(got[:, :2], want[:, :2])
+
+
+def test_sharded_packed_runner_x_split_invariant(monkeypatch):
+    """(1,2,2) mesh (x-axis split of the PACKED engine — exchanged
+    boundary word columns) is bitwise identical to the (1,1) mesh:
+    chains are keyed per (replica, 8-word-row granule, 128-lane chunk),
+    so neither y- nor x-splits change the stream."""
+    monkeypatch.setenv("SPINLAT_SHARD_PALLAS_INTERPRET", "1")
+    from cuda_fortran_mc_simulation_spin_tpu.models.ising2d import Ising2D
+    from cuda_fortran_mc_simulation_spin_tpu.parallel import domain
+    from cuda_fortran_mc_simulation_spin_tpu.parallel import mesh as mm
+
+    if len(jax.devices()) < 4:
+        pytest.skip("needs a virtual multi-device mesh (conftest)")
+    model = Ising2D(nx=512, ny=512, kbt=2.26918531421, backend="jnp")
+    series = {}
+    for dp, y, x in ((1, 1, 1), (1, 2, 2)):
+        mesh = mm.make_mesh(dp, y, x)
+        assert domain._shard_packed_mode(model, mesh, 2)[0] == "2d", (
+            "packed mode must engage on the x-split mesh")
+        run = domain.make_sharded_sample_runner(model, mesh, mcs=3,
+                                                replicas=2)
+        series[(dp, y, x)] = jax.device_get(run(rng.base_key(35)))
+    for k in ("m", "e"):
+        np.testing.assert_array_equal(
+            np.asarray(series[(1, 1, 1)][k]),
+            np.asarray(series[(1, 2, 2)][k]))
