@@ -391,6 +391,50 @@ def make_helical_runner(
 
     if isinstance(model, XY2DHelical):
         mcs_or = mcs_over_relax or mcs
+        from cuda_fortran_mc_simulation_spin_tpu.ops import (
+            xy2d_helical_dense as xhd,
+        )
+
+        if (xhd.fits(model)
+                and os.environ.get("SPINLAT_XY_DENSE") != "0"):
+            # dense ragged dual-color engine: every lane's trig/exp is
+            # useful work and a phase writes only the updated color
+            # (the masked full-width kernels idle half the VPU)
+            def run(call_key: jax.Array) -> dict[str, jax.Array]:
+                init_keys = jax.vmap(
+                    lambda r: jax.random.fold_in(
+                        rng.init_key(call_key), r)
+                )(jnp.arange(batch))
+                state = jax.vmap(
+                    lambda k: model.init_state(init_kind, k)
+                )(init_keys)
+                planes = xhd.pack_state(state, model.ny, model.nx)
+
+                def body(planes, t):
+                    if n_over_relax == 0:
+                        planes, obs = xhd.sweep_measure(
+                            model, planes, rng.sweep_key(call_key, t))
+                        return planes, obs
+                    planes = xhd.sweep(
+                        model, planes, rng.sweep_key(call_key, t))
+
+                    def do_or(p):
+                        return lax.fori_loop(
+                            0, n_over_relax,
+                            lambda i, p2: xhd.over_relax_sweep(
+                                model, p2),
+                            p,
+                        )
+                    planes = lax.cond(
+                        t <= mcs_or, do_or, lambda p: p, planes)
+                    return planes, xhd.observables(model, planes)
+
+                _, series = lax.scan(body, planes,
+                                     jnp.arange(1, mcs + 1))
+                return jax.tree.map(
+                    lambda x: jnp.swapaxes(x, 0, 1), series)
+
+            return run
 
         def run(call_key: jax.Array) -> dict[str, jax.Array]:
             init_keys = jax.vmap(
