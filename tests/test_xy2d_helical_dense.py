@@ -178,3 +178,62 @@ def test_dense_observables_match_model():
         np.testing.assert_allclose(np.asarray(got[k]),
                                    np.asarray(want[k]),
                                    rtol=0, atol=5e-5)
+
+
+def _on_tpu() -> bool:
+    import os
+    return jax.default_backend() != "cpu" or bool(
+        os.environ.get("SPINLAT_TEST_ON_TPU"))
+
+
+@pytest.mark.parametrize("color", [0, 1])
+def test_kernel_mosaic_matches_reference_on_tpu(color):
+    """Compiled (Mosaic) dense kernel vs the jnp oracle on chip:
+    injected uniforms, 1-ulp value agreement, no decision flips."""
+    if not _on_tpu() or jax.default_backend() == "cpu":
+        pytest.skip("needs the chip")
+    ks = jax.random.split(jax.random.PRNGKey(21 + color), 4)
+    R = 2
+    fx, fy = _rand_state(ks[0], (R,))
+    planes = xhd.pack_state((fx, fy), NY, NX)
+    w = planes[0].shape[-1]
+    uc = jax.random.uniform(ks[1], (R, NY, w), jnp.float32)
+    ua = jax.random.uniform(ks[2], (R, NY, w), jnp.float32)
+    beta = 1.0 / 0.895
+    nc = xhd.dense_nc(NX)
+    got = xhd._dense_phase(
+        tuple(p + 0 for p in planes), jnp.zeros((2,), jnp.int32),
+        uc, ua, color=color, beta=beta, nrep=R, ny=NY, nc=nc)
+    want = jax.vmap(
+        lambda a, b, c, d, u1, u2: xhd.dense_phase_reference(
+            a, b, c, d, color, u1, u2, beta, nc)
+    )(*planes, uc, ua)
+    for g, wv in zip(got, want):
+        ga, wa_ = np.asarray(g), np.asarray(wv)
+        np.testing.assert_allclose(ga, wa_, rtol=0, atol=2e-7)
+        assert (np.abs(ga - wa_) > 1e-5).sum() == 0
+
+
+def test_dense_sweep_physics_on_tpu():
+    """Hardware-PRNG dense sweeps: fused (m, my, e) equals the
+    observables of the unpacked state, and a short relaxation stays
+    finite/normalized."""
+    if not _on_tpu() or jax.default_backend() == "cpu":
+        pytest.skip("needs the chip")
+    model = XY2DHelical(nx=257, ny=256, kbt=0.895)
+    st = jax.vmap(lambda k: model.init_state("allup", k))(
+        jax.random.split(rng.base_key(1), 2))
+    planes = xhd.pack_state(st, model.ny, model.nx)
+    key = rng.base_key(4)
+    for t in range(3):
+        planes, obs = xhd.sweep_measure(model, planes,
+                                        rng.sweep_key(key, t))
+    gx, gy = xhd.unpack_state(planes, model.ny, model.nx)
+    want = jax.vmap(lambda a, b: model.observables((a, b)))(gx, gy)
+    for k in ("m", "my", "e"):
+        np.testing.assert_allclose(np.asarray(obs[k]),
+                                   np.asarray(want[k]),
+                                   rtol=0, atol=5e-5)
+    norm = np.hypot(np.asarray(gx, np.float64),
+                    np.asarray(gy, np.float64))
+    np.testing.assert_allclose(norm, 1.0, atol=1e-5)
