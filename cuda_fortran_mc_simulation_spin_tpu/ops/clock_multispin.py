@@ -420,7 +420,7 @@ def phase_packed(xplanes, oplanes, seeds, *, color: int, beta: float,
     (2m, 2e) int32 sums."""
     nrep, nyp, half = xplanes[0].shape
     digit5 = accept_digit_planes(beta)
-    typ = _pick_typ(nyp)
+    typ = _pick_typ(nyp, 3 * half)
     n = nyp // typ
     nb8 = nyp // 8
     n_inject = 8 if inject is not None else 0

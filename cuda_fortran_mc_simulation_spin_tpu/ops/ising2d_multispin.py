@@ -79,10 +79,20 @@ def packable(ny: int, half: int) -> bool:
     return ny % (PACK * 8) == 0 and half % 128 == 0
 
 
-def _pick_typ(nyp: int) -> int:
+# per-plane tile budget (words): ~12 live word-plane temporaries per
+# phase must fit VMEM, so very wide lattices (32768²: half=16384) take
+# shorter tiles
+_TILE_BUDGET_WORDS = 128 << 10
+
+
+def _pick_typ(nyp: int, half: int | None = None) -> int:
     """Largest multiple-of-8 divisor of nyp not exceeding _TYP (the
-    8-word-row halo BlockSpec trick needs 8-aligned tiles)."""
-    typ = min(_TYP, nyp)
+    8-word-row halo BlockSpec trick needs 8-aligned tiles), capped so
+    typ·half stays within the VMEM temporary budget."""
+    cap = _TYP
+    if half is not None:
+        cap = min(cap, max(8, (_TILE_BUDGET_WORDS // half) // 8 * 8))
+    typ = min(cap, nyp)
     typ -= typ % 8
     while typ >= 8:
         if nyp % typ == 0:
@@ -291,8 +301,9 @@ def _phase_kernel(seed_ref, x_ref, oc_ref, oup_ref, odn_ref, *rest,
         if tiled_obs:
             # one exact int32 partial row PER TILE (giant lattices
             # whose totals would wrap int32); caller reduces the ~32
-            # tile rows in f32
-            obs_ref[0] = row
+            # tile rows in f32.  The obs block spans all tiles (a
+            # (1, n, 128) block can't tile VMEM), written per-row.
+            obs_ref[0, pl.ds(i, 1), :] = row
         else:
             @pl.when(i == 0)
             def _():
@@ -310,7 +321,7 @@ def _metropolis_phase_packed(xw, ow, seeds, *, color, beta, nrep, nyp,
                              half, measuring=False, tiled_obs=False):
     d4 = tuple(chain_digits(float(np.exp(-4.0 * beta))))
     d8 = tuple(chain_digits(float(np.exp(-8.0 * beta))))
-    typ = _pick_typ(nyp)
+    typ = _pick_typ(nyp, half)
     n = nyp // typ
     nb8 = nyp // 8
     kernel = functools.partial(
@@ -325,9 +336,7 @@ def _metropolis_phase_packed(xw, ow, seeds, *, color, beta, nrep, nyp,
         out_shape.append(
             jax.ShapeDtypeStruct((nrep, nobs, 128), jnp.int32))
         out_specs.append(pl.BlockSpec(
-            (1, 1, 128),
-            (lambda r, i: (r, i, 0)) if tiled_obs
-            else (lambda r, i: (r, 0, 0)),
+            (1, nobs, 128), lambda r, i: (r, 0, 0),
             memory_space=pltpu.VMEM))
     return pl.pallas_call(
         kernel,
@@ -359,7 +368,7 @@ def phase_packed_with_bits(xw, ow, b4, b8, *, color, interpret=False):
     """Single packed phase with injected Bernoulli planes — the
     bitwise-testable entry (mirrors packed_phase_reference)."""
     nrep, nyp, half = xw.shape
-    typ = _pick_typ(nyp)
+    typ = _pick_typ(nyp, half)
     n = nyp // typ
     nb8 = nyp // 8
     kernel = functools.partial(
@@ -719,7 +728,7 @@ def sharded_phase_packed(xw, ow, hup01, hdn01, seeds, offs, *,
     has_cols = halo_lf is not None
     d4 = tuple(chain_digits(float(np.exp(-4.0 * beta))))
     d8 = tuple(chain_digits(float(np.exp(-8.0 * beta))))
-    typ = _pick_typ(nyp)
+    typ = _pick_typ(nyp, half)
     n = nyp // typ
     nb8 = nyp // 8
     if interpret and b4 is None:
@@ -812,7 +821,7 @@ def sweep_measure_packed(model, wa, wb, key):
     serving giant lattices instead of dropping to the int8 path."""
     nrep, nyp, half = wa.shape
     tiled = model.nsites > OBS_INT32_MAX_SITES
-    if tiled and _pick_typ(nyp) * PACK * half > (2 ** 31 - 1) // 2:
+    if tiled and _pick_typ(nyp, half) * PACK * half > (2 ** 31 - 1) // 2:
         # |e tile partial| ≤ 2·tile_sites must stay exact
         raise ValueError(
             "single tile overflows the int32 per-tile observable "

@@ -494,10 +494,11 @@ def test_tiled_obs_matches_accumulated_on_tpu():
         pytest.skip("hardware PRNG path")
     R = 2
     ka, kb = jax.random.split(rng.base_key(78))
-    wa = msb.pack_color(_rand_plane(ka, (R, 1024, 512)))
-    wb = msb.pack_color(_rand_plane(kb, (R, 1024, 512)))
+    wa = msb.pack_color(_rand_plane(ka, (R, 4096, 512)))
+    wb = msb.pack_color(_rand_plane(kb, (R, 4096, 512)))
     seeds = jnp.array([5, 9], jnp.int32)
-    kw = dict(color=1, beta=0.44, nrep=R, nyp=32, half=512,
+    # nyp=128 -> typ=32 -> 4 tiles: exercises the multi-row obs block
+    kw = dict(color=1, beta=0.44, nrep=R, nyp=128, half=512,
               measuring=True)
     # the x operand is donated (input_output_aliases) — fresh copy per
     # call
