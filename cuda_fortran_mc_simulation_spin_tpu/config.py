@@ -64,6 +64,11 @@ class RunConfig:
     # execution knobs
     use_pallas: bool | None = None   # None = auto (True on TPU)
     samples_per_call: int = 1        # batch of samples folded per dispatch
+    # stop this invocation after folding this many samples (checkpoint
+    # and exit cleanly) — time-sliced production runs; the next
+    # invocation with the same config resumes where this one stopped.
+    # Excluded from the checkpoint fingerprint (scheduling, not physics).
+    max_samples_this_run: int | None = None
 
     # multi-chip mesh (parallel/): replicas shard over `dp`, the lattice's
     # leading spatial dim over `y`, and optionally the color-array

@@ -251,6 +251,12 @@ def _run_accumulating(cfg, model, accumulators, fold, err,
             pass
 
     progress = _progress(err, cfg.tot_sample)
+    budget = cfg.max_samples_this_run
+    if budget and not checkpoint_path:
+        raise ValueError(
+            "max_samples_this_run needs --checkpoint (the next "
+            "invocation resumes from it)")
+    done = start_call * batch
     for call in range(start_call, n_calls):
         series = jax.device_get(runner(rng.sample_key(base, call)))
         series = {k: np.asarray(v, np.float64) for k, v in series.items()}
@@ -260,8 +266,17 @@ def _run_accumulating(cfg, model, accumulators, fold, err,
         if (checkpoint_path and checkpoint_every
                 and done % checkpoint_every == 0):
             checkpoint.save(checkpoint_path, cfg, done, accumulators)
+        if (budget and done - start_call * batch >= budget
+                and done < cfg.tot_sample):
+            # time-sliced run: checkpoint and stop; the next invocation
+            # with the same physics config resumes at sample `done`
+            checkpoint.save(checkpoint_path, cfg, done, accumulators)
+            err.write(f"# stopping after {done - start_call * batch} "
+                      f"samples this run ({done} / {cfg.tot_sample} "
+                      "total); resume with the same command\n")
+            break
     if checkpoint_path:
-        checkpoint.save(checkpoint_path, cfg, cfg.tot_sample, accumulators)
+        checkpoint.save(checkpoint_path, cfg, done, accumulators)
 
 
 # ---------------------------------------------------------------------------

@@ -27,8 +27,16 @@ from typing import Mapping
 import numpy as np
 
 
+# run-scheduling knobs that don't affect the physics of any sample:
+# per-sample streams are keyed by (seed, stream, call index), so
+# extending tot_sample or time-slicing a run resumes exactly
+_SCHEDULING_FIELDS = ("tot_sample", "max_samples_this_run")
+
+
 def config_fingerprint(cfg) -> str:
     d = dataclasses.asdict(cfg)
+    for k in _SCHEDULING_FIELDS:
+        d.pop(k, None)
     return hashlib.sha256(
         json.dumps(d, sort_keys=True, default=str).encode()
     ).hexdigest()[:16]

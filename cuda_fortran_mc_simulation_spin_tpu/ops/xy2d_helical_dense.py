@@ -154,9 +154,13 @@ def _roll_tpu(x, k):
 
 
 def _valid_col(color, nc, col, p0row):
+    # select the integer limit, not boolean planes (Mosaic can't
+    # truncate i8 selects to i1)
     if color == 0:
-        return jnp.where(p0row, col < nc, col < nc - 1)
-    return jnp.where(p0row, col < nc - 1, col < nc)
+        lim = jnp.where(p0row, nc, nc - 1)
+    else:
+        lim = jnp.where(p0row, nc - 1, nc)
+    return col < lim
 
 
 def dense_phase_reference(ax, ay, bx, by, color, u_cand, u_acc, beta,

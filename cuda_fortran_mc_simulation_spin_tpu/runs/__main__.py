@@ -54,6 +54,9 @@ def parse_args(argv=None) -> argparse.Namespace:
                         "(nx/2-1, ny/2-1) (XY disorder protocols)")
     p.add_argument("--replicas", type=int, default=1)
     p.add_argument("--samples-per-call", type=int, default=1)
+    p.add_argument("--max-samples-this-run", type=int, default=None,
+                   help="stop after folding this many samples "
+                        "(checkpoint + clean exit; rerun to resume)")
     p.add_argument("--measure-times", type=int, nargs="*", default=None,
                    help="specific 1-based sweep times to record")
     p.add_argument("--backend", default="auto",
@@ -88,6 +91,7 @@ def config_from_args(a: argparse.Namespace) -> RunConfig:
         rotate_after_first_mcs=a.fix1mcs,
         track_correlation=a.track_correlation, replicas=a.replicas,
         samples_per_call=a.samples_per_call,
+        max_samples_this_run=a.max_samples_this_run,
         measure_times=a.measure_times, use_pallas=use_pallas,
         mesh_dp=mesh_dp, mesh_y=mesh_y, mesh_x=mesh_x,
     )

@@ -366,13 +366,49 @@ def test_checkpoint_rejects_other_config(tmp_path):
     from cuda_fortran_mc_simulation_spin_tpu.io import checkpoint
 
     cfg1 = RunConfig(model="ising2d", nx=8, ny=8, mcs=4, tot_sample=6)
-    cfg2 = RunConfig(model="ising2d", nx=8, ny=8, mcs=4, tot_sample=8)
+    cfg2 = RunConfig(model="ising2d", nx=8, ny=8, mcs=4, tot_sample=6,
+                     kbt=2.0)
     ck = str(tmp_path / "ck.npz")
     checkpoint.save(ck, cfg1, 2,
                     {"op": stats.VarianceCovarianceKahan((4,))})
     with pytest.raises(ValueError, match="different config"):
         checkpoint.load(ck, cfg2,
                         {"op": stats.VarianceCovarianceKahan((4,))})
+    # scheduling fields (tot_sample, max_samples_this_run) are NOT part
+    # of the physics fingerprint: extending a run resumes exactly
+    cfg3 = RunConfig(model="ising2d", nx=8, ny=8, mcs=4, tot_sample=8)
+    assert checkpoint.load(
+        ck, cfg3, {"op": stats.VarianceCovarianceKahan((4,))}) == 2
+
+
+def test_max_samples_this_run_two_stage_bitwise(tmp_path):
+    """A run time-sliced with --max-samples-this-run, resumed with the
+    same command, equals the uninterrupted run bitwise."""
+    ck = str(tmp_path / "ck.npz")
+    cfg_full = RunConfig(model="ising2d", nx=8, ny=8, kbt=2.5, mcs=4,
+                         tot_sample=6, use_pallas=False)
+    out_full = io.StringIO()
+    protocols.run_relaxation(cfg_full, out_full, io.StringIO())
+
+    cfg_slice = RunConfig(model="ising2d", nx=8, ny=8, kbt=2.5, mcs=4,
+                          tot_sample=6, use_pallas=False,
+                          max_samples_this_run=2)
+    err1 = io.StringIO()
+    protocols.run_relaxation(cfg_slice, io.StringIO(), err1,
+                             checkpoint_path=ck)
+    assert "stopping after 2 samples this run" in err1.getvalue()
+    err2 = io.StringIO()
+    protocols.run_relaxation(cfg_slice, io.StringIO(), err2,
+                             checkpoint_path=ck)
+    assert "# resumed at sample 2" in err2.getvalue()
+    assert "stopping after 2 samples this run" in err2.getvalue()
+    out3 = io.StringIO()
+    err3 = io.StringIO()
+    protocols.run_relaxation(cfg_full, out3, err3, checkpoint_path=ck)
+    assert "# resumed at sample 4" in err3.getvalue()
+    np.testing.assert_array_equal(
+        _parse_table(out_full.getvalue()),
+        _parse_table(out3.getvalue()))
 
 
 def test_cli_end_to_end(tmp_path):
