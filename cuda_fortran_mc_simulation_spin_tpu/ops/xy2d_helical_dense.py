@@ -336,7 +336,9 @@ def _or_kernel(sx_ref, sy_ref, ox_ref, oxu_ref, oxd_ref,
     outy_ref[0] = jnp.where(valid, ry_ * rinv, sy)
 
 
-def _pick_ty(ny: int, w: int, budget: int = 1 << 20) -> int:
+def _pick_ty(ny: int, w: int, budget: int = 1 << 17) -> int:
+    # ~18 live f32 planes per phase tile must fit scoped VMEM (16M):
+    # ty*w <= 128K elements keeps them under ~10M
     ty = max(8, min(ny, budget // max(w, 1)))
     ty -= ty % 8
     while ty >= 8:
