@@ -598,3 +598,254 @@ def sweep_measure_packed6(model, wa, wb, key):
         "m": m2.astype(jnp.float32) * half_n_inv,
         "e": e2.astype(jnp.float32) * half_n_inv,
     }
+
+
+# ---------------------------------------------------------------------------
+# halo-aware packed phase for the domain-sharded (shard_map) path
+# ---------------------------------------------------------------------------
+
+def packed_sharded_phase_reference6(xplanes, oplanes, color, planes8,
+                                    hup, hdn):
+    """Pure-jnp packed phase on a y-sharded local block: word-row wrap
+    replaced by synthetic edge words built from the exchanged boundary
+    site planes ``hup``/``hdn`` (3-tuples of (1, half) 0/1 int32 —
+    σ, t0, t1 of the rows owned by the y-neighbor shards)."""
+    xs, xt0, xt1 = [p.astype(jnp.uint32) for p in xplanes]
+    os_, ot0, ot1 = [p.astype(jnp.uint32) for p in oplanes]
+
+    def nbrs(o, up01, dn01):
+        syn_up = up01.astype(jnp.uint32) << jnp.uint32(31)
+        syn_dn = dn01.astype(jnp.uint32)
+        w_prev = jnp.concatenate([syn_up, o[:-1]], axis=0)
+        w_next = jnp.concatenate([o[1:], syn_dn], axis=0)
+        one = jnp.uint32(1)
+        up = (o << one) | (w_prev >> jnp.uint32(31))
+        dn = (o >> one) | (w_next << jnp.uint32(31))
+        minus = jnp.roll(o, 1, axis=1)
+        plus = jnp.roll(o, -1, axis=1)
+        from cuda_fortran_mc_simulation_spin_tpu.ops.ising2d_multispin \
+            import _EVEN_BITS, _ODD_BITS
+        odd = jnp.uint32(_ODD_BITS)
+        even = jnp.uint32(_EVEN_BITS)
+        if color == 0:
+            side = (plus & odd) | (minus & even)
+        else:
+            side = (minus & odd) | (plus & even)
+        return (up, dn, o, side)
+
+    ns = nbrs(os_, hup[0], hdn[0])
+    nt0 = nbrs(ot0, hup[1], hdn[1])
+    nt1 = nbrs(ot1, hup[2], hdn[2])
+    planes8 = tuple(p.astype(jnp.uint32) for p in planes8)
+    s, t0, t1, _ = _decide(xs, xt0, xt1, ns, nt0, nt1, planes8)
+    return tuple(p.astype(jnp.int32) for p in (s, t0, t1))
+
+
+def _sharded_phase_kernel6(seed_ref, offs_ref, xs_ref, xt0_ref, xt1_ref,
+                           os_ref, ot0_ref, ot1_ref,
+                           us_ref, ut0_ref, ut1_ref,
+                           ds_ref, dt0_ref, dt1_ref,
+                           hus_ref, hut0_ref, hut1_ref,
+                           hds_ref, hdt0_ref, hdt1_ref,
+                           *rest, color: int, digit5, typ: int,
+                           nblk: int, n_inject: int,
+                           measuring: bool = False):
+    refs = list(rest)
+    obs_ref = refs.pop() if measuring else None
+    inject = refs[:n_inject]
+    s_out, t0_out, t1_out = refs[n_inject:]
+    r = pl.program_id(0)
+    i = pl.program_id(1)
+
+    def planes_of(o_ref, up_ref, dn_ref, hu_ref, hd_ref):
+        o = pltpu.bitcast(o_ref[0], jnp.uint32)
+        syn_up = (pltpu.bitcast(hu_ref[0, 7:8, :], jnp.uint32)
+                  << jnp.uint32(31))
+        syn_dn = pltpu.bitcast(hd_ref[0, 0:1, :], jnp.uint32)
+        up_row = jnp.where(i == 0, syn_up,
+                           pltpu.bitcast(up_ref[0, 7:8, :], jnp.uint32))
+        dn_row = jnp.where(i == nblk - 1, syn_dn,
+                           pltpu.bitcast(dn_ref[0, 0:1, :], jnp.uint32))
+        w_prev, w_next = stencil.splice_updown(o, up_row, dn_row)
+        return o, _nbr_planes(o, w_prev, w_next, color)
+
+    xs = pltpu.bitcast(xs_ref[0], jnp.uint32)
+    xt0 = pltpu.bitcast(xt0_ref[0], jnp.uint32)
+    xt1 = pltpu.bitcast(xt1_ref[0], jnp.uint32)
+    os_, ns = planes_of(os_ref, us_ref, ds_ref, hus_ref, hds_ref)
+    ot0, nt0 = planes_of(ot0_ref, ut0_ref, dt0_ref, hut0_ref, hdt0_ref)
+    ot1, nt1 = planes_of(ot1_ref, ut1_ref, dt1_ref, hut1_ref, hdt1_ref)
+
+    if n_inject:
+        planes8 = tuple(
+            pltpu.bitcast(ref[0], jnp.uint32) for ref in inject
+        )
+    else:
+        # streams keyed per GLOBAL (replica, 8-word-row granule,
+        # 128-lane chunk) — mesh-shape/tile-size invariant, matching
+        # the Ising packed sharded keying
+        rep_g = offs_ref[0] + r
+        nck = xs.shape[1] // 128
+        pieces = [[] for _ in range(8)]
+        for g in range(typ // 8):
+            wrow_g = offs_ref[1] + i * typ + g * 8
+            row_tag = (wrow_g * jnp.int32(-1640531527)
+                       + rep_g * jnp.int32(0x3C6EF35F))
+            chunk_cols = [[] for _ in range(8)]
+            for c in range(nck):
+                tag = row_tag + (c * 128) * jnp.int32(0x27D4EB2F)
+                pltpu.prng_seed(seed_ref[0], seed_ref[1] ^ tag)
+
+                def gen():
+                    return pltpu.bitcast(
+                        pltpu.prng_random_bits((8, 128)), jnp.uint32)
+
+                p8 = draw_planes((8, 128), gen, digit5)
+                for k in range(8):
+                    chunk_cols[k].append(p8[k])
+            for k in range(8):
+                pieces[k].append(
+                    chunk_cols[k][0] if nck == 1
+                    else jnp.concatenate(chunk_cols[k], axis=1))
+        planes8 = tuple(
+            pieces[k][0] if typ == 8
+            else jnp.concatenate(pieces[k], axis=0)
+            for k in range(8)
+        )
+
+    s_new, t0_new, t1_new, fin = _decide(
+        xs, xt0, xt1, ns, nt0, nt1, planes8
+    )
+    s_out[0] = pltpu.bitcast(s_new, jnp.int32)
+    t0_out[0] = pltpu.bitcast(t0_new, jnp.int32)
+    t1_out[0] = pltpu.bitcast(t1_new, jnp.int32)
+
+    if measuring:
+        nblk_sites = jnp.int32(xs.shape[0] * xs.shape[1] * PACK)
+        m2, e2 = _obs_partial(s_new, t0_new, t1_new, os_, ot0, ot1,
+                              fin, nblk_sites)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+        row = jnp.where(lane == 0, m2, jnp.where(lane == 1, e2, 0))
+
+        @pl.when(i == 0)
+        def _():
+            obs_ref[0] = jnp.zeros_like(obs_ref[0])
+
+        obs_ref[0] = obs_ref[0] + row
+
+
+def interpret_planes_sharded(seeds, rep0, wrow0, nrep, nyp, half, beta):
+    """Threefry planes keyed per (global replica, global word row,
+    128-lane chunk) — the CPU fallback stream for the sharded engine
+    (mesh-shape invariant)."""
+    digit5 = accept_digit_planes(beta)
+    base = jax.random.fold_in(
+        jax.random.PRNGKey(seeds[0].astype(jnp.uint32)), seeds[1]
+    )
+    nck = half // 128
+
+    def per_rep(r):
+        kr = jax.random.fold_in(base, rep0 + r)
+
+        def per_row(g):
+            kg = jax.random.fold_in(kr, wrow0 + g)
+
+            def per_chunk(c):
+                kc = jax.random.fold_in(kg, c * 128)
+                cnt = [0]
+
+                def gen():
+                    cnt[0] += 1
+                    return jax.random.bits(
+                        jax.random.fold_in(kc, cnt[0]), (128,),
+                        dtype=jnp.uint32)
+
+                return draw_planes((128,), gen, digit5)
+
+            ck = jax.vmap(per_chunk)(jnp.arange(nck))
+            return tuple(p.reshape(half) for p in ck)
+
+        return jax.vmap(per_row)(jnp.arange(nyp))
+
+    planes = jax.vmap(per_rep)(jnp.arange(nrep))
+    return tuple(p.astype(jnp.int32) for p in planes)
+
+
+def sharded_phase_packed6(xplanes, oplanes, hup, hdn, seeds, offs, *,
+                          color: int, beta: float, inject=None,
+                          interpret: bool = False,
+                          measuring: bool = False):
+    """One packed clock phase of a y-sharded local block.
+
+    xplanes/oplanes: 3-tuples (σ, t0, t1) of (R, Lp, half) packed local
+    color blocks; hup/hdn: 3-tuples of (R, 1, half) 0/1 int32 exchanged
+    boundary-site planes of the other color
+    (halo.exchange_halo_rows_packed applied per plane); offs: (rep0,
+    wrow0) GLOBAL offsets.  ``measuring`` (phase b only) additionally
+    returns per-shard (2m, 2e) int32 partials (R,) each — caller psums
+    over the mesh's spatial axis and halves."""
+    nrep, nyp, half = xplanes[0].shape
+    digit5 = accept_digit_planes(beta)
+    typ = _pick_typ(nyp, 3 * half)
+    n = nyp // typ
+    nb8 = nyp // 8
+    if interpret and inject is None:
+        inject = interpret_planes_sharded(
+            seeds, offs[0], offs[1], nrep, nyp, half, beta)
+    n_inject = 8 if inject is not None else 0
+    hup_p = [jnp.pad(h, ((0, 0), (7, 0), (0, 0))) for h in hup]
+    hdn_p = [jnp.pad(h, ((0, 0), (0, 7), (0, 0))) for h in hdn]
+    kernel = functools.partial(
+        _sharded_phase_kernel6, color=color, digit5=digit5, typ=typ,
+        nblk=n, n_inject=n_inject, measuring=measuring,
+    )
+    blk = pl.BlockSpec((1, typ, half), lambda r, i: (r, i, 0),
+                       memory_space=pltpu.VMEM)
+    up8 = pl.BlockSpec(
+        (1, 8, half),
+        lambda r, i: (r, (i * typ // 8 - 1 + nb8) % nb8, 0),
+        memory_space=pltpu.VMEM,
+    )
+    dn8 = pl.BlockSpec(
+        (1, 8, half),
+        lambda r, i: (r, ((i + 1) * typ // 8) % nb8, 0),
+        memory_space=pltpu.VMEM,
+    )
+    h8 = pl.BlockSpec((1, 8, half), lambda r, i: (r, 0, 0),
+                      memory_space=pltpu.VMEM)
+    in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec(memory_space=pltpu.SMEM)]
+    in_specs += [blk] * 6 + [up8] * 3 + [dn8] * 3 + [h8] * 6
+    operands = [seeds, offs, *xplanes, *oplanes, *oplanes, *oplanes,
+                *hup_p, *hdn_p]
+    if inject is not None:
+        in_specs += [blk] * 8
+        operands += list(inject)
+    plane_shape = jax.ShapeDtypeStruct((nrep, nyp, half), jnp.int32)
+    out_shape = [plane_shape] * 3
+    out_specs = [blk] * 3
+    if measuring:
+        out_shape.append(jax.ShapeDtypeStruct((nrep, 1, 128), jnp.int32))
+        out_specs.append(pl.BlockSpec((1, 1, 128),
+                                      lambda r, i: (r, 0, 0),
+                                      memory_space=pltpu.VMEM))
+    res = pl.pallas_call(
+        kernel,
+        out_shape=tuple(out_shape),
+        grid=(nrep, n),
+        in_specs=in_specs,
+        out_specs=tuple(out_specs),
+        input_output_aliases={2: 0, 3: 1, 4: 2},
+        interpret=interpret,
+    )(*operands)
+    if measuring:
+        return res[:3], res[3][:, 0, 0], res[3][:, 0, 1]
+    return res[:3]
+
+
+def shard_packed6_ok(local_shape: tuple[int, ...]) -> bool:
+    """Local packed (R, Lp, half) word-block shape is tileable."""
+    if len(local_shape) != 3:
+        return False
+    _, nyp, half = local_shape
+    return half % 128 == 0 and nyp % 8 == 0

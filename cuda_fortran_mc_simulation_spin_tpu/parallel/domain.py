@@ -174,10 +174,11 @@ def _shard_pallas_mode(model, local_shape,
 def _shard_packed_mode(model, mesh: Mesh, replicas: int,
                        n_over_relax: int = 0
                        ) -> tuple[str | None, bool]:
-    """(kind, interpret) with kind ∈ {"2d", "3d", None} — route the
-    domain-sharded Ising sweep through the bit-packed multispin halo
-    kernels (ops/ising2d_multispin.sharded_phase_packed /
-    ops/ising3d_multispin.sharded_phase3d_packed) when shapes allow.
+    """(kind, interpret) with kind ∈ {"2d", "3d", "clock6", None} —
+    route the domain-sharded sweep through the bit-packed multispin
+    halo kernels (ops/ising2d_multispin.sharded_phase_packed /
+    ops/ising3d_multispin.sharded_phase3d_packed /
+    ops/clock_multispin.sharded_phase_packed6) when shapes allow.
 
     Opt-out with SPINLAT_SHARD_PACKED=0;
     SPINLAT_SHARD_PALLAS_INTERPRET=1 runs it in interpret mode on CPU
@@ -191,13 +192,16 @@ def _shard_packed_mode(model, mesh: Mesh, replicas: int,
 
     is2d = isinstance(model, Ising2D)
     is3d = isinstance(model, Ising3D)
-    if not (is2d or is3d) or n_over_relax:
+    is_ck6 = isinstance(model, Clock2D) and model.q == 6
+    if not (is2d or is3d or is_ck6) or n_over_relax:
         return None, False
     if os.environ.get("SPINLAT_SHARD_PACKED") == "0":
         return None, False
     ysh = mesh.shape["y"]
     xsh = mesh.shape.get("x", 1)
     if xsh > 1 and not is2d:
+        # packed column halos are implemented for Ising2D only; clock
+        # x-splits keep the int8 halo kernels
         return None, False
     dp = mesh.shape["dp"]
     if replicas % dp:
@@ -205,6 +209,27 @@ def _shard_packed_mode(model, mesh: Mesh, replicas: int,
     if model.nsites > ising2d_multispin.OBS_INT32_MAX_SITES:
         # fused int32 (m, e) partials would wrap; int8 f32-obs path
         return None, False
+    if is_ck6:
+        from cuda_fortran_mc_simulation_spin_tpu.ops import (
+            clock_multispin,
+        )
+
+        if (os.environ.get("SPINLAT_CLOCK_PACKED") == "0"
+                or model.nsites > clock_multispin.OBS_INT32_MAX_SITES):
+            return None, False
+        ny, half = model.color_shape
+        if ny % (32 * ysh):
+            return None, False
+        local = (replicas // dp, ny // 32 // ysh, half)
+        if not clock_multispin.shard_packed6_ok(local):
+            return None, False
+        if os.environ.get("SPINLAT_SHARD_PALLAS_INTERPRET") == "1":
+            return "clock6", True
+        try:
+            return ("clock6" if model.resolved_backend == "pallas"
+                    else None), False
+        except ValueError:
+            return None, False
     if is2d:
         ny, half = model.color_shape
         if ny % (32 * ysh) or half % xsh:
@@ -279,6 +304,46 @@ def _ising_local_sweep_packed(model: Ising2D, wa, wb, key, ysh, xsh,
         return wa, wb, {"m": m.astype(jnp.float32),
                         "e": e.astype(jnp.float32)}
     return wa, res, None
+
+
+def _clock_local_sweep_packed(model: Clock2D, wa3, wb3, key, ysh,
+                              rep0, wrow0, want_obs=False,
+                              interpret=False):
+    """One local MCS on PACKED clock plane triplets (σ, t0, t1) each
+    (R, Lp, half): three boundary-site bit planes ride ICI per halo
+    direction (still 3/32nds of an int8 row payload), both phases in
+    the bit-sliced q=6 kernel, fused per-shard (2m, 2e) partials."""
+    from cuda_fortran_mc_simulation_spin_tpu.ops import (
+        clock_multispin as cm6,
+        ising2d_pallas,
+    )
+    from cuda_fortran_mc_simulation_spin_tpu.parallel.halo import (
+        exchange_halo_rows_packed,
+    )
+
+    def h3(planes):
+        ups, dns = zip(*(exchange_halo_rows_packed(p, "y", ysh)
+                         for p in planes))
+        return tuple(ups), tuple(dns)
+
+    offs = jnp.stack([jnp.int32(rep0), jnp.int32(wrow0)])
+    beta = float(model.beta)
+    hup, hdn = h3(wb3)
+    wa3 = cm6.sharded_phase_packed6(
+        wa3, wb3, hup, hdn, ising2d_pallas.seeds_from_key(key, 0),
+        offs, color=0, beta=beta, interpret=interpret,
+    )
+    hup, hdn = h3(wa3)
+    res = cm6.sharded_phase_packed6(
+        wb3, wa3, hup, hdn, ising2d_pallas.seeds_from_key(key, 1),
+        offs, color=1, beta=beta, interpret=interpret,
+        measuring=want_obs,
+    )
+    if want_obs:
+        wb3, m2, e2 = res
+        return wa3, wb3, {"m": m2.astype(jnp.float32) * 0.5,
+                          "e": e2.astype(jnp.float32) * 0.5}
+    return wa3, res, None
 
 
 def _ising3d_local_sweep_packed(model, wa, wb, key, ysh, rep0, z0,
@@ -747,7 +812,21 @@ def make_sharded_sample_runner(model, mesh: Mesh, mcs: int,
     _check_replicas(replicas, mesh)
     mcs_or = mcs_over_relax or mcs
 
-    if use_packed:
+    if use_packed == "clock6":
+        from cuda_fortran_mc_simulation_spin_tpu.ops import (
+            clock_multispin as cm6,
+        )
+
+        spec = _state_spec(mesh, 3)
+        pack_sharded = jax.shard_map(
+            lambda s: CheckerboardState(cm6.pack_clock_color(s.a),
+                                        cm6.pack_clock_color(s.b)),
+            mesh=mesh,
+            in_specs=(CheckerboardState(spec, spec),),
+            out_specs=CheckerboardState((spec,) * 3, (spec,) * 3),
+            check_vma=False,
+        )
+    elif use_packed:
         from cuda_fortran_mc_simulation_spin_tpu.ops import (
             ising2d_multispin as msb,
         )
@@ -891,7 +970,7 @@ def _make_local_step(model, mesh: Mesh, n_over_relax: int = 0,
         # draws are keyed by GLOBAL replica/row/column-chunk ids inside
         # the local sweeps (_site_uniforms), so the trajectory is bitwise
         # invariant to the mesh shape; shard indices only locate blocks
-        first = state[0]
+        first = jax.tree.leaves(state)[0]
         rep0 = lax.axis_index("dp") * first.shape[0]
         row0 = lax.axis_index("y") * first.shape[1]
         col0 = (lax.axis_index("x") * first.shape[-1] if xsh > 1
@@ -916,6 +995,12 @@ def _make_local_step(model, mesh: Mesh, n_over_relax: int = 0,
                 state = lax.cond(do_or, do, lambda s: s, state)
             if with_obs and obs is None:
                 obs = _xy_local_obs(model, state, ysh, xsh)
+        elif is_clock and packed == "clock6":
+            a, b, obs = _clock_local_sweep_packed(
+                model, state.a, state.b, key, ysh, rep0, row0,
+                want_obs=with_obs, interpret=packed_interpret,
+            )
+            state = CheckerboardState(a, b)
         elif is_clock:
             a, b, obs = _clock_local_sweep(model, state.a, state.b, key,
                                            ysh, xsh, rep0, row0, col0,
@@ -957,8 +1042,13 @@ def _make_local_step(model, mesh: Mesh, n_over_relax: int = 0,
 
     nd = 4 if is_3d else 3
     spec = _state_spec(mesh, nd)
-    state_struct = (XYState(spec, spec, spec, spec) if is_xy
-                    else CheckerboardState(spec, spec))
+    if packed == "clock6":
+        # state is a triplet of packed bit planes per color
+        state_struct = CheckerboardState((spec,) * 3, (spec,) * 3)
+    elif is_xy:
+        state_struct = XYState(spec, spec, spec, spec)
+    else:
+        state_struct = CheckerboardState(spec, spec)
     out_specs = ((state_struct, P("dp")) if with_obs else state_struct)
     return jax.shard_map(
         local_step,

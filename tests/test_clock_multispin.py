@@ -421,3 +421,98 @@ def test_protocol_routes_clock_multispin(monkeypatch):
     rows = [l for l in out.getvalue().splitlines()
             if l and not l.startswith("#")]
     assert len(rows) == 4
+
+
+# ---------------------------------------------------------------------------
+# domain-sharded packed clock (shard_map path)
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("color", [0, 1])
+def test_sharded_phase6_interpret_matches_reference(color):
+    """Sharded packed clock phase (interpret, injected planes) ==
+    the jnp sharded oracle, bitwise."""
+    key = jax.random.PRNGKey(31 + color)
+    ks = jax.random.split(key, 14)
+    ny, nx, nrep = 256, 256, 2
+    states = [
+        split_checkerboard(_random_state(ks[i], ny, nx))
+        for i in range(nrep)
+    ]
+    a = jnp.stack([s[0] for s in states])
+    b = jnp.stack([s[1] for s in states])
+    wa = cm.pack_clock_color(a)
+    wb = cm.pack_clock_color(b)
+    shape = wa[0].shape
+    planes8 = tuple(_rand_plane(k, shape) for k in ks[2:10])
+    rho, rt1, rt2 = planes8[:3]
+    rt2 = rt2 & ~rt1
+    rho = rho | ~(rt1 | rt2)
+    planes8 = (rho, rt1, rt2) + planes8[3:]
+    # boundary-site planes: random valid clock states
+    hstates = jax.random.randint(ks[10], (6, nrep, 1, nx // 2), 0, 6)
+    hup = tuple((hstates[i] % 2 if i == 0 else
+                 (hstates[i] % 3 == 1) if i == 1 else
+                 (hstates[i] % 3 == 2)).astype(jnp.int32)
+                for i in range(3))
+    hdn = tuple((hstates[i + 3] % 2 if i == 0 else
+                 (hstates[i + 3] % 3 == 1) if i == 1 else
+                 (hstates[i + 3] % 3 == 2)).astype(jnp.int32)
+                for i in range(3))
+    seeds = jnp.zeros((2,), jnp.int32)
+    offs = jnp.zeros((2,), jnp.int32)
+    x, o = ((wa, wb) if color == 0 else (wb, wa))
+    got = cm.sharded_phase_packed6(
+        tuple(p + 0 for p in x), o, hup, hdn, seeds, offs,
+        color=color, beta=1.1, inject=planes8, interpret=True)
+    want = jax.vmap(
+        lambda xs, xt0, xt1, os_, ot0, ot1, p0, p1, p2, p3, p4, p5,
+               p6, p7, h0, h1, h2, g0, g1, g2:
+        cm.packed_sharded_phase_reference6(
+            (xs, xt0, xt1), (os_, ot0, ot1), color,
+            (p0, p1, p2, p3, p4, p5, p6, p7),
+            (h0, h1, h2), (g0, g1, g2))
+    )(*x, *o, *planes8, *hup, *hdn)
+    for g, w in zip(got, want):
+        np.testing.assert_array_equal(np.asarray(g), np.asarray(w))
+
+
+def _virtual_mesh_or_skip(dp, y):
+    from cuda_fortran_mc_simulation_spin_tpu.parallel import mesh as mm
+
+    if len(jax.devices()) < dp * y:
+        pytest.skip("needs a virtual multi-device mesh (conftest)")
+    return mm.make_mesh(dp, y)
+
+
+def test_sharded_packed6_runner_mesh_shape_invariant(monkeypatch):
+    """Full packed clock sharded runner (interpret mode): (1,1) and
+    (2,2) meshes produce bit-identical (m, e) series."""
+    monkeypatch.setenv("SPINLAT_SHARD_PALLAS_INTERPRET", "1")
+    from cuda_fortran_mc_simulation_spin_tpu.parallel import domain
+
+    model = Clock2D(nx=256, ny=512, kbt=0.9, q=6, backend="jnp")
+    series = {}
+    for dp, y in ((1, 1), (2, 2)):
+        mesh = _virtual_mesh_or_skip(dp, y)
+        assert domain._shard_packed_mode(model, mesh, 4)[0] == "clock6"
+        run = domain.make_sharded_sample_runner(model, mesh, mcs=3,
+                                                replicas=4)
+        series[(dp, y)] = jax.device_get(run(rng.base_key(36)))
+    for k in ("m", "e"):
+        np.testing.assert_array_equal(
+            np.asarray(series[(1, 1)][k]), np.asarray(series[(2, 2)][k]))
+
+
+def test_sharded_packed6_runner_absorbing_low_t(monkeypatch):
+    """T→0 packed clock sharded runner: ordered start stays absorbed
+    (m ≡ 1, e ≡ -2) on a (2,2) mesh."""
+    monkeypatch.setenv("SPINLAT_SHARD_PALLAS_INTERPRET", "1")
+    from cuda_fortran_mc_simulation_spin_tpu.parallel import domain
+
+    model = Clock2D(nx=256, ny=512, kbt=1e-4, q=6, backend="jnp")
+    mesh = _virtual_mesh_or_skip(2, 2)
+    run = domain.make_sharded_sample_runner(model, mesh, mcs=2,
+                                            replicas=4)
+    out = jax.device_get(run(rng.base_key(37)))
+    np.testing.assert_allclose(np.asarray(out["m"]), 1.0, atol=0)
+    np.testing.assert_allclose(np.asarray(out["e"]), -2.0, atol=0)
