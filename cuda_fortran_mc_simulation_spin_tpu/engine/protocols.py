@@ -147,13 +147,16 @@ def _clock_multispin_eligible(cfg, model, runner_kwargs) -> bool:
         return False
     if os.environ.get("SPINLAT_CLOCK_PACKED") == "0":
         return False
-    try:
-        if getattr(model, "resolved_backend", "jnp") != "pallas":
-            return False
-    except ValueError:
+    if jax.default_backend() in ("cpu", "gpu"):
         return False
+    if getattr(model, "backend", "auto") == "jnp":
+        return False        # --use-pallas false opts out of kernels
     from cuda_fortran_mc_simulation_spin_tpu.ops import clock_multispin
-    return clock_multispin.clock_packable(model)
+    # aligned shapes take the fused-obs kernel; other even shapes (the
+    # literal 2000x2000 / 1000x1000 committed geometries) the padded
+    # engine (same kernel on padded planes + masked observables)
+    return (clock_multispin.clock_packable(model)
+            or clock_multispin.clock_padded_packable(model))
 
 
 def _run_accumulating(cfg, model, accumulators, fold, err,

@@ -250,8 +250,19 @@ def make_clock_multispin_runner(
     into phase b — the packed ensemble path for the reference's largest
     production workload class (clock 2000²-class × 10⁵ MCS × 5000
     samples, /root/reference/app/
-    clock_dual_lattice_yhalf_tableall_gpu_relaxation.f90:8-9)."""
+    clock_dual_lattice_yhalf_tableall_gpu_relaxation.f90:8-9).
+
+    Aligned shapes take the fused-obs kernel; other even shapes (the
+    literal 2000x2000 / 1000x1000 committed geometries) run the padded
+    engine (same kernel on padded planes + masked observables)."""
     from cuda_fortran_mc_simulation_spin_tpu.ops import clock_multispin
+
+    spec = None
+    if not clock_multispin.clock_packable(model):
+        spec = clock_multispin.padded_spec(*model.color_shape)
+        if spec is None:
+            raise ValueError("shape is neither aligned- nor "
+                             "padded-packable for the q=6 engine")
 
     def run(call_key: jax.Array) -> dict[str, jax.Array]:
         init_keys = jax.vmap(
@@ -260,13 +271,23 @@ def make_clock_multispin_runner(
         state = jax.vmap(lambda k: model.init_state(init_kind, k))(
             init_keys
         )
-        wa = clock_multispin.pack_clock_color(state.a)
-        wb = clock_multispin.pack_clock_color(state.b)
+        if spec is not None:
+            wa = clock_multispin.pack_clock_color_padded(state.a, spec)
+            wb = clock_multispin.pack_clock_color_padded(state.b, spec)
+        else:
+            wa = clock_multispin.pack_clock_color(state.a)
+            wb = clock_multispin.pack_clock_color(state.b)
 
         def body(c, t):
-            wa, wb, obs = clock_multispin.sweep_measure_packed6(
-                model, c[0], c[1], rng.sweep_key(call_key, t)
-            )
+            if spec is not None:
+                wa, wb, obs = (
+                    clock_multispin.sweep_measure_packed6_padded(
+                        model, spec, c[0], c[1],
+                        rng.sweep_key(call_key, t)))
+            else:
+                wa, wb, obs = clock_multispin.sweep_measure_packed6(
+                    model, c[0], c[1], rng.sweep_key(call_key, t)
+                )
             return (wa, wb), obs
 
         _, series = lax.scan(body, (wa, wb), jnp.arange(1, mcs + 1))

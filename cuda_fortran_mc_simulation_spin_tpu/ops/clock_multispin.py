@@ -48,6 +48,7 @@ chain/proposal statistics, and equilibrium physics cross-checks
 from __future__ import annotations
 
 import functools
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -311,13 +312,14 @@ def _nbr_planes_jnp(o, color):
         _ODD_BITS,
     )
     o = o.astype(jnp.uint32)
-    w_prev = jnp.roll(o, 1, axis=0)
-    w_next = jnp.roll(o, -1, axis=0)
+    # negative axes: also correct on leading-batched (R, nyp, half)
+    w_prev = jnp.roll(o, 1, axis=-2)
+    w_next = jnp.roll(o, -1, axis=-2)
     one = jnp.uint32(1)
     up = (o << one) | (w_prev >> jnp.uint32(31))
     dn = (o >> one) | (w_next << jnp.uint32(31))
-    minus = jnp.roll(o, 1, axis=1)
-    plus = jnp.roll(o, -1, axis=1)
+    minus = jnp.roll(o, 1, axis=-1)
+    plus = jnp.roll(o, -1, axis=-1)
     odd = jnp.uint32(_ODD_BITS)
     even = jnp.uint32(_EVEN_BITS)
     if color == 0:
@@ -849,3 +851,206 @@ def shard_packed6_ok(local_shape: tuple[int, ...]) -> bool:
         return False
     _, nyp, half = local_shape
     return half % 128 == 0 and nyp % 8 == 0
+
+
+# ---------------------------------------------------------------------------
+# padded packed engine: non-aligned even shapes on the SAME phase kernel
+# ---------------------------------------------------------------------------
+#
+# The aligned engine needs ny % 256 == 0 and (nx/2) % 128 == 0, which
+# excludes the reference's two LITERAL committed clock geometries:
+# 2000x2000 (/root/reference/src/clock/clock_dual_lattice_yhalf_tableall
+# _m.f90:13) and 1000x1000 (/root/reference/src/clock/clock_simple_gpu_m
+# .f90:10-13).  Instead of a masked kernel variant, the padded engine
+# runs the UNCHANGED phase kernel on word/lane-padded planes and keeps
+# the periodic wrap exact with a tiny per-phase "refresh" of the only
+# pad positions the kernel ever reads on behalf of real sites:
+#
+# - y wrap.  Sites pack 32/word along y.  The kernel reads w_prev only
+#   through `w_prev >> 31` (bit 31 = the site above row 0's wrap) and
+#   w_next only through `w_next << 31` (bit 0).  So it suffices that
+#     * the partial top word (ny % 32 != 0) carries a copy of the
+#       first rows in its pad bits (its in-word shift then yields the
+#       wrap neighbor of y = ny-1 directly), and
+#     * the LAST padded word row holds a word whose bit 31 is site
+#       y = ny-1 (it is the modular w_prev of word row 0).
+#   Every other pad word row is written garbage and never read for a
+#   real site (word row r only ever reads r +- 1).
+# - x wrap.  `pltpu.roll(o, +-1, axis=1)` wraps at the padded lane
+#   count, so lane `half` gets a copy of lane 0 (read as the +x
+#   neighbor of lane half-1) and lane halfp-1 a copy of lane half-1
+#   (read as the -x neighbor of lane 0).
+#
+# Pad sites consume PRNG planes and are updated with garbage, but the
+# refresh overwrites every pad position the next phase reads, so real
+# dynamics are exactly the periodic dynamics.  Observables are masked
+# popcount sums at jnp level (the in-kernel fused obs would count pad
+# bits); measurement is a pure function of the final packed state.
+# Overhead for 2000x2000: word rows 63->64, lanes 1000->1024 (~4.6%).
+
+class PadSpec(NamedTuple):
+    ny: int       # real site rows per color array
+    half: int     # real lanes (nx / 2)
+    nyw: int      # real word rows = ceil(ny / 32)
+    nb: int       # ny % 32 (real bits in the partial top word)
+    nyp: int      # padded word rows (multiple of 8)
+    halfp: int    # padded lanes (multiple of 128)
+
+
+def padded_spec(ny: int, half: int) -> PadSpec | None:
+    """Pad geometry for a color array, or None if the shape is either
+    fully aligned (plain engine) or not padded-servable."""
+    if ny % 2 or ny < 4 or half < 2:
+        return None
+    nyw = -(-ny // PACK)
+    nb = ny % PACK
+    y_aligned = nb == 0 and nyw % 8 == 0
+    halfp = -(-half // 128) * 128
+    if y_aligned and halfp == half:
+        return None      # aligned: the plain engine serves it
+    if halfp != half and halfp - half < 2:
+        return None      # the two pad-lane copies need distinct lanes
+    if nb and nyw < 2:
+        return None      # wrap word splices the top TWO real words
+    nyp = nyw if y_aligned else -(-(nyw + 1) // 8) * 8
+    return PadSpec(ny, half, nyw, nb, nyp, halfp)
+
+
+def pad_mask(spec: PadSpec) -> jax.Array:
+    """uint32 (nyp, halfp) plane with real-site bits set."""
+    m = np.zeros((spec.nyp, spec.halfp), np.uint32)
+    m[:spec.nyw, :spec.half] = np.uint32(0xFFFFFFFF)
+    if spec.nb:
+        m[spec.nyw - 1, :spec.half] = np.uint32((1 << spec.nb) - 1)
+    return jnp.asarray(m)
+
+
+def _refresh_plane(w: jax.Array, spec: PadSpec) -> jax.Array:
+    """Rewrite the pad words/lanes the next phase reads (see header)."""
+    u = w.astype(jnp.uint32)
+    rp = spec.nyw - 1
+    if spec.nb:
+        low = jnp.uint32((1 << spec.nb) - 1)
+        w0 = u[..., 0, :]
+        wrp = (u[..., rp, :] & low) | (w0 << jnp.uint32(spec.nb))
+        u = u.at[..., rp, :].set(wrp)
+        wrap = ((wrp << jnp.uint32(32 - spec.nb))
+                | (u[..., rp - 1, :] >> jnp.uint32(spec.nb)))
+        u = u.at[..., spec.nyp - 1, :].set(wrap)
+    elif spec.nyp != spec.nyw:
+        f, last = spec.nyw, spec.nyp - 1
+        if f == last:
+            comb = ((u[..., 0, :] & jnp.uint32(1))
+                    | (u[..., rp, :] & jnp.uint32(0x80000000)))
+            u = u.at[..., f, :].set(comb)
+        else:
+            u = u.at[..., f, :].set(u[..., 0, :])
+            u = u.at[..., last, :].set(u[..., rp, :])
+    if spec.halfp != spec.half:
+        u = u.at[..., :, spec.half].set(u[..., :, 0])
+        u = u.at[..., :, spec.halfp - 1].set(u[..., :, spec.half - 1])
+    return u.astype(jnp.int32)
+
+
+def refresh_padded(planes, spec: PadSpec):
+    return tuple(_refresh_plane(p, spec) for p in planes)
+
+
+def pack_clock_color_padded(plane: jax.Array, spec: PadSpec):
+    """(..., ny, half) int8 states -> padded (s, t0, t1) word planes
+    (..., nyp, halfp), pad region zeroed (refresh fills what matters)."""
+    pad_y = spec.nyp * PACK - spec.ny
+    pad_x = spec.halfp - spec.half
+    widths = [(0, 0)] * (plane.ndim - 2) + [(0, pad_y), (0, pad_x)]
+    return pack_clock_color(jnp.pad(plane, widths))
+
+
+def unpack_clock_color_padded(s, t0, t1, spec: PadSpec):
+    return unpack_clock_color(s, t0, t1)[..., :spec.ny, :spec.half]
+
+
+def sweep_packed6_padded(model, spec: PadSpec, wa, wb, key):
+    """One full MCS on padded packed plane triplets."""
+    seeds0 = seeds_from_key(key, 0)
+    seeds1 = seeds_from_key(key, 1)
+    beta = float(model.beta)
+    interp = jax.default_backend() in ("cpu", "gpu")
+    wb = refresh_padded(wb, spec)
+    if interp:
+        wa = _interpret_phase(wa, wb, seeds0, 0, beta)
+    else:
+        wa = phase_packed(wa, wb, seeds0, color=0, beta=beta)
+    wa = refresh_padded(wa, spec)
+    if interp:
+        wb = _interpret_phase(wb, wa, seeds1, 1, beta)
+    else:
+        wb = phase_packed(wb, wa, seeds1, color=1, beta=beta)
+    return wa, wb
+
+
+def obs_packed6_masked(wa, wb, spec: PadSpec):
+    """Masked (2m, 2e) int32 sums from padded planes.
+
+    Expects ``wa`` refreshed (it is after sweep_packed6_padded: phase b
+    writes only ``wb``).  Same conventions as _obs_partial: m over both
+    colors; e as bonds of every phase-b site against its four color-a
+    neighbors (each real lattice bond exactly once)."""
+    mask = pad_mask(spec)
+    nreal = spec.ny * spec.half          # sites per color
+
+    def pc(x):
+        return jnp.sum(jax.lax.population_count(x),
+                       axis=(-1, -2)).astype(jnp.int32)
+
+    def m2_color(planes):
+        s, t0, t1 = [p.astype(jnp.uint32) for p in planes]
+        zz = ~(t0 | t1) & mask
+        return (3 * pc(zz) - 6 * pc(s & zz) + 2 * pc(s & mask)
+                - jnp.int32(nreal))
+
+    sA, t0A, t1A = [p.astype(jnp.uint32) for p in wa]
+    ns = _nbr_planes_jnp(sA, 1)
+    nt0 = _nbr_planes_jnp(t0A, 1)
+    nt1 = _nbr_planes_jnp(t1A, 1)
+    sB, t0B, t1B = [p.astype(jnp.uint32) for p in wb]
+    e_x = 0
+    e_w = 0
+    for k in range(4):
+        x = sB ^ ns[k]
+        d0 = t0B ^ nt0[k]
+        d1 = t1B ^ nt1[k]
+        eq = ~(d0 | d1)
+        e_x = e_x + pc(x & mask)
+        e_w = e_w + pc((x ^ eq) & mask)
+    e2 = 4 * jnp.int32(nreal) + e_x - 3 * e_w
+    m2 = m2_color(wa) + m2_color(wb)
+    return m2, e2
+
+
+def sweep_measure_packed6_padded(model, spec: PadSpec, wa, wb, key):
+    """One MCS + per-sweep (m, e) densities on the padded engine."""
+    _check_obs_sites(model.nsites)
+    wa, wb = sweep_packed6_padded(model, spec, wa, wb, key)
+    m2, e2 = obs_packed6_masked(wa, wb, spec)
+    half_n_inv = jnp.float32(0.5 / model.nsites)
+    return wa, wb, {
+        "m": m2.astype(jnp.float32) * half_n_inv,
+        "e": e2.astype(jnp.float32) * half_n_inv,
+    }
+
+
+# overhead gate: below this real/padded occupancy the int8 engine wins
+_PAD_MIN_OCCUPANCY = 0.35
+
+
+def clock_padded_packable(model) -> bool:
+    """Shape/parameter gate for the padded packed q=6 engine."""
+    if getattr(model, "q", None) != 6:
+        return False
+    ny, half = model.color_shape
+    spec = padded_spec(ny, half)
+    if spec is None:
+        return False
+    occ = (ny / (spec.nyp * PACK)) * (half / spec.halfp)
+    return (occ >= _PAD_MIN_OCCUPANCY
+            and model.nsites <= OBS_INT32_MAX_SITES)

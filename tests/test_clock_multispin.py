@@ -516,3 +516,227 @@ def test_sharded_packed6_runner_absorbing_low_t(monkeypatch):
     out = jax.device_get(run(rng.base_key(37)))
     np.testing.assert_allclose(np.asarray(out["m"]), 1.0, atol=0)
     np.testing.assert_allclose(np.asarray(out["e"]), -2.0, atol=0)
+
+
+# ---------------------------------------------------------------------------
+# padded packed engine — literal 2000x2000 / 1000x1000 committed
+# geometries on the unchanged kernel (clock_multispin.py padded section)
+# ---------------------------------------------------------------------------
+
+def test_padded_spec_committed_geometries():
+    """The two literal committed clock geometries pad at ~95% / ~78%
+    occupancy; aligned shapes return None (plain engine)."""
+    assert (cm.padded_spec(2000, 1000)
+            == cm.PadSpec(2000, 1000, 63, 16, 64, 1024))
+    assert (cm.padded_spec(1000, 500)
+            == cm.PadSpec(1000, 500, 32, 8, 40, 512))
+    assert cm.padded_spec(256, 128) is None
+    assert cm.clock_padded_packable(
+        Clock2D(nx=2000, ny=2000, kbt=0.8, q=6, backend="jnp"))
+    assert cm.clock_padded_packable(
+        Clock2D(nx=1000, ny=1000, kbt=0.91, q=6, backend="jnp"))
+    assert not cm.clock_padded_packable(
+        Clock2D(nx=256, ny=256, kbt=0.9, q=6, backend="jnp"))
+    # odd ny / q != 6 are not servable
+    assert cm.padded_spec(73, 30) is None
+    assert not cm.clock_padded_packable(
+        Clock2D(nx=60, ny=72, kbt=0.9, q=8, backend="jnp"))
+
+
+def _consistent_proposal_planes_padded(key, spec):
+    """Padded-shape proposal planes + the real-region per-site r."""
+    ny_pad = spec.nyp * 32
+    r = jax.random.randint(key, (ny_pad, spec.halfp), 1, 6,
+                           dtype=jnp.int32)
+    rho = (r & 1).astype(jnp.int8)
+    rt1 = (r % 3 == 1).astype(jnp.int8)
+    rt2 = (r % 3 == 2).astype(jnp.int8)
+
+    def packbits(bits8):
+        b = bits8.astype(jnp.uint32).reshape(spec.nyp, 32, spec.halfp)
+        w = jnp.zeros((spec.nyp, spec.halfp), jnp.uint32)
+        for k in range(32):
+            w = w | (b[:, k, :] << np.uint32(k))
+        return w.astype(jnp.int32)
+
+    planes = (packbits(rho), packbits(rt1), packbits(rt2))
+    return planes, np.asarray(r)[:spec.ny, :spec.half]
+
+
+def _unpack_bit_plane_padded(w, spec):
+    full = _unpack_bit_plane(w, spec.nyp * 32, spec.halfp)
+    return full[:spec.ny, :spec.half]
+
+
+@pytest.mark.parametrize("color", [0, 1])
+def test_padded_phase_vs_integer_oracle(color):
+    """Padded phase (refresh + unchanged plane algebra) == per-site
+    integer Metropolis with true periodic wrap, bitwise, real region."""
+    key = jax.random.PRNGKey(23 + color)
+    ks = jax.random.split(key, 8)
+    ny, nx = 72, 60
+    half = nx // 2
+    spec = cm.padded_spec(ny, half)
+    full = _random_state(ks[0], ny, nx)
+    a, b = split_checkerboard(full)
+    wa = cm.pack_clock_color_padded(a, spec)
+    wb = cm.pack_clock_color_padded(b, spec)
+
+    planes3, r_sites = _consistent_proposal_planes_padded(ks[1], spec)
+    chains = [_rand_plane(k, wa[0].shape) for k in ks[2:7]]
+    planes8 = planes3 + tuple(chains)
+
+    if color == 0:
+        out = cm.packed_phase_reference(
+            wa, cm.refresh_padded(wb, spec), 0, planes8)
+        got_color = cm.unpack_clock_color_padded(*out, spec)
+        got_full = merge_checkerboard(got_color, b)
+    else:
+        out = cm.packed_phase_reference(
+            wb, cm.refresh_padded(wa, spec), 1, planes8)
+        got_color = cm.unpack_clock_color_padded(*out, spec)
+        got_full = merge_checkerboard(a, got_color)
+
+    b_sites = [_unpack_bit_plane_padded(c, spec) for c in chains]
+    want_full = _phase_oracle_full(
+        np.asarray(full, np.int64), color, r_sites, b_sites, None)
+    np.testing.assert_array_equal(np.asarray(got_full, np.int64),
+                                  want_full)
+
+
+def test_padded_matches_plain_on_aligned_shape():
+    """Forced padding of an aligned shape reproduces the plain packed
+    phase bitwise given the same per-site injected randoms — pins the
+    refresh algebra (y-wrap words, pad lanes) against the aligned
+    engine."""
+    ny = nx = 256
+    half = nx // 2
+    spec = cm.PadSpec(ny, half, ny // 32, 0, ny // 32 * 2, half * 2)
+    key = jax.random.PRNGKey(31)
+    ks = jax.random.split(key, 8)
+    full = _random_state(ks[0], ny, nx)
+    a, b = split_checkerboard(full)
+
+    # per-site randoms over the padded site space
+    planes3_p, _ = _consistent_proposal_planes_padded(ks[1], spec)
+    chain_bits = [
+        jax.random.bernoulli(k, 0.5, (spec.nyp * 32, spec.halfp))
+        .astype(jnp.int8) for k in ks[2:7]
+    ]
+
+    def pack_region(bits, nyw, halfw):
+        b8 = bits[:nyw * 32, :halfw]
+        bb = b8.astype(jnp.uint32).reshape(nyw, 32, halfw)
+        w = jnp.zeros((nyw, halfw), jnp.uint32)
+        for k in range(32):
+            w = w | (bb[:, k, :] << np.uint32(k))
+        return w.astype(jnp.int32)
+
+    # plain planes = real region of the padded site randoms
+    prop_bits = [
+        _unpack_bit_plane(p, spec.nyp * 32, spec.halfp)
+        for p in planes3_p
+    ]
+    planes8_plain = tuple(
+        pack_region(jnp.asarray(pb, jnp.int8), ny // 32, half)
+        for pb in prop_bits
+    ) + tuple(pack_region(cb, ny // 32, half) for cb in chain_bits)
+    planes8_pad = planes3_p + tuple(
+        pack_region(cb, spec.nyp, spec.halfp) for cb in chain_bits)
+
+    wa_p = cm.pack_clock_color(a)
+    wb_p = cm.pack_clock_color(b)
+    wa_d = cm.pack_clock_color_padded(a, spec)
+    wb_d = cm.pack_clock_color_padded(b, spec)
+
+    plain = cm.packed_phase_reference(wa_p, wb_p, 0, planes8_plain)
+    padded = cm.packed_phase_reference(
+        wa_d, cm.refresh_padded(wb_d, spec), 0, planes8_pad)
+    got = cm.unpack_clock_color_padded(*padded, spec)
+    want = cm.unpack_clock_color(*plain)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_padded_absorbing_and_obs():
+    """β→∞ ordered stays ordered through the padded sweep; masked
+    (m, e) == model.observables on the unpacked state (exact)."""
+    from cuda_fortran_mc_simulation_spin_tpu.models.base import (
+        CheckerboardState,
+    )
+    ny, nx = 72, 60
+    spec = cm.padded_spec(ny, nx // 2)
+    cold = Clock2D(nx=nx, ny=ny, kbt=1e-4, q=6, backend="jnp")
+    z = jnp.zeros((1, ny, nx // 2), jnp.int8)
+    wa = cm.pack_clock_color_padded(z, spec)
+    wb = cm.pack_clock_color_padded(z, spec)
+    key = rng.base_key(17)
+    for t in range(3):
+        wa, wb = cm.sweep_packed6_padded(cold, spec, wa, wb,
+                                         rng.sweep_key(key, t))
+    np.testing.assert_array_equal(
+        np.asarray(cm.unpack_clock_color_padded(*wa, spec)), 0)
+
+    warm = Clock2D(nx=nx, ny=ny, kbt=0.9, q=6, backend="jnp")
+    full = _random_state(jax.random.PRNGKey(2), ny, nx)
+    a, b = split_checkerboard(full)
+    wa = cm.pack_clock_color_padded(a[None], spec)
+    wb = cm.pack_clock_color_padded(b[None], spec)
+    for t in range(3):
+        wa, wb, obs = cm.sweep_measure_packed6_padded(
+            warm, spec, wa, wb, rng.sweep_key(key, 10 + t))
+    state = CheckerboardState(
+        cm.unpack_clock_color_padded(*wa, spec)[0],
+        cm.unpack_clock_color_padded(*wb, spec)[0],
+    )
+    want = warm.observables(state)
+    assert abs(float(obs["m"][0]) - float(want["m"])) < 2e-6
+    assert abs(float(obs["e"][0]) - float(want["e"])) < 2e-6
+
+
+def test_padded_runner_series():
+    """make_clock_multispin_runner serves a padded shape end-to-end
+    (interpret path) with finite (batch, mcs) series."""
+    from cuda_fortran_mc_simulation_spin_tpu.engine import sweep as sw
+    model = Clock2D(nx=60, ny=72, kbt=0.9, q=6, backend="jnp")
+    run = sw.make_clock_multispin_runner(model, mcs=3, batch=2,
+                                         init_kind="allup")
+    series = run(rng.sample_key(rng.base_key(5), 0))
+    assert series["m"].shape == (2, 3)
+    assert series["e"].shape == (2, 3)
+    assert np.isfinite(np.asarray(series["m"])).all()
+    # allup start: first-sweep magnetization stays near 1 at this kbt
+    assert float(series["m"][0][0]) > 0.7
+
+
+def test_padded_kernel_mosaic_vs_oracle_bitwise_on_tpu():
+    """Mosaic kernel on padded planes == jnp packed oracle, bitwise
+    (injected planes) — the padded layout exercises partial-word tiles."""
+    if not _on_tpu() or jax.default_backend() == "cpu":
+        pytest.skip("needs the chip")
+    ny, nx, nrep = 2000, 2000, 1
+    half = nx // 2
+    spec = cm.padded_spec(ny, half)
+    key = jax.random.PRNGKey(41)
+    ks = jax.random.split(key, 10)
+    full = _random_state(ks[0], ny, nx)
+    a, b = split_checkerboard(full)
+    wa = cm.pack_clock_color_padded(a[None], spec)
+    wb = cm.pack_clock_color_padded(b[None], spec)
+    shape = wa[0].shape
+    planes8 = tuple(_rand_plane(k, shape) for k in ks[1:9])
+    rho, rt1, rt2 = planes8[:3]
+    rt2 = rt2 & ~rt1
+    rho = rho | ~(rt1 | rt2)
+    planes8 = (rho, rt1, rt2) + planes8[3:]
+    seeds = jnp.zeros((2,), jnp.int32)
+    ob = cm.refresh_padded(wb, spec)
+    got = cm.phase_packed(wa, ob, seeds, color=0, beta=1.25,
+                          inject=planes8)
+    want = jax.vmap(
+        lambda xs, xt0, xt1, os_, ot0, ot1, p0, p1, p2, p3, p4,
+               p5, p6, p7: cm.packed_phase_reference(
+            (xs, xt0, xt1), (os_, ot0, ot1), 0,
+            (p0, p1, p2, p3, p4, p5, p6, p7))
+    )(*wa, *ob, *planes8)
+    for g, w in zip(got, want):
+        np.testing.assert_array_equal(np.asarray(g), np.asarray(w))
