@@ -33,6 +33,9 @@ Secondary metrics (TPU only — each a committed-workload class):
     class (2000^2 x 1e5 MCS x 5000 samples,
     /root/reference/app/clock_dual_lattice_yhalf_tableall_gpu_relaxation
     .f90:8-9).
+  - clock_literal2000_flips_per_sec: same routing at the LITERAL
+    2000x2000 committed geometry — exercises the padded packed engine
+    (word/lane-padded planes on the unchanged kernel).
 """
 
 from __future__ import annotations
@@ -163,15 +166,19 @@ def _xy_or():
     return model.nsites * mcs / best
 
 
-def _clock_ensemble():
+def _clock_ensemble(n: int = 2048, mcs: int = 256):
     """Routed q=6 clock ensemble path with per-sweep measurement at the
-    2048^2 class (the reference's largest production workload)."""
+    2048^2 class (the reference's largest production workload).  At
+    n=2000 the same routing engages the PADDED packed engine — the
+    reference's literal committed geometry
+    (/root/reference/src/clock/clock_dual_lattice_yhalf_tableall_m
+    .f90:13)."""
     from cuda_fortran_mc_simulation_spin_tpu.engine import protocols
     from cuda_fortran_mc_simulation_spin_tpu.engine import sweep as sweep_mod
     from cuda_fortran_mc_simulation_spin_tpu.config import RunConfig
     from cuda_fortran_mc_simulation_spin_tpu.models.clock import Clock2D
 
-    nrep, n, mcs = 16, 2048, 256
+    nrep = 16
     model = Clock2D(nx=n, ny=n, kbt=0.80, q=6)
     cfg = RunConfig(model="clock", nx=n, ny=n, q=6, kbt=0.80, mcs=mcs,
                     tot_sample=nrep, replicas=nrep)
@@ -227,6 +234,16 @@ def main() -> None:
                 }
         except Exception as exc:  # pragma: no cover - bench resilience
             secondary["clock_ensemble_flips_per_sec"] = {"error": repr(exc)}
+        try:
+            v, eng = _clock_ensemble(n=2000)
+            if v is not None:
+                secondary["clock_literal2000_flips_per_sec"] = {
+                    "value": v, "unit": "flip-attempts/s",
+                    "engine": eng + " [padded, literal 2000x2000]",
+                }
+        except Exception as exc:  # pragma: no cover - bench resilience
+            secondary["clock_literal2000_flips_per_sec"] = {
+                "error": repr(exc)}
 
     print(
         json.dumps(

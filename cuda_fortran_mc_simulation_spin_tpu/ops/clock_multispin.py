@@ -607,15 +607,20 @@ def sweep_measure_packed6(model, wa, wb, key):
 # ---------------------------------------------------------------------------
 
 def packed_sharded_phase_reference6(xplanes, oplanes, color, planes8,
-                                    hup, hdn):
-    """Pure-jnp packed phase on a y-sharded local block: word-row wrap
-    replaced by synthetic edge words built from the exchanged boundary
-    site planes ``hup``/``hdn`` (3-tuples of (1, half) 0/1 int32 —
-    σ, t0, t1 of the rows owned by the y-neighbor shards)."""
+                                    hup, hdn,
+                                    halo_lf=None, halo_rt=None):
+    """Pure-jnp packed phase on a (y[, x])-sharded local block: word-row
+    wrap replaced by synthetic edge words built from the exchanged
+    boundary site planes ``hup``/``hdn`` (3-tuples of (1, half) 0/1
+    int32 — σ, t0, t1 of the rows owned by the y-neighbor shards).
+    ``halo_lf``/``halo_rt`` (3-tuples of (Lp, 1) packed word columns):
+    x-sharded boundary columns replacing the lane-roll wrap — whole
+    packed words, as in the Ising x-split (bits run along y, which
+    x-sharding never cuts)."""
     xs, xt0, xt1 = [p.astype(jnp.uint32) for p in xplanes]
     os_, ot0, ot1 = [p.astype(jnp.uint32) for p in oplanes]
 
-    def nbrs(o, up01, dn01):
+    def nbrs(o, up01, dn01, lf, rt):
         syn_up = up01.astype(jnp.uint32) << jnp.uint32(31)
         syn_dn = dn01.astype(jnp.uint32)
         w_prev = jnp.concatenate([syn_up, o[:-1]], axis=0)
@@ -623,8 +628,14 @@ def packed_sharded_phase_reference6(xplanes, oplanes, color, planes8,
         one = jnp.uint32(1)
         up = (o << one) | (w_prev >> jnp.uint32(31))
         dn = (o >> one) | (w_next << jnp.uint32(31))
-        minus = jnp.roll(o, 1, axis=1)
-        plus = jnp.roll(o, -1, axis=1)
+        if lf is not None:
+            minus = jnp.concatenate(
+                [lf.astype(jnp.uint32), o[:, :-1]], axis=1)
+            plus = jnp.concatenate(
+                [o[:, 1:], rt.astype(jnp.uint32)], axis=1)
+        else:
+            minus = jnp.roll(o, 1, axis=1)
+            plus = jnp.roll(o, -1, axis=1)
         from cuda_fortran_mc_simulation_spin_tpu.ops.ising2d_multispin \
             import _EVEN_BITS, _ODD_BITS
         odd = jnp.uint32(_ODD_BITS)
@@ -635,9 +646,11 @@ def packed_sharded_phase_reference6(xplanes, oplanes, color, planes8,
             side = (minus & odd) | (plus & even)
         return (up, dn, o, side)
 
-    ns = nbrs(os_, hup[0], hdn[0])
-    nt0 = nbrs(ot0, hup[1], hdn[1])
-    nt1 = nbrs(ot1, hup[2], hdn[2])
+    lf3 = halo_lf if halo_lf is not None else (None,) * 3
+    rt3 = halo_rt if halo_rt is not None else (None,) * 3
+    ns = nbrs(os_, hup[0], hdn[0], lf3[0], rt3[0])
+    nt0 = nbrs(ot0, hup[1], hdn[1], lf3[1], rt3[1])
+    nt1 = nbrs(ot1, hup[2], hdn[2], lf3[2], rt3[2])
     planes8 = tuple(p.astype(jnp.uint32) for p in planes8)
     s, t0, t1, _ = _decide(xs, xt0, xt1, ns, nt0, nt1, planes8)
     return tuple(p.astype(jnp.int32) for p in (s, t0, t1))
@@ -651,15 +664,22 @@ def _sharded_phase_kernel6(seed_ref, offs_ref, xs_ref, xt0_ref, xt1_ref,
                            hds_ref, hdt0_ref, hdt1_ref,
                            *rest, color: int, digit5, typ: int,
                            nblk: int, n_inject: int,
+                           has_cols: bool = False,
                            measuring: bool = False):
     refs = list(rest)
     obs_ref = refs.pop() if measuring else None
+    if has_cols:
+        col_refs = refs[:6]          # (lf_s, lf_t0, lf_t1, rt_s, ...)
+        refs = refs[6:]
+    else:
+        col_refs = (None,) * 6
     inject = refs[:n_inject]
     s_out, t0_out, t1_out = refs[n_inject:]
     r = pl.program_id(0)
     i = pl.program_id(1)
 
-    def planes_of(o_ref, up_ref, dn_ref, hu_ref, hd_ref):
+    def planes_of(o_ref, up_ref, dn_ref, hu_ref, hd_ref,
+                  lf_ref=None, rt_ref=None):
         o = pltpu.bitcast(o_ref[0], jnp.uint32)
         syn_up = (pltpu.bitcast(hu_ref[0, 7:8, :], jnp.uint32)
                   << jnp.uint32(31))
@@ -669,14 +689,43 @@ def _sharded_phase_kernel6(seed_ref, offs_ref, xs_ref, xt0_ref, xt1_ref,
         dn_row = jnp.where(i == nblk - 1, syn_dn,
                            pltpu.bitcast(dn_ref[0, 0:1, :], jnp.uint32))
         w_prev, w_next = stencil.splice_updown(o, up_row, dn_row)
-        return o, _nbr_planes(o, w_prev, w_next, color)
+        if not has_cols:
+            return o, _nbr_planes(o, w_prev, w_next, color)
+        # x-sharded block: the lane rolls wrap locally — replace the
+        # edge lanes with the exchanged boundary word-columns (packed
+        # words carry no sub-lane structure along x, so the column
+        # halo needs no bit extraction, unlike the y boundary)
+        one = jnp.uint32(1)
+        up = (o << one) | (w_prev >> jnp.uint32(31))
+        dn = (o >> one) | (w_next << jnp.uint32(31))
+        minus = pltpu.roll(o, 1, axis=1)
+        plus = pltpu.roll(o, o.shape[1] - 1, axis=1)
+        lane = jax.lax.broadcasted_iota(jnp.int32, o.shape, 1)
+        minus = jnp.where(
+            lane == 0,
+            pltpu.bitcast(lf_ref[0][:, 0:1], jnp.uint32), minus)
+        plus = jnp.where(
+            lane == o.shape[1] - 1,
+            pltpu.bitcast(rt_ref[0][:, 0:1], jnp.uint32), plus)
+        from cuda_fortran_mc_simulation_spin_tpu.ops.ising2d_multispin \
+            import _EVEN_BITS, _ODD_BITS
+        odd = jnp.uint32(_ODD_BITS)
+        even = jnp.uint32(_EVEN_BITS)
+        if color == 0:
+            side = (plus & odd) | (minus & even)
+        else:
+            side = (minus & odd) | (plus & even)
+        return o, (up, dn, o, side)
 
     xs = pltpu.bitcast(xs_ref[0], jnp.uint32)
     xt0 = pltpu.bitcast(xt0_ref[0], jnp.uint32)
     xt1 = pltpu.bitcast(xt1_ref[0], jnp.uint32)
-    os_, ns = planes_of(os_ref, us_ref, ds_ref, hus_ref, hds_ref)
-    ot0, nt0 = planes_of(ot0_ref, ut0_ref, dt0_ref, hut0_ref, hdt0_ref)
-    ot1, nt1 = planes_of(ot1_ref, ut1_ref, dt1_ref, hut1_ref, hdt1_ref)
+    os_, ns = planes_of(os_ref, us_ref, ds_ref, hus_ref, hds_ref,
+                        col_refs[0], col_refs[3])
+    ot0, nt0 = planes_of(ot0_ref, ut0_ref, dt0_ref, hut0_ref, hdt0_ref,
+                         col_refs[1], col_refs[4])
+    ot1, nt1 = planes_of(ot1_ref, ut1_ref, dt1_ref, hut1_ref, hdt1_ref,
+                         col_refs[2], col_refs[5])
 
     if n_inject:
         planes8 = tuple(
@@ -684,9 +733,10 @@ def _sharded_phase_kernel6(seed_ref, offs_ref, xs_ref, xt0_ref, xt1_ref,
         )
     else:
         # streams keyed per GLOBAL (replica, 8-word-row granule,
-        # 128-lane chunk) — mesh-shape/tile-size invariant, matching
-        # the Ising packed sharded keying
+        # 128-lane chunk) — mesh-shape/tile-size invariant including
+        # x-splits, matching the Ising packed sharded keying
         rep_g = offs_ref[0] + r
+        col0 = offs_ref[2] if has_cols else jnp.int32(0)
         nck = xs.shape[1] // 128
         pieces = [[] for _ in range(8)]
         for g in range(typ // 8):
@@ -695,7 +745,8 @@ def _sharded_phase_kernel6(seed_ref, offs_ref, xs_ref, xt0_ref, xt1_ref,
                        + rep_g * jnp.int32(0x3C6EF35F))
             chunk_cols = [[] for _ in range(8)]
             for c in range(nck):
-                tag = row_tag + (c * 128) * jnp.int32(0x27D4EB2F)
+                tag = row_tag + ((col0 + c * 128)
+                                 * jnp.int32(0x27D4EB2F))
                 pltpu.prng_seed(seed_ref[0], seed_ref[1] ^ tag)
 
                 def gen():
@@ -736,10 +787,11 @@ def _sharded_phase_kernel6(seed_ref, offs_ref, xs_ref, xt0_ref, xt1_ref,
         obs_ref[0] = obs_ref[0] + row
 
 
-def interpret_planes_sharded(seeds, rep0, wrow0, nrep, nyp, half, beta):
+def interpret_planes_sharded(seeds, rep0, wrow0, nrep, nyp, half, beta,
+                             col0=0):
     """Threefry planes keyed per (global replica, global word row,
     128-lane chunk) — the CPU fallback stream for the sharded engine
-    (mesh-shape invariant)."""
+    (mesh-shape invariant, including x-splits via ``col0``)."""
     digit5 = accept_digit_planes(beta)
     base = jax.random.fold_in(
         jax.random.PRNGKey(seeds[0].astype(jnp.uint32)), seeds[1]
@@ -753,7 +805,7 @@ def interpret_planes_sharded(seeds, rep0, wrow0, nrep, nyp, half, beta):
             kg = jax.random.fold_in(kr, wrow0 + g)
 
             def per_chunk(c):
-                kc = jax.random.fold_in(kg, c * 128)
+                kc = jax.random.fold_in(kg, col0 + c * 128)
                 cnt = [0]
 
                 def gen():
@@ -774,10 +826,11 @@ def interpret_planes_sharded(seeds, rep0, wrow0, nrep, nyp, half, beta):
 
 
 def sharded_phase_packed6(xplanes, oplanes, hup, hdn, seeds, offs, *,
-                          color: int, beta: float, inject=None,
+                          color: int, beta: float,
+                          halo_lf=None, halo_rt=None, inject=None,
                           interpret: bool = False,
                           measuring: bool = False):
-    """One packed clock phase of a y-sharded local block.
+    """One packed clock phase of a (y[, x])-sharded local block.
 
     xplanes/oplanes: 3-tuples (σ, t0, t1) of (R, Lp, half) packed local
     color blocks; hup/hdn: 3-tuples of (R, 1, half) 0/1 int32 exchanged
@@ -785,21 +838,32 @@ def sharded_phase_packed6(xplanes, oplanes, hup, hdn, seeds, offs, *,
     (halo.exchange_halo_rows_packed applied per plane); offs: (rep0,
     wrow0) GLOBAL offsets.  ``measuring`` (phase b only) additionally
     returns per-shard (2m, 2e) int32 partials (R,) each — caller psums
-    over the mesh's spatial axis and halves."""
+    over the mesh's spatial axis and halves.
+
+    ``halo_lf``/``halo_rt`` (3-tuples of (R, Lp, 1) packed word COLUMNS
+    of the other color, with offs extended to (rep0, wrow0, lane0)):
+    the x-sharded variant — exchanged boundary columns are whole packed
+    words (bits run along y, which x-sharding never cuts), matching the
+    Ising packed x-split and the reference's own x-split clock variant
+    (/root/reference/src/clock/clock_dual_lattice_tableall_m.f90:62-63).
+    """
     nrep, nyp, half = xplanes[0].shape
+    has_cols = halo_lf is not None
     digit5 = accept_digit_planes(beta)
     typ = _pick_typ(nyp, 3 * half)
     n = nyp // typ
     nb8 = nyp // 8
     if interpret and inject is None:
         inject = interpret_planes_sharded(
-            seeds, offs[0], offs[1], nrep, nyp, half, beta)
+            seeds, offs[0], offs[1], nrep, nyp, half, beta,
+            offs[2] if has_cols else jnp.int32(0))
     n_inject = 8 if inject is not None else 0
     hup_p = [jnp.pad(h, ((0, 0), (7, 0), (0, 0))) for h in hup]
     hdn_p = [jnp.pad(h, ((0, 0), (0, 7), (0, 0))) for h in hdn]
     kernel = functools.partial(
         _sharded_phase_kernel6, color=color, digit5=digit5, typ=typ,
-        nblk=n, n_inject=n_inject, measuring=measuring,
+        nblk=n, n_inject=n_inject, has_cols=has_cols,
+        measuring=measuring,
     )
     blk = pl.BlockSpec((1, typ, half), lambda r, i: (r, i, 0),
                        memory_space=pltpu.VMEM)
@@ -820,6 +884,13 @@ def sharded_phase_packed6(xplanes, oplanes, hup, hdn, seeds, offs, *,
     in_specs += [blk] * 6 + [up8] * 3 + [dn8] * 3 + [h8] * 6
     operands = [seeds, offs, *xplanes, *oplanes, *oplanes, *oplanes,
                 *hup_p, *hdn_p]
+    if has_cols:
+        # 128-lane alignment: exchanged word columns ride in lane 0
+        col_spec = pl.BlockSpec((1, typ, 128), lambda r, i: (r, i, 0),
+                                memory_space=pltpu.VMEM)
+        in_specs += [col_spec] * 6
+        operands += [jnp.pad(h, ((0, 0), (0, 0), (0, 127)))
+                     for h in (*halo_lf, *halo_rt)]
     if inject is not None:
         in_specs += [blk] * 8
         operands += list(inject)

@@ -199,9 +199,9 @@ def _shard_packed_mode(model, mesh: Mesh, replicas: int,
         return None, False
     ysh = mesh.shape["y"]
     xsh = mesh.shape.get("x", 1)
-    if xsh > 1 and not is2d:
-        # packed column halos are implemented for Ising2D only; clock
-        # x-splits keep the int8 halo kernels
+    if xsh > 1 and not (is2d or is_ck6):
+        # packed column halos are implemented for the 2-D engines
+        # (Ising2D and the q=6 clock); 3-D x-splits keep int8 kernels
         return None, False
     dp = mesh.shape["dp"]
     if replicas % dp:
@@ -218,9 +218,9 @@ def _shard_packed_mode(model, mesh: Mesh, replicas: int,
                 or model.nsites > clock_multispin.OBS_INT32_MAX_SITES):
             return None, False
         ny, half = model.color_shape
-        if ny % (32 * ysh):
+        if ny % (32 * ysh) or half % xsh:
             return None, False
-        local = (replicas // dp, ny // 32 // ysh, half)
+        local = (replicas // dp, ny // 32 // ysh, half // xsh)
         if not clock_multispin.shard_packed6_ok(local):
             return None, False
         if os.environ.get("SPINLAT_SHARD_PALLAS_INTERPRET") == "1":
@@ -306,18 +306,23 @@ def _ising_local_sweep_packed(model: Ising2D, wa, wb, key, ysh, xsh,
     return wa, res, None
 
 
-def _clock_local_sweep_packed(model: Clock2D, wa3, wb3, key, ysh,
-                              rep0, wrow0, want_obs=False,
+def _clock_local_sweep_packed(model: Clock2D, wa3, wb3, key, ysh, xsh,
+                              rep0, wrow0, col0, want_obs=False,
                               interpret=False):
     """One local MCS on PACKED clock plane triplets (σ, t0, t1) each
     (R, Lp, half): three boundary-site bit planes ride ICI per halo
     direction (still 3/32nds of an int8 row payload), both phases in
-    the bit-sliced q=6 kernel, fused per-shard (2m, 2e) partials."""
+    the bit-sliced q=6 kernel, fused per-shard (2m, 2e) partials.
+    With an x mesh axis the shards also exchange boundary WORD COLUMNS
+    per plane (whole packed words — x-sharding never cuts the bit
+    axis), completing the (dx, dy) decomposition for the packed clock
+    engine as for Ising."""
     from cuda_fortran_mc_simulation_spin_tpu.ops import (
         clock_multispin as cm6,
         ising2d_pallas,
     )
     from cuda_fortran_mc_simulation_spin_tpu.parallel.halo import (
+        exchange_halo_cols,
         exchange_halo_rows_packed,
     )
 
@@ -326,18 +331,31 @@ def _clock_local_sweep_packed(model: Clock2D, wa3, wb3, key, ysh,
                          for p in planes))
         return tuple(ups), tuple(dns)
 
-    offs = jnp.stack([jnp.int32(rep0), jnp.int32(wrow0)])
+    if xsh > 1:
+        offs = jnp.stack([jnp.int32(rep0), jnp.int32(wrow0),
+                          jnp.int32(col0)])
+
+        def colkw(o3):
+            lfs, rts = zip(*(exchange_halo_cols(p, "x", xsh, col_axis=2)
+                             for p in o3))
+            return dict(halo_lf=tuple(lfs), halo_rt=tuple(rts))
+    else:
+        offs = jnp.stack([jnp.int32(rep0), jnp.int32(wrow0)])
+
+        def colkw(o3):
+            return {}
+
     beta = float(model.beta)
     hup, hdn = h3(wb3)
     wa3 = cm6.sharded_phase_packed6(
         wa3, wb3, hup, hdn, ising2d_pallas.seeds_from_key(key, 0),
-        offs, color=0, beta=beta, interpret=interpret,
+        offs, color=0, beta=beta, interpret=interpret, **colkw(wb3),
     )
     hup, hdn = h3(wa3)
     res = cm6.sharded_phase_packed6(
         wb3, wa3, hup, hdn, ising2d_pallas.seeds_from_key(key, 1),
         offs, color=1, beta=beta, interpret=interpret,
-        measuring=want_obs,
+        measuring=want_obs, **colkw(wa3),
     )
     if want_obs:
         wb3, m2, e2 = res
@@ -997,8 +1015,8 @@ def _make_local_step(model, mesh: Mesh, n_over_relax: int = 0,
                 obs = _xy_local_obs(model, state, ysh, xsh)
         elif is_clock and packed == "clock6":
             a, b, obs = _clock_local_sweep_packed(
-                model, state.a, state.b, key, ysh, rep0, row0,
-                want_obs=with_obs, interpret=packed_interpret,
+                model, state.a, state.b, key, ysh, xsh, rep0, row0,
+                col0, want_obs=with_obs, interpret=packed_interpret,
             )
             state = CheckerboardState(a, b)
         elif is_clock:

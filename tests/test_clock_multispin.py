@@ -476,6 +476,60 @@ def test_sharded_phase6_interpret_matches_reference(color):
         np.testing.assert_array_equal(np.asarray(g), np.asarray(w))
 
 
+@pytest.mark.parametrize("color", [0, 1])
+def test_sharded_phase6_cols_interpret_matches_reference(color):
+    """Sharded packed clock phase WITH column halos (x-split variant,
+    interpret, injected planes) == the jnp sharded oracle, bitwise."""
+    key = jax.random.PRNGKey(61 + color)
+    ks = jax.random.split(key, 18)
+    ny, nx, nrep = 256, 256, 2
+    states = [
+        split_checkerboard(_random_state(ks[i], ny, nx))
+        for i in range(nrep)
+    ]
+    a = jnp.stack([s[0] for s in states])
+    b = jnp.stack([s[1] for s in states])
+    wa = cm.pack_clock_color(a)
+    wb = cm.pack_clock_color(b)
+    shape = wa[0].shape
+    planes8 = tuple(_rand_plane(k, shape) for k in ks[2:10])
+    rho, rt1, rt2 = planes8[:3]
+    rt2 = rt2 & ~rt1
+    rho = rho | ~(rt1 | rt2)
+    planes8 = (rho, rt1, rt2) + planes8[3:]
+    hstates = jax.random.randint(ks[10], (6, nrep, 1, nx // 2), 0, 6)
+    hup = tuple((hstates[i] % 2 if i == 0 else
+                 (hstates[i] % 3 == 1) if i == 1 else
+                 (hstates[i] % 3 == 2)).astype(jnp.int32)
+                for i in range(3))
+    hdn = tuple((hstates[i + 3] % 2 if i == 0 else
+                 (hstates[i + 3] % 3 == 1) if i == 1 else
+                 (hstates[i + 3] % 3 == 2)).astype(jnp.int32)
+                for i in range(3))
+    # boundary word columns: random packed words per plane
+    nyw = shape[1]
+    hlf = tuple(_rand_plane(k, (nrep, nyw, 1)) for k in ks[11:14])
+    hrt = tuple(_rand_plane(k, (nrep, nyw, 1)) for k in ks[14:17])
+    seeds = jnp.zeros((2,), jnp.int32)
+    offs = jnp.zeros((3,), jnp.int32)
+    x, o = ((wa, wb) if color == 0 else (wb, wa))
+    got = cm.sharded_phase_packed6(
+        tuple(p + 0 for p in x), o, hup, hdn, seeds, offs,
+        color=color, beta=1.1, halo_lf=hlf, halo_rt=hrt,
+        inject=planes8, interpret=True)
+    want = jax.vmap(
+        lambda xs, xt0, xt1, os_, ot0, ot1, p0, p1, p2, p3, p4, p5,
+               p6, p7, h0, h1, h2, g0, g1, g2, l0, l1, l2, r0, r1, r2:
+        cm.packed_sharded_phase_reference6(
+            (xs, xt0, xt1), (os_, ot0, ot1), color,
+            (p0, p1, p2, p3, p4, p5, p6, p7),
+            (h0, h1, h2), (g0, g1, g2),
+            (l0, l1, l2), (r0, r1, r2))
+    )(*x, *o, *planes8, *hup, *hdn, *hlf, *hrt)
+    for g, w in zip(got, want):
+        np.testing.assert_array_equal(np.asarray(g), np.asarray(w))
+
+
 def _virtual_mesh_or_skip(dp, y):
     from cuda_fortran_mc_simulation_spin_tpu.parallel import mesh as mm
 
@@ -503,6 +557,32 @@ def test_sharded_packed6_runner_mesh_shape_invariant(monkeypatch):
             np.asarray(series[(1, 1)][k]), np.asarray(series[(2, 2)][k]))
 
 
+def test_sharded_packed6_runner_x_split_invariant(monkeypatch):
+    """(1,2,2) mesh (x-axis split of the PACKED clock engine —
+    exchanged boundary word columns per plane) is bitwise identical to
+    the (1,1) mesh: chains are keyed per (replica, 8-word-row granule,
+    128-lane chunk), so neither y- nor x-splits change the stream."""
+    monkeypatch.setenv("SPINLAT_SHARD_PALLAS_INTERPRET", "1")
+    from cuda_fortran_mc_simulation_spin_tpu.parallel import domain
+    from cuda_fortran_mc_simulation_spin_tpu.parallel import mesh as mm
+
+    if len(jax.devices()) < 4:
+        pytest.skip("needs a virtual multi-device mesh (conftest)")
+    model = Clock2D(nx=512, ny=512, kbt=0.9, q=6, backend="jnp")
+    series = {}
+    for dp, y, x in ((1, 1, 1), (1, 2, 2)):
+        mesh = mm.make_mesh(dp, y, x)
+        assert domain._shard_packed_mode(model, mesh, 2)[0] == "clock6", (
+            "packed clock mode must engage on the x-split mesh")
+        run = domain.make_sharded_sample_runner(model, mesh, mcs=3,
+                                                replicas=2)
+        series[(dp, y, x)] = jax.device_get(run(rng.base_key(62)))
+    for k in ("m", "e"):
+        np.testing.assert_array_equal(
+            np.asarray(series[(1, 1, 1)][k]),
+            np.asarray(series[(1, 2, 2)][k]))
+
+
 def test_sharded_packed6_runner_absorbing_low_t(monkeypatch):
     """T→0 packed clock sharded runner: ordered start stays absorbed
     (m ≡ 1, e ≡ -2) on a (2,2) mesh."""
@@ -516,6 +596,54 @@ def test_sharded_packed6_runner_absorbing_low_t(monkeypatch):
     out = jax.device_get(run(rng.base_key(37)))
     np.testing.assert_allclose(np.asarray(out["m"]), 1.0, atol=0)
     np.testing.assert_allclose(np.asarray(out["e"]), -2.0, atol=0)
+
+
+def test_sharded_packed6_x_split_parts_match_full_on_tpu():
+    """Hardware path: one y-periodic block phase == the concatenation
+    of its two x-halves run with exchanged column halos (Mosaic
+    compiles the has_cols branch; granule+chunk keying with col0 makes
+    the streams identical, so the phase is bitwise invariant to the
+    x-split)."""
+    if not _on_tpu() or jax.default_backend() == "cpu":
+        pytest.skip("hardware PRNG path")
+    R, ny, half = 1, 256, 512
+    ka, kb = jax.random.split(jax.random.PRNGKey(81))
+    x3 = cm.pack_clock_color(_random_state(ka, ny, half)[None])
+    o3 = cm.pack_clock_color(_random_state(kb, ny, half)[None])
+    seeds = jnp.array([11, 3], jnp.int32)
+
+    def h3(planes):
+        # periodic y wrap from the block itself, as site bit planes
+        ups, dns = [], []
+        for p in planes:
+            u = p.astype(jnp.uint32)
+            dns.append((u[:, :1, :] & jnp.uint32(1)).astype(jnp.int32))
+            ups.append(((u[:, -1:, :] >> jnp.uint32(31))
+                        & jnp.uint32(1)).astype(jnp.int32))
+        return tuple(ups), tuple(dns)
+
+    hup, hdn = h3(o3)
+    full = cm.sharded_phase_packed6(
+        tuple(p + 0 for p in x3), o3, hup, hdn, seeds,
+        jnp.zeros((2,), jnp.int32), color=0, beta=1.1)
+    w = half  # lanes per color array == half sites
+    parts = []
+    for s in (0, w // 2):
+        sl = slice(s, s + w // 2)
+        lf = tuple(p[:, :, (s - 1) % w:(s - 1) % w + 1] for p in o3)
+        rt = tuple(p[:, :, (s + w // 2) % w:(s + w // 2) % w + 1]
+                   for p in o3)
+        parts.append(cm.sharded_phase_packed6(
+            tuple(p[:, :, sl] + 0 for p in x3),
+            tuple(p[:, :, sl] for p in o3),
+            tuple(h[:, :, sl] for h in hup),
+            tuple(h[:, :, sl] for h in hdn),
+            seeds, jnp.array([0, 0, s], jnp.int32),
+            color=0, beta=1.1, halo_lf=lf, halo_rt=rt))
+    for k in range(3):
+        got = jnp.concatenate([parts[0][k], parts[1][k]], axis=2)
+        np.testing.assert_array_equal(np.asarray(full[k]),
+                                      np.asarray(got))
 
 
 # ---------------------------------------------------------------------------
