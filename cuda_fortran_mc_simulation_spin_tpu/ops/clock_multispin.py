@@ -278,17 +278,27 @@ def _decide(xs, xt0, xt1, ns, nt0, nt1, planes8):
 
 
 def _obs_partial(s_ctr, t0_ctr, t1_ctr, s_oth, t0_oth, t1_oth, fin,
-                 nblk_sites):
+                 nblk_sites, mask=None):
     """Fused (2m, 2e) int32 partials from the phase-b final values.
 
     Per site 2cos(2πc/6) = (−1)^σ(3[τ=0] − 1), so
     2m = Σ_colors [3Sz − 6Sσz + 2Sσ − N]; per bond
     2cos = ¬x + 3w − 2 (w = x⊕eq), so 2e = 4N_b + Sx − 3Sw over the
     4 bonds of every phase-b site against final phase-a values
-    (every lattice bond exactly once)."""
+    (every lattice bond exactly once).
+
+    ``mask`` (uint32 real-site bit plane, padded engine): every count
+    is restricted to real sites and the site total is pc(mask) —
+    exactly :func:`obs_packed6_masked` folded into the phase kernel."""
+    if mask is not None:
+        nblk_sites = _pc_sum(mask)
+
+    def pc_m(u):
+        return _pc_sum(u if mask is None else u & mask)
+
     def m2_color(s, t0, t1, nsz):
-        zz = ~(t0 | t1)
-        s_s = _pc_sum(s)
+        zz = ~(t0 | t1) if mask is None else ~(t0 | t1) & mask
+        s_s = pc_m(s)
         s_z = _pc_sum(zz)
         s_sz = _pc_sum(s & zz)
         return 3 * s_z - 6 * s_sz + 2 * s_s - nsz
@@ -296,8 +306,8 @@ def _obs_partial(s_ctr, t0_ctr, t1_ctr, s_oth, t0_oth, t1_oth, fin,
     m2 = (m2_color(s_ctr, t0_ctr, t1_ctr, nblk_sites)
           + m2_color(s_oth, t0_oth, t1_oth, nblk_sites))
     x_fin, w_fin = fin
-    s_x = sum(_pc_sum(x) for x in x_fin)
-    s_w = sum(_pc_sum(w) for w in w_fin)
+    s_x = sum(pc_m(x) for x in x_fin)
+    s_w = sum(pc_m(w) for w in w_fin)
     e2 = 4 * nblk_sites + s_x - 3 * s_w
     return m2, e2
 
@@ -351,9 +361,11 @@ def _phase_kernel(seed_ref, xs_ref, xt0_ref, xt1_ref,
                   us_ref, ut0_ref, ut1_ref,
                   ds_ref, dt0_ref, dt1_ref,
                   *rest, color: int, digit5, n_inject: int,
+                  has_mask: bool = False,
                   measuring: bool = False):
     refs = list(rest)
     obs_ref = refs.pop() if measuring else None
+    mask_ref = refs.pop(0) if has_mask else None
     inject = refs[:n_inject]
     s_out, t0_out, t1_out = refs[n_inject:]
     r = pl.program_id(0)
@@ -398,8 +410,10 @@ def _phase_kernel(seed_ref, xs_ref, xt0_ref, xt1_ref,
 
     if measuring:
         nblk = jnp.int32(xs.shape[0] * xs.shape[1] * PACK)
+        mask = (pltpu.bitcast(mask_ref[...], jnp.uint32)
+                if has_mask else None)
         m2, e2 = _obs_partial(s_new, t0_new, t1_new, os_, ot0, ot1,
-                              fin, nblk)
+                              fin, nblk, mask)
         lane = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
         row = jnp.where(lane == 0, m2, jnp.where(lane == 1, e2, 0))
 
@@ -411,7 +425,7 @@ def _phase_kernel(seed_ref, xs_ref, xt0_ref, xt1_ref,
 
 
 def phase_packed(xplanes, oplanes, seeds, *, color: int, beta: float,
-                 inject=None, interpret: bool = False,
+                 inject=None, obs_mask=None, interpret: bool = False,
                  measuring: bool = False):
     """One packed checkerboard phase on (R, nyp, half) plane triplets.
 
@@ -419,16 +433,19 @@ def phase_packed(xplanes, oplanes, seeds, *, color: int, beta: float,
     (ρ, rt1, rt2, B₁, B₂, B₄, B₈a, B₈b) replacing the in-kernel PRNG —
     the bitwise-testable entry mirroring :func:`packed_phase_reference`.
     ``measuring`` (phase b only) additionally returns per-replica
-    (2m, 2e) int32 sums."""
+    (2m, 2e) int32 sums.  ``obs_mask`` (uint32/int32 (nyp, half) plane
+    with real-site bits set, padded engine): restricts the fused sums
+    to real sites — the in-kernel analog of obs_packed6_masked."""
     nrep, nyp, half = xplanes[0].shape
     digit5 = accept_digit_planes(beta)
     typ = _pick_typ(nyp, 3 * half)
     n = nyp // typ
     nb8 = nyp // 8
     n_inject = 8 if inject is not None else 0
+    has_mask = measuring and obs_mask is not None
     kernel = functools.partial(
         _phase_kernel, color=color, digit5=digit5, n_inject=n_inject,
-        measuring=measuring,
+        has_mask=has_mask, measuring=measuring,
     )
     blk = pl.BlockSpec((1, typ, half), lambda r, i: (r, i, 0),
                        memory_space=pltpu.VMEM)
@@ -445,6 +462,10 @@ def phase_packed(xplanes, oplanes, seeds, *, color: int, beta: float,
     in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM)]
     in_specs += [blk] * 6 + [up8] * 3 + [dn8] * 3
     operands = [seeds, *xplanes, *oplanes, *oplanes, *oplanes]
+    if has_mask:
+        in_specs.append(pl.BlockSpec((typ, half), lambda r, i: (i, 0),
+                                     memory_space=pltpu.VMEM))
+        operands.append(obs_mask.astype(jnp.int32))
     if inject is not None:
         in_specs += [blk] * 8
         operands += list(inject)
@@ -1099,10 +1120,27 @@ def obs_packed6_masked(wa, wb, spec: PadSpec):
 
 
 def sweep_measure_packed6_padded(model, spec: PadSpec, wa, wb, key):
-    """One MCS + per-sweep (m, e) densities on the padded engine."""
+    """One MCS + per-sweep (m, e) densities on the padded engine.
+
+    On the chip the masked sums are FUSED into the phase-b kernel
+    (``obs_mask`` operand): 8.90→9.89×10¹⁰ flips/s at the literal
+    2000² routed ensemble (BENCHMARKS.md); the interpret path keeps
+    the separate jnp obs (its phase is the jnp oracle)."""
     _check_obs_sites(model.nsites)
-    wa, wb = sweep_packed6_padded(model, spec, wa, wb, key)
-    m2, e2 = obs_packed6_masked(wa, wb, spec)
+    beta = float(model.beta)
+    if jax.default_backend() in ("cpu", "gpu"):
+        wa, wb = sweep_packed6_padded(model, spec, wa, wb, key)
+        m2, e2 = obs_packed6_masked(wa, wb, spec)
+    else:
+        wb = refresh_padded(wb, spec)
+        wa = phase_packed(wa, wb, seeds_from_key(key, 0),
+                          color=0, beta=beta)
+        wa = refresh_padded(wa, spec)
+        wb, obs = phase_packed(wb, wa, seeds_from_key(key, 1),
+                               color=1, beta=beta, measuring=True,
+                               obs_mask=pad_mask(spec))
+        m2 = obs[:, 0, 0]
+        e2 = obs[:, 0, 1]
     half_n_inv = jnp.float32(0.5 / model.nsites)
     return wa, wb, {
         "m": m2.astype(jnp.float32) * half_n_inv,

@@ -836,6 +836,67 @@ def test_padded_runner_series():
     assert float(series["m"][0][0]) > 0.7
 
 
+def test_padded_fused_obs_matches_masked_interpret():
+    """The in-kernel masked (2m, 2e) sums (obs_mask operand, interpret
+    mode) equal obs_packed6_masked recomputed from the phase outputs —
+    exactly (both are int32 popcount sums over real sites)."""
+    ny, nx, nrep = 72, 60, 2
+    half = nx // 2
+    spec = cm.padded_spec(ny, half)
+    key = jax.random.PRNGKey(71)
+    ks = jax.random.split(key, 11)
+    states = [split_checkerboard(_random_state(ks[i], ny, nx))
+              for i in range(nrep)]
+    a = jnp.stack([s[0] for s in states])
+    b = jnp.stack([s[1] for s in states])
+    wa = cm.pack_clock_color_padded(a, spec)
+    wb = cm.pack_clock_color_padded(b, spec)
+    wa_r = cm.refresh_padded(wa, spec)
+    shape = wa[0].shape
+    planes8 = tuple(_rand_plane(k, shape) for k in ks[2:10])
+    rho, rt1, rt2 = planes8[:3]
+    rt2 = rt2 & ~rt1
+    rho = rho | ~(rt1 | rt2)
+    planes8 = (rho, rt1, rt2) + planes8[3:]
+    seeds = jnp.zeros((2,), jnp.int32)
+    got_planes, obs = cm.phase_packed(
+        tuple(p + 0 for p in wb), wa_r, seeds, color=1, beta=0.9,
+        inject=planes8, interpret=True, measuring=True,
+        obs_mask=cm.pad_mask(spec))
+    m2, e2 = cm.obs_packed6_masked(wa_r, got_planes, spec)
+    np.testing.assert_array_equal(np.asarray(obs[:, 0, 0]),
+                                  np.asarray(m2))
+    np.testing.assert_array_equal(np.asarray(obs[:, 0, 1]),
+                                  np.asarray(e2))
+
+
+def test_padded_fused_obs_on_chip_matches_masked():
+    """Hardware path: sweep_measure_packed6_padded's fused masked obs
+    == obs_packed6_masked recomputed from the returned planes, exactly
+    (same states — the fused sums are the same popcounts in-kernel)."""
+    if not _on_tpu() or jax.default_backend() == "cpu":
+        pytest.skip("needs the chip")
+    ny, nx = 2000, 2000
+    spec = cm.padded_spec(ny, nx // 2)
+    model = Clock2D(nx=nx, ny=ny, kbt=0.9, q=6)
+    full = _random_state(jax.random.PRNGKey(72), ny, nx)
+    a, b = split_checkerboard(full)
+    wa = cm.pack_clock_color_padded(a[None], spec)
+    wb = cm.pack_clock_color_padded(b[None], spec)
+    key = rng.base_key(73)
+    for t in range(2):
+        wa, wb, obs = cm.sweep_measure_packed6_padded(
+            model, spec, wa, wb, rng.sweep_key(key, t))
+    m2, e2 = cm.obs_packed6_masked(wa, wb, spec)
+    half_n_inv = 0.5 / model.nsites
+    np.testing.assert_array_equal(
+        np.asarray(obs["m"]),
+        np.asarray(m2.astype(jnp.float32) * jnp.float32(half_n_inv)))
+    np.testing.assert_array_equal(
+        np.asarray(obs["e"]),
+        np.asarray(e2.astype(jnp.float32) * jnp.float32(half_n_inv)))
+
+
 def test_padded_kernel_mosaic_vs_oracle_bitwise_on_tpu():
     """Mosaic kernel on padded planes == jnp packed oracle, bitwise
     (injected planes) — the padded layout exercises partial-word tiles."""
