@@ -63,23 +63,32 @@ def fits(model) -> bool:
     return model.nx % 2 == 1 and model.ny % 8 == 0
 
 
-def _site_x(ny, nx, color):
-    """(ny, nc) full-lattice x coordinate per color slot (clipped)."""
+def _site_x(ny, nx, color, width=None):
+    """(ny, width) full-lattice x coordinate per color slot (clipped)
+    + validity, as TRACED iota math.
+
+    Materializing these maps as numpy constants embeds ~(ny·nc) words
+    into the jitted program — ~400 MB of HLO constants at the
+    committed 10001×10000 geometry, which overflowed the remote-
+    compile request (HTTP 413).  Iotas generate on device instead.
+    Columns beyond nc (pad slots) replicate the row's last slot and
+    are invalid."""
     nc = dense_nc(nx)
-    p = (np.arange(ny) & 1)[:, None]
-    i = np.arange(nc)[None, :]
+    shape = (ny, nc if width is None else width)
+    p = jax.lax.broadcasted_iota(jnp.int32, shape, 0) & 1
+    i = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
+    iw = jnp.minimum(i, nc - 1)
     if color == 0:
-        x = 2 * i + p
+        x = 2 * iw + p
     else:
-        x = 2 * i + 1 - p
-    return np.minimum(x, nx - 1), x <= nx - 1
+        x = 2 * iw + 1 - p
+    valid = (x <= nx - 1) & (i < nc)
+    return jnp.minimum(x, nx - 1), valid
 
 
 def valid_mask(ny: int, nx: int, color: int) -> jnp.ndarray:
     """(ny, W) bool validity mask of a dense color plane."""
-    nc, w = dense_nc(nx), dense_width(nx)
-    _, v = _site_x(ny, nx, color)
-    return jnp.asarray(np.pad(v, ((0, 0), (0, w - nc))))
+    return _site_x(ny, nx, color, dense_width(nx))[1]
 
 
 def dense_pack(flat, ny: int, nx: int):
@@ -87,16 +96,13 @@ def dense_pack(flat, ny: int, nx: int):
 
     Pad slots replicate their row's last valid value (finite, never
     read for valid sites)."""
-    nc, w = dense_nc(nx), dense_width(nx)
+    w = dense_width(nx)
     grid = flat.reshape(flat.shape[:-1] + (ny, nx))
     out = []
     for color in (0, 1):
-        x, _ = _site_x(ny, nx, color)
-        g = jnp.take_along_axis(
-            grid, jnp.asarray(x)[(None,) * (flat.ndim - 1)], axis=-1
-        )
-        out.append(jnp.pad(g, [(0, 0)] * (flat.ndim - 1)
-                           + [(0, 0), (0, w - nc)], mode="edge"))
+        x, _ = _site_x(ny, nx, color, w)
+        out.append(jnp.take_along_axis(
+            grid, x[(None,) * (flat.ndim - 1)], axis=-1))
     return out[0], out[1]
 
 
@@ -106,10 +112,10 @@ def dense_unpack(a, b, ny: int, nx: int):
     nc = dense_nc(nx)
     lead = a.shape[:-2]
     grid = jnp.zeros(lead + (ny, nx + 1), a.dtype)
-    yidx = jnp.arange(ny)[:, None]
+    yidx = jax.lax.broadcasted_iota(jnp.int32, (ny, nc), 0)
     for color, plane in ((0, a), (1, b)):
         x, v = _site_x(ny, nx, color)
-        xs = jnp.asarray(np.where(v, x, nx))    # invalid -> dump col
+        xs = jnp.where(v, x, nx)                # invalid -> dump col
         grid = grid.at[..., yidx, xs].set(plane[..., :, :nc])
     return grid[..., :, :nx].reshape(lead + (ny * nx,))
 
