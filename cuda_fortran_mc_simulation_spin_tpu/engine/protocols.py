@@ -187,17 +187,25 @@ def _run_accumulating(cfg, model, accumulators, fold, err,
             )
     elif sweep_mod.helical_pallas_eligible(
             model, runner_kwargs.get("n_over_relax", 0)):
-        runner = jax.jit(
-            sweep_mod.make_helical_runner(
-                model, cfg.mcs, max(batch, 1), cfg.init_state,
-                **runner_kwargs,
-            )
+        runner = sweep_mod.make_helical_runner(
+            model, cfg.mcs, max(batch, 1), cfg.init_state,
+            **runner_kwargs,
         )
-        if batch == 1:
-            inner = runner
-            runner = jax.jit(
-                lambda k: jax.tree.map(lambda v: v[0], inner(k))
-            )
+        if getattr(runner, "host_chunked", False):
+            # XY helical runners dispatch per MCS chunk from the host
+            # (device execution deadline at the committed 10001x10000
+            # geometry) — must not be re-jitted into one program
+            if batch == 1:
+                inner = runner
+                runner = lambda k: jax.tree.map(  # noqa: E731
+                    lambda v: v[0], inner(k))
+        else:
+            runner = jax.jit(runner)
+            if batch == 1:
+                inner = runner
+                runner = jax.jit(
+                    lambda k: jax.tree.map(lambda v: v[0], inner(k))
+                )
     elif _multispin_eligible(cfg, model, runner_kwargs):
         mk = (sweep_mod.make_multispin3d_runner
               if cfg.model == "ising3d"

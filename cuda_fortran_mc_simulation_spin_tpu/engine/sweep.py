@@ -19,6 +19,7 @@ from __future__ import annotations
 
 from typing import Any, Callable
 
+import functools
 import os
 
 import jax
@@ -393,6 +394,7 @@ def make_helical_runner(
     n_over_relax: int = 0,
     mcs_over_relax: int = 0,
     chunk: int = 64,
+    xy_dispatch_chunk: int | None = None,
 ) -> Callable[[jax.Array], dict[str, jax.Array]]:
     """`run(call_key) -> {obs: (batch, mcs)}` on the fused helical
     Pallas kernels — the fast path for the reference's committed odd-nx
@@ -416,21 +418,26 @@ def make_helical_runner(
             xy2d_helical_dense as xhd,
         )
 
+        # One device dispatch per MCS *chunk*, not per full history: a
+        # single 10⁴-MCS scan at the committed 10001×10000 geometry
+        # executes for many minutes and trips the device worker's RPC
+        # execution deadline ("TPU worker process crashed"), measured
+        # to the exact stage in /tmp-probe isolation — stages up to
+        # mcs≈3 pass, the monolithic 10⁴ scan faults.  Sweep keys are
+        # pure functions of the GLOBAL sweep index t, so chunked
+        # trajectories are bitwise identical to the monolithic scan.
+        # The returned runner is a host-level loop (tagged
+        # host_chunked) — callers must NOT wrap it in jax.jit.
+        dispatch_chunk = xy_dispatch_chunk or (
+            1024 if n_over_relax else 2048)
+
         if (xhd.fits(model)
                 and os.environ.get("SPINLAT_XY_DENSE") != "0"):
             # dense ragged dual-color engine: every lane's trig/exp is
             # useful work and a phase writes only the updated color
             # (the masked full-width kernels idle half the VPU)
-            def run(call_key: jax.Array) -> dict[str, jax.Array]:
-                init_keys = jax.vmap(
-                    lambda r: jax.random.fold_in(
-                        rng.init_key(call_key), r)
-                )(jnp.arange(batch))
-                state = jax.vmap(
-                    lambda k: model.init_state(init_kind, k)
-                )(init_keys)
-                planes = xhd.pack_state(state, model.ny, model.nx)
-
+            @functools.partial(jax.jit, static_argnums=3)
+            def _chunk_d(planes, call_key, t0, size):
                 def body(planes, t):
                     if n_over_relax == 0:
                         planes, obs = xhd.sweep_measure(
@@ -450,22 +457,39 @@ def make_helical_runner(
                         t <= mcs_or, do_or, lambda p: p, planes)
                     return planes, xhd.observables(model, planes)
 
-                _, series = lax.scan(body, planes,
-                                     jnp.arange(1, mcs + 1))
-                return jax.tree.map(
+                planes, series = lax.scan(
+                    body, planes, t0 + jnp.arange(1, size + 1))
+                return planes, jax.tree.map(
                     lambda x: jnp.swapaxes(x, 0, 1), series)
 
+            @jax.jit
+            def _init_d(call_key):
+                init_keys = jax.vmap(
+                    lambda r: jax.random.fold_in(
+                        rng.init_key(call_key), r)
+                )(jnp.arange(batch))
+                state = jax.vmap(
+                    lambda k: model.init_state(init_kind, k)
+                )(init_keys)
+                return xhd.pack_state(state, model.ny, model.nx)
+
+            def run(call_key: jax.Array) -> dict[str, jax.Array]:
+                planes = _init_d(call_key)
+                parts, t0 = [], 0
+                while t0 < mcs:
+                    size = min(dispatch_chunk, mcs - t0)
+                    planes, part = _chunk_d(
+                        planes, call_key, jnp.int32(t0), size)
+                    parts.append(part)
+                    t0 += size
+                return jax.tree.map(
+                    lambda *xs: jnp.concatenate(xs, axis=1), *parts)
+
+            run.host_chunked = True
             return run
 
-        def run(call_key: jax.Array) -> dict[str, jax.Array]:
-            init_keys = jax.vmap(
-                lambda r: jax.random.fold_in(rng.init_key(call_key), r)
-            )(jnp.arange(batch))
-            state = jax.vmap(lambda k: model.init_state(init_kind, k))(
-                init_keys
-            )
-            sx, sy = hp.xy_pack_state(state, model.ny, model.nx)
-
+        @functools.partial(jax.jit, static_argnums=3)
+        def _chunk_m(carry, call_key, t0, size):
             def body(carry, t):
                 sx, sy = carry
                 if n_over_relax == 0:
@@ -491,9 +515,34 @@ def make_helical_runner(
                 )
                 return (sx, sy), hp.xy_observables_packed(model, sx, sy)
 
-            _, series = lax.scan(body, (sx, sy), jnp.arange(1, mcs + 1))
-            return jax.tree.map(lambda x: jnp.swapaxes(x, 0, 1), series)
+            carry, series = lax.scan(
+                body, carry, t0 + jnp.arange(1, size + 1))
+            return carry, jax.tree.map(
+                lambda x: jnp.swapaxes(x, 0, 1), series)
 
+        @jax.jit
+        def _init_m(call_key):
+            init_keys = jax.vmap(
+                lambda r: jax.random.fold_in(rng.init_key(call_key), r)
+            )(jnp.arange(batch))
+            state = jax.vmap(lambda k: model.init_state(init_kind, k))(
+                init_keys
+            )
+            return hp.xy_pack_state(state, model.ny, model.nx)
+
+        def run(call_key: jax.Array) -> dict[str, jax.Array]:
+            carry = _init_m(call_key)
+            parts, t0 = [], 0
+            while t0 < mcs:
+                size = min(dispatch_chunk, mcs - t0)
+                carry, part = _chunk_m(
+                    carry, call_key, jnp.int32(t0), size)
+                parts.append(part)
+                t0 += size
+            return jax.tree.map(
+                lambda *xs: jnp.concatenate(xs, axis=1), *parts)
+
+        run.host_chunked = True
         return run
 
     from cuda_fortran_mc_simulation_spin_tpu.models.clock_helical import (
