@@ -155,8 +155,27 @@ def _clock_multispin_eligible(cfg, model, runner_kwargs) -> bool:
     # aligned shapes take the fused-obs kernel; other even shapes (the
     # literal 2000x2000 / 1000x1000 committed geometries) the padded
     # engine (same kernel on padded planes + masked observables)
-    return (clock_multispin.clock_packable(model)
-            or clock_multispin.clock_padded_packable(model))
+    if clock_multispin.clock_packable(model) \
+            or clock_multispin.clock_padded_packable(model):
+        return True
+    from cuda_fortran_mc_simulation_spin_tpu.ops import clock4_multispin
+    return (clock4_multispin.clock4_packable(model)
+            or clock4_multispin.clock4_padded_packable(model))
+
+
+def _wrap_runner(runner, batch):
+    """Jit the runner (unless it is a host-chunked dispatch loop, which
+    must not be re-jitted into one program) and squeeze the replica
+    axis for batch-1 runs."""
+    chunked = getattr(runner, "host_chunked", False)
+    if not chunked:
+        runner = jax.jit(runner)
+    if batch == 1:
+        inner = runner
+        squeezed = lambda k: jax.tree.map(  # noqa: E731
+            lambda v: v[0], inner(k))
+        return squeezed if chunked else jax.jit(squeezed)
+    return runner
 
 
 def _run_accumulating(cfg, model, accumulators, fold, err,
@@ -176,70 +195,37 @@ def _run_accumulating(cfg, model, accumulators, fold, err,
             mesh as mesh_mod,
         )
         msh = mesh_mod.make_mesh(cfg.mesh_dp, cfg.mesh_y, cfg.mesh_x)
-        runner = domain.make_sharded_sample_runner(
-            model, msh, cfg.mcs, max(batch, 1), cfg.init_state,
-            **runner_kwargs,
-        )
-        if batch == 1:
-            inner = runner
-            runner = jax.jit(
-                lambda k: jax.tree.map(lambda v: v[0], inner(k))
-            )
+        runner = _wrap_runner(
+            domain.make_sharded_sample_runner(
+                model, msh, cfg.mcs, max(batch, 1), cfg.init_state,
+                **runner_kwargs,
+            ), batch)
     elif sweep_mod.helical_pallas_eligible(
             model, runner_kwargs.get("n_over_relax", 0)):
-        runner = sweep_mod.make_helical_runner(
-            model, cfg.mcs, max(batch, 1), cfg.init_state,
-            **runner_kwargs,
-        )
-        if getattr(runner, "host_chunked", False):
-            # XY helical runners dispatch per MCS chunk from the host
-            # (device execution deadline at the committed 10001x10000
-            # geometry) — must not be re-jitted into one program
-            if batch == 1:
-                inner = runner
-                runner = lambda k: jax.tree.map(  # noqa: E731
-                    lambda v: v[0], inner(k))
-        else:
-            runner = jax.jit(runner)
-            if batch == 1:
-                inner = runner
-                runner = jax.jit(
-                    lambda k: jax.tree.map(lambda v: v[0], inner(k))
-                )
+        # helical XY (and any budget-bound packed runner below)
+        # dispatches per MCS chunk from the host (device execution
+        # deadline) — _wrap_runner leaves those un-jitted
+        runner = _wrap_runner(
+            sweep_mod.make_helical_runner(
+                model, cfg.mcs, max(batch, 1), cfg.init_state,
+                **runner_kwargs,
+            ), batch)
     elif _multispin_eligible(cfg, model, runner_kwargs):
         mk = (sweep_mod.make_multispin3d_runner
               if cfg.model == "ising3d"
               else sweep_mod.make_multispin_runner)
-        runner = jax.jit(
-            mk(model, cfg.mcs, max(batch, 1), cfg.init_state)
-        )
-        if batch == 1:
-            inner = runner
-            runner = jax.jit(
-                lambda k: jax.tree.map(lambda v: v[0], inner(k))
-            )
+        runner = _wrap_runner(
+            mk(model, cfg.mcs, max(batch, 1), cfg.init_state), batch)
     elif _clock_multispin_eligible(cfg, model, runner_kwargs):
-        runner = jax.jit(
+        runner = _wrap_runner(
             sweep_mod.make_clock_multispin_runner(
                 model, cfg.mcs, max(batch, 1), cfg.init_state
-            )
-        )
-        if batch == 1:
-            inner = runner
-            runner = jax.jit(
-                lambda k: jax.tree.map(lambda v: v[0], inner(k))
-            )
+            ), batch)
     elif _multisweep_eligible(cfg, model, runner_kwargs):
-        runner = jax.jit(
+        runner = _wrap_runner(
             sweep_mod.make_multisweep_runner(
                 model, cfg.mcs, max(batch, 1), cfg.init_state
-            )
-        )
-        if batch == 1:
-            inner = runner
-            runner = jax.jit(
-                lambda k: jax.tree.map(lambda v: v[0], inner(k))
-            )
+            ), batch)
     elif batch == 1:
         runner = jax.jit(
             sweep_mod.make_sample_runner(model, cfg.mcs, cfg.init_state,

@@ -28,6 +28,29 @@ from jax import lax
 
 from cuda_fortran_mc_simulation_spin_tpu.core import rng
 
+# Per-dispatch execution budget.  The device worker enforces an RPC
+# execution deadline (~5 min measured; a monolithic 10⁴-MCS scan at
+# the committed 10001×10000 XY geometry crashed it) — any runner whose
+# single dispatch is estimated to exceed this budget splits its scan
+# into host-level chunks.  Sweep keys are pure functions of the GLOBAL
+# sweep/chunk index, so chunked trajectories are bitwise identical to
+# the monolithic scan.
+_DISPATCH_BUDGET_S = 120.0
+
+# conservative measured flip rates (BENCHMARKS.md) for the dispatch
+# estimate — underestimates only make chunks smaller, never unsafe
+_EST_PACKED_RATE = {
+    "ising2d": 3.0e11,
+    "ising3d": 1.5e11,
+    "clock": 6.0e10,
+}
+
+
+def _sweeps_per_dispatch(nsites: int, batch: int, rate: float) -> int:
+    """Sweeps fitting the dispatch budget at the estimated rate."""
+    per_sweep = batch * nsites / rate
+    return max(1, int(_DISPATCH_BUDGET_S / per_sweep))
+
 
 def make_sample_runner(
     model,
@@ -135,28 +158,59 @@ def make_batch_runner(
     return run
 
 
+def _host_chunk_runner(init_fn, chunk_fn, mcs, dispatch_chunk):
+    """Host-level dispatch loop: `init_fn(key) -> carry`;
+    `chunk_fn(carry, key, t0, size) -> (carry, {k: (batch, size)})`
+    (jitted, `size` static).  Sweep keys are pure functions of the
+    global sweep index, so the chunked trajectory is bitwise identical
+    to a monolithic scan.  The returned runner is tagged
+    ``host_chunked`` — callers must NOT wrap it in jax.jit."""
+    def run(call_key: jax.Array) -> dict[str, jax.Array]:
+        carry = init_fn(call_key)
+        parts, t0 = [], 0
+        while t0 < mcs:
+            size = min(dispatch_chunk, mcs - t0)
+            carry, part = chunk_fn(carry, call_key, jnp.int32(t0), size)
+            parts.append(part)
+            t0 += size
+        if len(parts) == 1:
+            return parts[0]
+        return jax.tree.map(
+            lambda *xs: jnp.concatenate(xs, axis=1), *parts)
+
+    run.host_chunked = True
+    return run
+
+
 def _make_packed_runner(model, mcs, batch, init_kind, resident,
-                        multisweep_fn, stream_fn):
+                        multisweep_fn, stream_fn, est_rate):
     """Shared body of the multispin runners: init + pack once, then
     either chunked VMEM-resident multisweeps or streamed phase pairs,
-    with per-sweep fused (m, e) either way."""
+    with per-sweep fused (m, e) either way.  Histories whose single
+    dispatch would exceed the device execution deadline are split into
+    host-level dispatch chunks (bitwise identical — keys are global)."""
     from cuda_fortran_mc_simulation_spin_tpu.ops import ising2d_multispin
 
     chunk = min(64, mcs)
     n_full = mcs // chunk
     rest = mcs - n_full * chunk
 
-    def run(call_key: jax.Array) -> dict[str, jax.Array]:
+    budget_sweeps = _sweeps_per_dispatch(model.nsites, batch, est_rate)
+
+    def init_fn(call_key):
         init_keys = jax.vmap(
             lambda r: jax.random.fold_in(rng.init_key(call_key), r)
         )(jnp.arange(batch))
         state = jax.vmap(lambda k: model.init_state(init_kind, k))(
             init_keys
         )
-        wa = ising2d_multispin.pack_color(state.a)
-        wb = ising2d_multispin.pack_color(state.b)
+        return (ising2d_multispin.pack_color(state.a),
+                ising2d_multispin.pack_color(state.b))
 
-        if resident:
+    if resident:
+        # kernel invocations advance `chunk` sweeps keyed by the GLOBAL
+        # chunk index ci; host chunking groups whole invocations
+        def resident_span(c, call_key, ci0, n_inv):
             def body(c, ci):
                 wa, wb, obs = multisweep_fn(
                     model, c[0], c[1], rng.sweep_key(call_key, ci),
@@ -164,36 +218,76 @@ def _make_packed_runner(model, mcs, batch, init_kind, resident,
                 )
                 return (wa, wb), obs
 
-            (wa, wb), series = lax.scan(
-                body, (wa, wb), jnp.arange(n_full)
-            )
-            parts = {
-                # (n_full, batch, chunk) -> (batch, n_full*chunk)
-                k: jnp.moveaxis(v, 0, 1).reshape(batch, n_full * chunk)
+            c, series = lax.scan(body, c, ci0 + jnp.arange(n_inv))
+            return c, {
+                # (n_inv, batch, chunk) -> (batch, n_inv*chunk)
+                k: jnp.moveaxis(v, 0, 1).reshape(batch, n_inv * chunk)
                 for k, v in series.items()
             }
-            if rest:
-                # `sweeps` is a static kernel arg, so the remainder runs
-                # at its exact length instead of a padded full chunk
-                _, _, tail = multisweep_fn(
-                    model, wa, wb, rng.sweep_key(call_key, n_full), rest
-                )
-                parts = {
-                    k: jnp.concatenate([parts[k], tail[k]], axis=1)
-                    for k in parts
-                }
-            return parts
 
+        def tail_fn(c, call_key):
+            # `sweeps` is a static kernel arg, so the remainder runs at
+            # its exact length instead of a padded full chunk
+            wa, wb, t = multisweep_fn(
+                model, c[0], c[1], rng.sweep_key(call_key, n_full), rest
+            )
+            return (wa, wb), t
+
+        g_inv = max(1, budget_sweeps // chunk)
+        if n_full <= g_inv:
+            def run(call_key: jax.Array) -> dict[str, jax.Array]:
+                c = init_fn(call_key)
+                c, parts = resident_span(c, call_key, jnp.int32(0),
+                                         n_full)
+                if rest:
+                    _, tail = tail_fn(c, call_key)
+                    parts = {
+                        k: jnp.concatenate([parts[k], tail[k]], axis=1)
+                        for k in parts
+                    }
+                return parts
+
+            return run
+
+        @functools.partial(jax.jit, static_argnums=3)
+        def chunk_fn(c, call_key, t0, size):
+            if size % chunk == 0:
+                return resident_span(c, call_key, t0 // chunk,
+                                     size // chunk)
+            # final host chunk carrying the sub-invocation remainder
+            n_inv = size // chunk
+            c, parts = resident_span(c, call_key, t0 // chunk, n_inv)
+            c, tail = tail_fn(c, call_key)
+            return c, {
+                k: jnp.concatenate([parts[k], tail[k]], axis=1)
+                for k in parts
+            }
+
+        return _host_chunk_runner(
+            jax.jit(init_fn), chunk_fn, mcs, g_inv * chunk)
+
+    def stream_span(c, call_key, t0, size):
         def body(c, t):
             wa, wb, obs = stream_fn(
                 model, c[0], c[1], rng.sweep_key(call_key, t)
             )
             return (wa, wb), obs
 
-        _, series = lax.scan(body, (wa, wb), jnp.arange(1, mcs + 1))
-        return jax.tree.map(lambda x: jnp.swapaxes(x, 0, 1), series)
+        c, series = lax.scan(body, c, t0 + jnp.arange(1, size + 1))
+        return c, jax.tree.map(lambda x: jnp.swapaxes(x, 0, 1), series)
 
-    return run
+    if mcs <= budget_sweeps:
+        def run(call_key: jax.Array) -> dict[str, jax.Array]:
+            c = init_fn(call_key)
+            _, series = stream_span(c, call_key, jnp.int32(0), mcs)
+            return series
+
+        return run
+
+    return _host_chunk_runner(
+        jax.jit(init_fn),
+        jax.jit(stream_span, static_argnums=3),
+        mcs, budget_sweeps)
 
 
 def make_multispin_runner(
@@ -217,6 +311,7 @@ def make_multispin_runner(
         ising2d_multispin.multisweep_fits_vmem(ny, half),
         ising2d_multispin.multisweep_packed,
         ising2d_multispin.sweep_measure_packed,
+        _EST_PACKED_RATE["ising2d"],
     )
 
 
@@ -237,6 +332,7 @@ def make_multispin3d_runner(
         ising3d_multispin.multisweep3d_fits_vmem(nz, ny, half),
         ising3d_multispin.multisweep_packed3d,
         ising3d_multispin.sweep_measure_packed3d,
+        _EST_PACKED_RATE["ising3d"],
     )
 
 
@@ -255,17 +351,36 @@ def make_clock_multispin_runner(
 
     Aligned shapes take the fused-obs kernel; other even shapes (the
     literal 2000x2000 / 1000x1000 committed geometries) run the padded
-    engine (same kernel on padded planes + masked observables)."""
+    engine (same kernel on padded planes + masked observables).  q=6
+    takes the CRT bit-sliced engine; q=4 its 2-bit-digit companion
+    (ops/clock4_multispin.py)."""
     from cuda_fortran_mc_simulation_spin_tpu.ops import clock_multispin
 
+    if getattr(model, "q", None) == 4:
+        from cuda_fortran_mc_simulation_spin_tpu.ops import (
+            clock4_multispin as eng,
+        )
+        pack = eng.pack_clock4_color
+        pack_padded = eng.pack_clock4_color_padded
+        sm_plain = eng.sweep_measure_packed4
+        sm_padded = eng.sweep_measure_packed4_padded
+        aligned = eng.clock4_packable(model)
+    else:
+        pack = clock_multispin.pack_clock_color
+        pack_padded = clock_multispin.pack_clock_color_padded
+        sm_plain = clock_multispin.sweep_measure_packed6
+        sm_padded = clock_multispin.sweep_measure_packed6_padded
+        aligned = clock_multispin.clock_packable(model)
+
     spec = None
-    if not clock_multispin.clock_packable(model):
+    if not aligned:
         spec = clock_multispin.padded_spec(*model.color_shape)
         if spec is None:
             raise ValueError("shape is neither aligned- nor "
-                             "padded-packable for the q=6 engine")
+                             "padded-packable for the packed clock "
+                             "engine")
 
-    def run(call_key: jax.Array) -> dict[str, jax.Array]:
+    def init_fn(call_key):
         init_keys = jax.vmap(
             lambda r: jax.random.fold_in(rng.init_key(call_key), r)
         )(jnp.arange(batch))
@@ -273,28 +388,37 @@ def make_clock_multispin_runner(
             init_keys
         )
         if spec is not None:
-            wa = clock_multispin.pack_clock_color_padded(state.a, spec)
-            wb = clock_multispin.pack_clock_color_padded(state.b, spec)
-        else:
-            wa = clock_multispin.pack_clock_color(state.a)
-            wb = clock_multispin.pack_clock_color(state.b)
+            return (pack_padded(state.a, spec),
+                    pack_padded(state.b, spec))
+        return pack(state.a), pack(state.b)
 
+    def span(c, call_key, t0, size):
         def body(c, t):
             if spec is not None:
-                wa, wb, obs = (
-                    clock_multispin.sweep_measure_packed6_padded(
-                        model, spec, c[0], c[1],
-                        rng.sweep_key(call_key, t)))
+                wa, wb, obs = sm_padded(
+                    model, spec, c[0], c[1], rng.sweep_key(call_key, t))
             else:
-                wa, wb, obs = clock_multispin.sweep_measure_packed6(
+                wa, wb, obs = sm_plain(
                     model, c[0], c[1], rng.sweep_key(call_key, t)
                 )
             return (wa, wb), obs
 
-        _, series = lax.scan(body, (wa, wb), jnp.arange(1, mcs + 1))
-        return jax.tree.map(lambda x: jnp.swapaxes(x, 0, 1), series)
+        c, series = lax.scan(body, c, t0 + jnp.arange(1, size + 1))
+        return c, jax.tree.map(lambda x: jnp.swapaxes(x, 0, 1), series)
 
-    return run
+    budget_sweeps = _sweeps_per_dispatch(
+        model.nsites, batch, _EST_PACKED_RATE["clock"])
+    if mcs <= budget_sweeps:
+        def run(call_key: jax.Array) -> dict[str, jax.Array]:
+            c = init_fn(call_key)
+            _, series = span(c, call_key, jnp.int32(0), mcs)
+            return series
+
+        return run
+
+    return _host_chunk_runner(
+        jax.jit(init_fn), jax.jit(span, static_argnums=3),
+        mcs, budget_sweeps)
 
 
 def make_multisweep_runner(
