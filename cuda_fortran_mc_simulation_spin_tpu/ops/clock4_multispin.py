@@ -50,8 +50,9 @@ compare/site): trajectories match statistically, not bitwise — the
 ising2d_multispin contract.  Padded (non-aligned even) shapes reuse the
 q=6 module's shape-generic pad/refresh machinery (padded_spec,
 refresh_padded, pad_mask are plane-count agnostic).  Domain-sharded
-meshes keep the int8 halo kernels for q=4 (no committed q=4 workload;
-the q=6 sharded machinery would transfer the same way).
+meshes take :func:`sharded_phase_packed4` inside shard_map (y-halos as
+boundary digit-bit planes, x-halos as boundary word columns, granule-
+keyed PRNG — the q=6 sharded machinery transferred to two planes).
 """
 
 from __future__ import annotations
@@ -624,6 +625,314 @@ def sweep_measure_packed4_padded(model, spec: PadSpec, wa, wb, key):
         "m": m.astype(jnp.float32) * n_inv,
         "e": e.astype(jnp.float32) * n_inv,
     }
+
+
+# ---------------------------------------------------------------------------
+# sharded engine: the q=4 packed kernel inside shard_map — structured
+# exactly like the q=6 sharded engine (ops/clock_multispin.py): y-halos
+# as exchanged boundary-site bit planes spliced into synthetic edge
+# words, x-halos as whole boundary WORD COLUMNS (x-sharding never cuts
+# the packed bit axis), PRNG streams keyed per GLOBAL (replica,
+# 8-word-row granule, 128-lane chunk) so trajectories are bitwise
+# invariant to the mesh shape.
+# ---------------------------------------------------------------------------
+
+def packed_sharded_phase_reference4(xplanes, oplanes, color, planes6,
+                                    hup, hdn,
+                                    halo_lf=None, halo_rt=None):
+    """Pure-jnp packed q=4 phase on a (y[, x])-sharded local block:
+    word-row wrap replaced by synthetic edge words built from the
+    exchanged boundary site planes ``hup``/``hdn`` (2-tuples of
+    (1, half) 0/1 int32 — b0, b1 of the rows owned by the y-neighbor
+    shards).  ``halo_lf``/``halo_rt`` (2-tuples of (Lp, 1) packed word
+    columns): x-sharded boundary columns replacing the lane-roll wrap."""
+    from cuda_fortran_mc_simulation_spin_tpu.ops.ising2d_multispin \
+        import _EVEN_BITS, _ODD_BITS
+
+    xb0, xb1 = [p.astype(jnp.uint32) for p in xplanes]
+    ob0, ob1 = [p.astype(jnp.uint32) for p in oplanes]
+
+    def nbrs(o, up01, dn01, lf, rt):
+        syn_up = up01.astype(jnp.uint32) << jnp.uint32(31)
+        syn_dn = dn01.astype(jnp.uint32)
+        w_prev = jnp.concatenate([syn_up, o[:-1]], axis=0)
+        w_next = jnp.concatenate([o[1:], syn_dn], axis=0)
+        one = jnp.uint32(1)
+        up = (o << one) | (w_prev >> jnp.uint32(31))
+        dn = (o >> one) | (w_next << jnp.uint32(31))
+        if lf is not None:
+            minus = jnp.concatenate(
+                [lf.astype(jnp.uint32), o[:, :-1]], axis=1)
+            plus = jnp.concatenate(
+                [o[:, 1:], rt.astype(jnp.uint32)], axis=1)
+        else:
+            minus = jnp.roll(o, 1, axis=1)
+            plus = jnp.roll(o, -1, axis=1)
+        odd = jnp.uint32(_ODD_BITS)
+        even = jnp.uint32(_EVEN_BITS)
+        if color == 0:
+            side = (plus & odd) | (minus & even)
+        else:
+            side = (minus & odd) | (plus & even)
+        return (up, dn, o, side)
+
+    lf2 = halo_lf if halo_lf is not None else (None,) * 2
+    rt2 = halo_rt if halo_rt is not None else (None,) * 2
+    nb0 = nbrs(ob0, hup[0], hdn[0], lf2[0], rt2[0])
+    nb1 = nbrs(ob1, hup[1], hdn[1], lf2[1], rt2[1])
+    planes6 = tuple(p.astype(jnp.uint32) for p in planes6)
+    b0, b1, _ = _decide4(xb0, xb1, nb0, nb1, planes6)
+    return tuple(p.astype(jnp.int32) for p in (b0, b1))
+
+
+def _sharded_phase_kernel4(seed_ref, offs_ref, xb0_ref, xb1_ref,
+                           ob0_ref, ob1_ref,
+                           ub0_ref, ub1_ref, db0_ref, db1_ref,
+                           hub0_ref, hub1_ref, hdb0_ref, hdb1_ref,
+                           *rest, color: int, digit4, typ: int,
+                           nblk: int, n_inject: int,
+                           has_cols: bool = False,
+                           measuring: bool = False):
+    refs = list(rest)
+    obs_ref = refs.pop() if measuring else None
+    if has_cols:
+        col_refs = refs[:4]          # (lf_b0, lf_b1, rt_b0, rt_b1)
+        refs = refs[4:]
+    else:
+        col_refs = (None,) * 4
+    inject = refs[:n_inject]
+    b0_out, b1_out = refs[n_inject:]
+    r = pl.program_id(0)
+    i = pl.program_id(1)
+
+    def planes_of(o_ref, up_ref, dn_ref, hu_ref, hd_ref,
+                  lf_ref=None, rt_ref=None):
+        o = pltpu.bitcast(o_ref[0], jnp.uint32)
+        syn_up = (pltpu.bitcast(hu_ref[0, 7:8, :], jnp.uint32)
+                  << jnp.uint32(31))
+        syn_dn = pltpu.bitcast(hd_ref[0, 0:1, :], jnp.uint32)
+        up_row = jnp.where(i == 0, syn_up,
+                           pltpu.bitcast(up_ref[0, 7:8, :], jnp.uint32))
+        dn_row = jnp.where(i == nblk - 1, syn_dn,
+                           pltpu.bitcast(dn_ref[0, 0:1, :], jnp.uint32))
+        w_prev, w_next = stencil.splice_updown(o, up_row, dn_row)
+        if not has_cols:
+            return o, _nbr_planes(o, w_prev, w_next, color)
+        # x-sharded block: replace the lane-roll wrap's edge lanes
+        # with the exchanged boundary word-columns
+        from cuda_fortran_mc_simulation_spin_tpu.ops.ising2d_multispin \
+            import _EVEN_BITS, _ODD_BITS
+        one = jnp.uint32(1)
+        up = (o << one) | (w_prev >> jnp.uint32(31))
+        dn = (o >> one) | (w_next << jnp.uint32(31))
+        minus = pltpu.roll(o, 1, axis=1)
+        plus = pltpu.roll(o, o.shape[1] - 1, axis=1)
+        lane = jax.lax.broadcasted_iota(jnp.int32, o.shape, 1)
+        minus = jnp.where(
+            lane == 0,
+            pltpu.bitcast(lf_ref[0][:, 0:1], jnp.uint32), minus)
+        plus = jnp.where(
+            lane == o.shape[1] - 1,
+            pltpu.bitcast(rt_ref[0][:, 0:1], jnp.uint32), plus)
+        odd = jnp.uint32(_ODD_BITS)
+        even = jnp.uint32(_EVEN_BITS)
+        if color == 0:
+            side = (plus & odd) | (minus & even)
+        else:
+            side = (minus & odd) | (plus & even)
+        return o, (up, dn, o, side)
+
+    xb0 = pltpu.bitcast(xb0_ref[0], jnp.uint32)
+    xb1 = pltpu.bitcast(xb1_ref[0], jnp.uint32)
+    ob0, nb0 = planes_of(ob0_ref, ub0_ref, db0_ref, hub0_ref, hdb0_ref,
+                         col_refs[0], col_refs[2])
+    ob1, nb1 = planes_of(ob1_ref, ub1_ref, db1_ref, hub1_ref, hdb1_ref,
+                         col_refs[1], col_refs[3])
+
+    if n_inject:
+        planes6 = tuple(
+            pltpu.bitcast(ref[0], jnp.uint32) for ref in inject
+        )
+    else:
+        # streams keyed per GLOBAL (replica, 8-word-row granule,
+        # 128-lane chunk) — mesh-shape/tile-size invariant incl.
+        # x-splits, matching the q=6 and Ising packed sharded keying
+        rep_g = offs_ref[0] + r
+        col0 = offs_ref[2] if has_cols else jnp.int32(0)
+        nck = xb0.shape[1] // 128
+        pieces = [[] for _ in range(6)]
+        for g in range(typ // 8):
+            wrow_g = offs_ref[1] + i * typ + g * 8
+            row_tag = (wrow_g * jnp.int32(-1640531527)
+                       + rep_g * jnp.int32(0x3C6EF35F))
+            chunk_cols = [[] for _ in range(6)]
+            for c in range(nck):
+                tag = row_tag + ((col0 + c * 128)
+                                 * jnp.int32(0x27D4EB2F))
+                pltpu.prng_seed(seed_ref[0], seed_ref[1] ^ tag)
+
+                def gen():
+                    return pltpu.bitcast(
+                        pltpu.prng_random_bits((8, 128)), jnp.uint32)
+
+                p6 = draw_planes4((8, 128), gen, digit4)
+                for k in range(6):
+                    chunk_cols[k].append(p6[k])
+            for k in range(6):
+                pieces[k].append(
+                    chunk_cols[k][0] if nck == 1
+                    else jnp.concatenate(chunk_cols[k], axis=1))
+        planes6 = tuple(
+            pieces[k][0] if typ == 8
+            else jnp.concatenate(pieces[k], axis=0)
+            for k in range(6)
+        )
+
+    b0_new, b1_new, fin = _decide4(xb0, xb1, nb0, nb1, planes6)
+    b0_out[0] = pltpu.bitcast(b0_new, jnp.int32)
+    b1_out[0] = pltpu.bitcast(b1_new, jnp.int32)
+
+    if measuring:
+        nblk_sites = jnp.int32(xb0.shape[0] * xb0.shape[1] * PACK)
+        m, e = _obs_partial4(b0_new, b1_new, ob0, ob1, fin, nblk_sites)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+        row = jnp.where(lane == 0, m, jnp.where(lane == 1, e, 0))
+
+        @pl.when(i == 0)
+        def _():
+            obs_ref[0] = jnp.zeros_like(obs_ref[0])
+
+        obs_ref[0] = obs_ref[0] + row
+
+
+def interpret_planes_sharded4(seeds, rep0, wrow0, nrep, nyp, half,
+                              beta, col0=0):
+    """Threefry planes keyed per (global replica, global word row,
+    128-lane chunk) — the CPU fallback stream for the sharded q=4
+    engine (mesh-shape invariant, including x-splits via ``col0``)."""
+    digit4 = accept_digit_planes4(beta)
+    base = jax.random.fold_in(
+        jax.random.PRNGKey(seeds[0].astype(jnp.uint32)), seeds[1]
+    )
+    nck = half // 128
+
+    def per_rep(r):
+        kr = jax.random.fold_in(base, rep0 + r)
+
+        def per_row(g):
+            kg = jax.random.fold_in(kr, wrow0 + g)
+
+            def per_chunk(c):
+                kc = jax.random.fold_in(kg, col0 + c * 128)
+                cnt = [0]
+
+                def gen():
+                    cnt[0] += 1
+                    return jax.random.bits(
+                        jax.random.fold_in(kc, cnt[0]), (128,),
+                        dtype=jnp.uint32)
+
+                return draw_planes4((128,), gen, digit4)
+
+            ck = jax.vmap(per_chunk)(jnp.arange(nck))
+            return tuple(p.reshape(half) for p in ck)
+
+        return jax.vmap(per_row)(jnp.arange(nyp))
+
+    planes = jax.vmap(per_rep)(jnp.arange(nrep))
+    return tuple(p.astype(jnp.int32) for p in planes)
+
+
+def sharded_phase_packed4(xplanes, oplanes, hup, hdn, seeds, offs, *,
+                          color: int, beta: float,
+                          halo_lf=None, halo_rt=None, inject=None,
+                          interpret: bool = False,
+                          measuring: bool = False):
+    """One packed q=4 clock phase of a (y[, x])-sharded local block.
+
+    xplanes/oplanes: 2-tuples (b0, b1) of (R, Lp, half) packed local
+    color blocks; hup/hdn: 2-tuples of (R, 1, half) 0/1 int32 exchanged
+    boundary-site digit planes of the other color; offs: (rep0, wrow0)
+    GLOBAL offsets ((rep0, wrow0, lane0) with column halos).
+    ``measuring`` (phase b only) additionally returns per-shard (m, e)
+    int32 partials (R,) each — caller psums over the mesh's spatial
+    axes.  ``halo_lf``/``halo_rt``: 2-tuples of (R, Lp, 1) packed word
+    COLUMNS of the other color (the x-sharded variant)."""
+    nrep, nyp, half = xplanes[0].shape
+    has_cols = halo_lf is not None
+    digit4 = accept_digit_planes4(beta)
+    typ = _pick_typ(nyp, 2 * half)
+    n = nyp // typ
+    nb8 = nyp // 8
+    if interpret and inject is None:
+        inject = interpret_planes_sharded4(
+            seeds, offs[0], offs[1], nrep, nyp, half, beta,
+            offs[2] if has_cols else jnp.int32(0))
+    n_inject = 6 if inject is not None else 0
+    hup_p = [jnp.pad(h, ((0, 0), (7, 0), (0, 0))) for h in hup]
+    hdn_p = [jnp.pad(h, ((0, 0), (0, 7), (0, 0))) for h in hdn]
+    kernel = functools.partial(
+        _sharded_phase_kernel4, color=color, digit4=digit4, typ=typ,
+        nblk=n, n_inject=n_inject, has_cols=has_cols,
+        measuring=measuring,
+    )
+    blk = pl.BlockSpec((1, typ, half), lambda r, i: (r, i, 0),
+                       memory_space=pltpu.VMEM)
+    up8 = pl.BlockSpec(
+        (1, 8, half),
+        lambda r, i: (r, (i * typ // 8 - 1 + nb8) % nb8, 0),
+        memory_space=pltpu.VMEM,
+    )
+    dn8 = pl.BlockSpec(
+        (1, 8, half),
+        lambda r, i: (r, ((i + 1) * typ // 8) % nb8, 0),
+        memory_space=pltpu.VMEM,
+    )
+    h8 = pl.BlockSpec((1, 8, half), lambda r, i: (r, 0, 0),
+                      memory_space=pltpu.VMEM)
+    in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec(memory_space=pltpu.SMEM)]
+    in_specs += [blk] * 4 + [up8] * 2 + [dn8] * 2 + [h8] * 4
+    operands = [seeds, offs, *xplanes, *oplanes, *oplanes, *oplanes,
+                *hup_p, *hdn_p]
+    if has_cols:
+        # 128-lane alignment: exchanged word columns ride in lane 0
+        col_spec = pl.BlockSpec((1, typ, 128), lambda r, i: (r, i, 0),
+                                memory_space=pltpu.VMEM)
+        in_specs += [col_spec] * 4
+        operands += [jnp.pad(h, ((0, 0), (0, 0), (0, 127)))
+                     for h in (*halo_lf, *halo_rt)]
+    if inject is not None:
+        in_specs += [blk] * 6
+        operands += list(inject)
+    plane_shape = jax.ShapeDtypeStruct((nrep, nyp, half), jnp.int32)
+    out_shape = [plane_shape] * 2
+    out_specs = [blk] * 2
+    if measuring:
+        out_shape.append(jax.ShapeDtypeStruct((nrep, 1, 128), jnp.int32))
+        out_specs.append(pl.BlockSpec((1, 1, 128),
+                                      lambda r, i: (r, 0, 0),
+                                      memory_space=pltpu.VMEM))
+    res = pl.pallas_call(
+        kernel,
+        out_shape=tuple(out_shape),
+        grid=(nrep, n),
+        in_specs=in_specs,
+        out_specs=tuple(out_specs),
+        input_output_aliases={2: 0, 3: 1},
+        interpret=interpret,
+    )(*operands)
+    if measuring:
+        return res[:2], res[2][:, 0, 0], res[2][:, 0, 1]
+    return res[:2]
+
+
+def shard_packed4_ok(local_shape: tuple[int, ...]) -> bool:
+    """Local packed (R, Lp, half) word-block shape is tileable."""
+    if len(local_shape) != 3:
+        return False
+    _, nyp, half = local_shape
+    return half % 128 == 0 and nyp % 8 == 0
 
 
 # overhead gate shared with the q=6 engine

@@ -174,11 +174,12 @@ def _shard_pallas_mode(model, local_shape,
 def _shard_packed_mode(model, mesh: Mesh, replicas: int,
                        n_over_relax: int = 0
                        ) -> tuple[str | None, bool]:
-    """(kind, interpret) with kind ∈ {"2d", "3d", "clock6", None} —
-    route the domain-sharded sweep through the bit-packed multispin
-    halo kernels (ops/ising2d_multispin.sharded_phase_packed /
+    """(kind, interpret) with kind ∈ {"2d", "3d", "clock6", "clock4",
+    None} — route the domain-sharded sweep through the bit-packed
+    multispin halo kernels (ops/ising2d_multispin.sharded_phase_packed /
     ops/ising3d_multispin.sharded_phase3d_packed /
-    ops/clock_multispin.sharded_phase_packed6) when shapes allow.
+    ops/clock_multispin.sharded_phase_packed6 /
+    ops/clock4_multispin.sharded_phase_packed4) when shapes allow.
 
     Opt-out with SPINLAT_SHARD_PACKED=0;
     SPINLAT_SHARD_PALLAS_INTERPRET=1 runs it in interpret mode on CPU
@@ -193,13 +194,14 @@ def _shard_packed_mode(model, mesh: Mesh, replicas: int,
     is2d = isinstance(model, Ising2D)
     is3d = isinstance(model, Ising3D)
     is_ck6 = isinstance(model, Clock2D) and model.q == 6
-    if not (is2d or is3d or is_ck6) or n_over_relax:
+    is_ck4 = isinstance(model, Clock2D) and model.q == 4
+    if not (is2d or is3d or is_ck6 or is_ck4) or n_over_relax:
         return None, False
     if os.environ.get("SPINLAT_SHARD_PACKED") == "0":
         return None, False
     ysh = mesh.shape["y"]
     xsh = mesh.shape.get("x", 1)
-    if xsh > 1 and not (is2d or is_ck6):
+    if xsh > 1 and not (is2d or is_ck6 or is_ck4):
         # packed column halos are implemented for the 2-D engines
         # (Ising2D and the q=6 clock); 3-D x-splits keep int8 kernels
         return None, False
@@ -209,24 +211,35 @@ def _shard_packed_mode(model, mesh: Mesh, replicas: int,
     if model.nsites > ising2d_multispin.OBS_INT32_MAX_SITES:
         # fused int32 (m, e) partials would wrap; int8 f32-obs path
         return None, False
-    if is_ck6:
-        from cuda_fortran_mc_simulation_spin_tpu.ops import (
-            clock_multispin,
-        )
+    if is_ck6 or is_ck4:
+        if is_ck6:
+            from cuda_fortran_mc_simulation_spin_tpu.ops import (
+                clock_multispin as ck_eng,
+            )
+
+            shard_ok = ck_eng.shard_packed6_ok
+            kind = "clock6"
+        else:
+            from cuda_fortran_mc_simulation_spin_tpu.ops import (
+                clock4_multispin as ck_eng,
+            )
+
+            shard_ok = ck_eng.shard_packed4_ok
+            kind = "clock4"
 
         if (os.environ.get("SPINLAT_CLOCK_PACKED") == "0"
-                or model.nsites > clock_multispin.OBS_INT32_MAX_SITES):
+                or model.nsites > ck_eng.OBS_INT32_MAX_SITES):
             return None, False
         ny, half = model.color_shape
         if ny % (32 * ysh) or half % xsh:
             return None, False
         local = (replicas // dp, ny // 32 // ysh, half // xsh)
-        if not clock_multispin.shard_packed6_ok(local):
+        if not shard_ok(local):
             return None, False
         if os.environ.get("SPINLAT_SHARD_PALLAS_INTERPRET") == "1":
-            return "clock6", True
+            return kind, True
         try:
-            return ("clock6" if model.resolved_backend == "pallas"
+            return (kind if model.resolved_backend == "pallas"
                     else None), False
         except ValueError:
             return None, False
@@ -309,22 +322,35 @@ def _ising_local_sweep_packed(model: Ising2D, wa, wb, key, ysh, xsh,
 def _clock_local_sweep_packed(model: Clock2D, wa3, wb3, key, ysh, xsh,
                               rep0, wrow0, col0, want_obs=False,
                               interpret=False):
-    """One local MCS on PACKED clock plane triplets (σ, t0, t1) each
-    (R, Lp, half): three boundary-site bit planes ride ICI per halo
-    direction (still 3/32nds of an int8 row payload), both phases in
-    the bit-sliced q=6 kernel, fused per-shard (2m, 2e) partials.
-    With an x mesh axis the shards also exchange boundary WORD COLUMNS
-    per plane (whole packed words — x-sharding never cuts the bit
-    axis), completing the (dx, dy) decomposition for the packed clock
-    engine as for Ising."""
-    from cuda_fortran_mc_simulation_spin_tpu.ops import (
-        clock_multispin as cm6,
-        ising2d_pallas,
-    )
+    """One local MCS on PACKED clock plane tuples — (σ, t0, t1) for the
+    q=6 CRT engine, (b0, b1) for the q=4 digit engine — each plane
+    (R, Lp, half): per-plane boundary-site bit planes ride ICI per halo
+    direction (3/32 or 2/32 of an int8 row payload), both phases in the
+    bit-sliced kernel, fused per-shard (m, e) partials (×2 scaling for
+    q=6, whose levels are half-integers).  With an x mesh axis the
+    shards also exchange boundary WORD COLUMNS per plane (whole packed
+    words — x-sharding never cuts the bit axis), completing the
+    (dx, dy) decomposition for the packed clock engines as for Ising."""
+    from cuda_fortran_mc_simulation_spin_tpu.ops import ising2d_pallas
     from cuda_fortran_mc_simulation_spin_tpu.parallel.halo import (
         exchange_halo_cols,
         exchange_halo_rows_packed,
     )
+
+    if model.q == 4:
+        from cuda_fortran_mc_simulation_spin_tpu.ops import (
+            clock4_multispin as _c4,
+        )
+
+        sharded_phase = _c4.sharded_phase_packed4
+        obs_scale = 1.0
+    else:
+        from cuda_fortran_mc_simulation_spin_tpu.ops import (
+            clock_multispin as _c6,
+        )
+
+        sharded_phase = _c6.sharded_phase_packed6
+        obs_scale = 0.5               # kernel emits (2m, 2e)
 
     def h3(planes):
         ups, dns = zip(*(exchange_halo_rows_packed(p, "y", ysh)
@@ -347,20 +373,20 @@ def _clock_local_sweep_packed(model: Clock2D, wa3, wb3, key, ysh, xsh,
 
     beta = float(model.beta)
     hup, hdn = h3(wb3)
-    wa3 = cm6.sharded_phase_packed6(
+    wa3 = sharded_phase(
         wa3, wb3, hup, hdn, ising2d_pallas.seeds_from_key(key, 0),
         offs, color=0, beta=beta, interpret=interpret, **colkw(wb3),
     )
     hup, hdn = h3(wa3)
-    res = cm6.sharded_phase_packed6(
+    res = sharded_phase(
         wb3, wa3, hup, hdn, ising2d_pallas.seeds_from_key(key, 1),
         offs, color=1, beta=beta, interpret=interpret,
         measuring=want_obs, **colkw(wa3),
     )
     if want_obs:
         wb3, m2, e2 = res
-        return wa3, wb3, {"m": m2.astype(jnp.float32) * 0.5,
-                          "e": e2.astype(jnp.float32) * 0.5}
+        return wa3, wb3, {"m": m2.astype(jnp.float32) * obs_scale,
+                          "e": e2.astype(jnp.float32) * obs_scale}
     return wa3, res, None
 
 
@@ -830,18 +856,27 @@ def make_sharded_sample_runner(model, mesh: Mesh, mcs: int,
     _check_replicas(replicas, mesh)
     mcs_or = mcs_over_relax or mcs
 
-    if use_packed == "clock6":
-        from cuda_fortran_mc_simulation_spin_tpu.ops import (
-            clock_multispin as cm6,
-        )
+    if use_packed in ("clock6", "clock4"):
+        if use_packed == "clock6":
+            from cuda_fortran_mc_simulation_spin_tpu.ops import (
+                clock_multispin as ck_eng,
+            )
+
+            pack_fn, n_planes = ck_eng.pack_clock_color, 3
+        else:
+            from cuda_fortran_mc_simulation_spin_tpu.ops import (
+                clock4_multispin as ck_eng,
+            )
+
+            pack_fn, n_planes = ck_eng.pack_clock4_color, 2
 
         spec = _state_spec(mesh, 3)
         pack_sharded = jax.shard_map(
-            lambda s: CheckerboardState(cm6.pack_clock_color(s.a),
-                                        cm6.pack_clock_color(s.b)),
+            lambda s: CheckerboardState(pack_fn(s.a), pack_fn(s.b)),
             mesh=mesh,
             in_specs=(CheckerboardState(spec, spec),),
-            out_specs=CheckerboardState((spec,) * 3, (spec,) * 3),
+            out_specs=CheckerboardState((spec,) * n_planes,
+                                        (spec,) * n_planes),
             check_vma=False,
         )
     elif use_packed:
@@ -1013,7 +1048,7 @@ def _make_local_step(model, mesh: Mesh, n_over_relax: int = 0,
                 state = lax.cond(do_or, do, lambda s: s, state)
             if with_obs and obs is None:
                 obs = _xy_local_obs(model, state, ysh, xsh)
-        elif is_clock and packed == "clock6":
+        elif is_clock and packed in ("clock6", "clock4"):
             a, b, obs = _clock_local_sweep_packed(
                 model, state.a, state.b, key, ysh, xsh, rep0, row0,
                 col0, want_obs=with_obs, interpret=packed_interpret,
@@ -1060,9 +1095,12 @@ def _make_local_step(model, mesh: Mesh, n_over_relax: int = 0,
 
     nd = 4 if is_3d else 3
     spec = _state_spec(mesh, nd)
-    if packed == "clock6":
-        # state is a triplet of packed bit planes per color
-        state_struct = CheckerboardState((spec,) * 3, (spec,) * 3)
+    if packed in ("clock6", "clock4"):
+        # state is a tuple of packed bit planes per color (3 for the
+        # q=6 CRT engine, 2 for the q=4 digit engine)
+        n_planes = 3 if packed == "clock6" else 2
+        state_struct = CheckerboardState((spec,) * n_planes,
+                                         (spec,) * n_planes)
     elif is_xy:
         state_struct = XYState(spec, spec, spec, spec)
     else:

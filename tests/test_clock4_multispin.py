@@ -404,6 +404,156 @@ def test_runner_series_q4():
 
 
 # ---------------------------------------------------------------------------
+# sharded engine (inside shard_map on the virtual mesh)
+# ---------------------------------------------------------------------------
+
+def _sharded_halo_planes(key, nrep, half):
+    """Random boundary-state digit planes (b0, b1) for hup/hdn."""
+    hs = jax.random.randint(key, (2, nrep, 1, half), 0, 4)
+    return tuple(
+        tuple(((hs[j] >> k) & 1).astype(jnp.int32) for k in range(2))
+        for j in range(2)
+    )
+
+
+@pytest.mark.parametrize("color", [0, 1])
+def test_sharded_phase4_interpret_matches_reference(color):
+    """Sharded packed q=4 phase (interpret, injected planes) == the jnp
+    sharded oracle, bitwise — synthetic edge words from exchanged
+    boundary digit planes."""
+    key = jax.random.PRNGKey(71 + color)
+    ks = jax.random.split(key, 10)
+    ny, nx, nrep = 256, 256, 2
+    states = [
+        split_checkerboard(_random_state(ks[i], ny, nx))
+        for i in range(nrep)
+    ]
+    a = jnp.stack([s[0] for s in states])
+    b = jnp.stack([s[1] for s in states])
+    wa = c4.pack_clock4_color(a)
+    wb = c4.pack_clock4_color(b)
+    planes6 = _valid_inject(ks[2:8], wa[0].shape)
+    hup, hdn = _sharded_halo_planes(ks[8], nrep, nx // 2)
+    seeds = jnp.zeros((2,), jnp.int32)
+    offs = jnp.zeros((2,), jnp.int32)
+    x, o = ((wa, wb) if color == 0 else (wb, wa))
+    got = c4.sharded_phase_packed4(
+        tuple(p + 0 for p in x), o, hup, hdn, seeds, offs,
+        color=color, beta=1.1, inject=planes6, interpret=True)
+    want = jax.vmap(
+        lambda xb0, xb1, ob0, ob1, p0, p1, p2, p3, p4, p5,
+               h0, h1, g0, g1:
+        c4.packed_sharded_phase_reference4(
+            (xb0, xb1), (ob0, ob1), color,
+            (p0, p1, p2, p3, p4, p5), (h0, h1), (g0, g1))
+    )(*x, *o, *planes6, *hup, *hdn)
+    for g, w in zip(got, want):
+        np.testing.assert_array_equal(np.asarray(g), np.asarray(w))
+
+
+@pytest.mark.parametrize("color", [0, 1])
+def test_sharded_phase4_cols_interpret_matches_reference(color):
+    """Sharded packed q=4 phase WITH column halos (x-split variant,
+    interpret, injected planes) == the jnp sharded oracle, bitwise."""
+    key = jax.random.PRNGKey(81 + color)
+    ks = jax.random.split(key, 14)
+    ny, nx, nrep = 256, 256, 2
+    states = [
+        split_checkerboard(_random_state(ks[i], ny, nx))
+        for i in range(nrep)
+    ]
+    a = jnp.stack([s[0] for s in states])
+    b = jnp.stack([s[1] for s in states])
+    wa = c4.pack_clock4_color(a)
+    wb = c4.pack_clock4_color(b)
+    planes6 = _valid_inject(ks[2:8], wa[0].shape)
+    hup, hdn = _sharded_halo_planes(ks[8], nrep, nx // 2)
+    nyw = wa[0].shape[1]
+    hlf = tuple(_rand_plane(k, (nrep, nyw, 1)) for k in ks[9:11])
+    hrt = tuple(_rand_plane(k, (nrep, nyw, 1)) for k in ks[11:13])
+    seeds = jnp.zeros((2,), jnp.int32)
+    offs = jnp.zeros((3,), jnp.int32)
+    x, o = ((wa, wb) if color == 0 else (wb, wa))
+    got = c4.sharded_phase_packed4(
+        tuple(p + 0 for p in x), o, hup, hdn, seeds, offs,
+        color=color, beta=1.1, halo_lf=hlf, halo_rt=hrt,
+        inject=planes6, interpret=True)
+    want = jax.vmap(
+        lambda xb0, xb1, ob0, ob1, p0, p1, p2, p3, p4, p5,
+               h0, h1, g0, g1, l0, l1, r0, r1:
+        c4.packed_sharded_phase_reference4(
+            (xb0, xb1), (ob0, ob1), color,
+            (p0, p1, p2, p3, p4, p5), (h0, h1), (g0, g1),
+            (l0, l1), (r0, r1))
+    )(*x, *o, *planes6, *hup, *hdn, *hlf, *hrt)
+    for g, w in zip(got, want):
+        np.testing.assert_array_equal(np.asarray(g), np.asarray(w))
+
+
+def _virtual_mesh_or_skip(dp, y, x=1):
+    from cuda_fortran_mc_simulation_spin_tpu.parallel import mesh as mm
+
+    if len(jax.devices()) < dp * y * x:
+        pytest.skip("needs a virtual multi-device mesh (conftest)")
+    return mm.make_mesh(dp, y, x)
+
+
+def test_sharded_packed4_runner_mesh_shape_invariant(monkeypatch):
+    """Full packed q=4 sharded runner (interpret mode): (1,1) and (2,2)
+    meshes produce bit-identical (m, e) series."""
+    monkeypatch.setenv("SPINLAT_SHARD_PALLAS_INTERPRET", "1")
+    from cuda_fortran_mc_simulation_spin_tpu.parallel import domain
+
+    model = Clock2D(nx=256, ny=512, kbt=0.9, q=4, backend="jnp")
+    series = {}
+    for dp, y in ((1, 1), (2, 2)):
+        mesh = _virtual_mesh_or_skip(dp, y)
+        assert domain._shard_packed_mode(model, mesh, 4)[0] == "clock4"
+        run = domain.make_sharded_sample_runner(model, mesh, mcs=3,
+                                                replicas=4)
+        series[(dp, y)] = jax.device_get(run(rng.base_key(46)))
+    for k in ("m", "e"):
+        np.testing.assert_array_equal(
+            np.asarray(series[(1, 1)][k]), np.asarray(series[(2, 2)][k]))
+
+
+def test_sharded_packed4_runner_x_split_invariant(monkeypatch):
+    """(1,2,2) mesh (x-axis split of the PACKED q=4 engine) is bitwise
+    identical to the (1,1) mesh — granule+chunk PRNG keying."""
+    monkeypatch.setenv("SPINLAT_SHARD_PALLAS_INTERPRET", "1")
+    from cuda_fortran_mc_simulation_spin_tpu.parallel import domain
+
+    model = Clock2D(nx=512, ny=512, kbt=0.9, q=4, backend="jnp")
+    series = {}
+    for dp, y, x in ((1, 1, 1), (1, 2, 2)):
+        mesh = _virtual_mesh_or_skip(dp, y, x)
+        assert domain._shard_packed_mode(model, mesh, 2)[0] == "clock4", (
+            "packed q=4 mode must engage on the x-split mesh")
+        run = domain.make_sharded_sample_runner(model, mesh, mcs=3,
+                                                replicas=2)
+        series[(dp, y, x)] = jax.device_get(run(rng.base_key(72)))
+    for k in ("m", "e"):
+        np.testing.assert_array_equal(
+            np.asarray(series[(1, 1, 1)][k]),
+            np.asarray(series[(1, 2, 2)][k]))
+
+
+def test_sharded_packed4_runner_absorbing_low_t(monkeypatch):
+    """T→0 packed q=4 sharded runner: ordered start stays absorbed
+    (m ≡ 1, e ≡ -2) on a (2,2) mesh."""
+    monkeypatch.setenv("SPINLAT_SHARD_PALLAS_INTERPRET", "1")
+    from cuda_fortran_mc_simulation_spin_tpu.parallel import domain
+
+    model = Clock2D(nx=256, ny=512, kbt=1e-4, q=4, backend="jnp")
+    mesh = _virtual_mesh_or_skip(2, 2)
+    run = domain.make_sharded_sample_runner(model, mesh, mcs=2,
+                                            replicas=4)
+    out = jax.device_get(run(rng.base_key(47)))
+    np.testing.assert_allclose(np.asarray(out["m"]), 1.0, atol=0)
+    np.testing.assert_allclose(np.asarray(out["e"]), -2.0, atol=0)
+
+
+# ---------------------------------------------------------------------------
 # TPU-gated (hardware PRNG / Mosaic) tests
 # ---------------------------------------------------------------------------
 
