@@ -159,8 +159,12 @@ def _clock_multispin_eligible(cfg, model, runner_kwargs) -> bool:
             or clock_multispin.clock_padded_packable(model):
         return True
     from cuda_fortran_mc_simulation_spin_tpu.ops import clock4_multispin
-    return (clock4_multispin.clock4_packable(model)
-            or clock4_multispin.clock4_padded_packable(model))
+    if (clock4_multispin.clock4_packable(model)
+            or clock4_multispin.clock4_padded_packable(model)):
+        return True
+    from cuda_fortran_mc_simulation_spin_tpu.ops import clock3_multispin
+    return (clock3_multispin.clock3_packable(model)
+            or clock3_multispin.clock3_padded_packable(model))
 
 
 def _wrap_runner(runner, batch):

@@ -353,7 +353,8 @@ def make_clock_multispin_runner(
     literal 2000x2000 / 1000x1000 committed geometries) run the padded
     engine (same kernel on padded planes + masked observables).  q=6
     takes the CRT bit-sliced engine; q=4 its 2-bit-digit companion
-    (ops/clock4_multispin.py)."""
+    (ops/clock4_multispin.py); q=3 the Z₃ two-plane companion
+    (ops/clock3_multispin.py)."""
     from cuda_fortran_mc_simulation_spin_tpu.ops import clock_multispin
 
     if getattr(model, "q", None) == 4:
@@ -365,6 +366,15 @@ def make_clock_multispin_runner(
         sm_plain = eng.sweep_measure_packed4
         sm_padded = eng.sweep_measure_packed4_padded
         aligned = eng.clock4_packable(model)
+    elif getattr(model, "q", None) == 3:
+        from cuda_fortran_mc_simulation_spin_tpu.ops import (
+            clock3_multispin as eng,
+        )
+        pack = eng.pack_clock3_color
+        pack_padded = eng.pack_clock3_color_padded
+        sm_plain = eng.sweep_measure_packed3
+        sm_padded = eng.sweep_measure_packed3_padded
+        aligned = eng.clock3_packable(model)
     else:
         pack = clock_multispin.pack_clock_color
         pack_padded = clock_multispin.pack_clock_color_padded

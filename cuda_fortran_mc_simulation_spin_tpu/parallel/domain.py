@@ -174,7 +174,7 @@ def _shard_pallas_mode(model, local_shape,
 def _shard_packed_mode(model, mesh: Mesh, replicas: int,
                        n_over_relax: int = 0
                        ) -> tuple[str | None, bool]:
-    """(kind, interpret) with kind ∈ {"2d", "3d", "clock6", "clock4",
+    """(kind, interpret) with kind ∈ {"2d", "3d", "clock6", "clock4", "clock3",
     None} — route the domain-sharded sweep through the bit-packed
     multispin halo kernels (ops/ising2d_multispin.sharded_phase_packed /
     ops/ising3d_multispin.sharded_phase3d_packed /
@@ -195,15 +195,17 @@ def _shard_packed_mode(model, mesh: Mesh, replicas: int,
     is3d = isinstance(model, Ising3D)
     is_ck6 = isinstance(model, Clock2D) and model.q == 6
     is_ck4 = isinstance(model, Clock2D) and model.q == 4
-    if not (is2d or is3d or is_ck6 or is_ck4) or n_over_relax:
+    is_ck3 = isinstance(model, Clock2D) and model.q == 3
+    is_ck = is_ck6 or is_ck4 or is_ck3
+    if not (is2d or is3d or is_ck) or n_over_relax:
         return None, False
     if os.environ.get("SPINLAT_SHARD_PACKED") == "0":
         return None, False
     ysh = mesh.shape["y"]
     xsh = mesh.shape.get("x", 1)
-    if xsh > 1 and not (is2d or is_ck6 or is_ck4):
+    if xsh > 1 and not (is2d or is_ck):
         # packed column halos are implemented for the 2-D engines
-        # (Ising2D and the q=6 clock); 3-D x-splits keep int8 kernels
+        # (Ising2D and the packed clocks); 3-D x-splits keep int8 kernels
         return None, False
     dp = mesh.shape["dp"]
     if replicas % dp:
@@ -211,7 +213,7 @@ def _shard_packed_mode(model, mesh: Mesh, replicas: int,
     if model.nsites > ising2d_multispin.OBS_INT32_MAX_SITES:
         # fused int32 (m, e) partials would wrap; int8 f32-obs path
         return None, False
-    if is_ck6 or is_ck4:
+    if is_ck:
         if is_ck6:
             from cuda_fortran_mc_simulation_spin_tpu.ops import (
                 clock_multispin as ck_eng,
@@ -219,13 +221,20 @@ def _shard_packed_mode(model, mesh: Mesh, replicas: int,
 
             shard_ok = ck_eng.shard_packed6_ok
             kind = "clock6"
-        else:
+        elif is_ck4:
             from cuda_fortran_mc_simulation_spin_tpu.ops import (
                 clock4_multispin as ck_eng,
             )
 
             shard_ok = ck_eng.shard_packed4_ok
             kind = "clock4"
+        else:
+            from cuda_fortran_mc_simulation_spin_tpu.ops import (
+                clock3_multispin as ck_eng,
+            )
+
+            shard_ok = ck_eng.shard_packed3_ok
+            kind = "clock3"
 
         if (os.environ.get("SPINLAT_CLOCK_PACKED") == "0"
                 or model.nsites > ck_eng.OBS_INT32_MAX_SITES):
@@ -344,6 +353,13 @@ def _clock_local_sweep_packed(model: Clock2D, wa3, wb3, key, ysh, xsh,
 
         sharded_phase = _c4.sharded_phase_packed4
         obs_scale = 1.0
+    elif model.q == 3:
+        from cuda_fortran_mc_simulation_spin_tpu.ops import (
+            clock3_multispin as _c3,
+        )
+
+        sharded_phase = _c3.sharded_phase_packed3
+        obs_scale = 0.5               # kernel emits (2m, 2e)
     else:
         from cuda_fortran_mc_simulation_spin_tpu.ops import (
             clock_multispin as _c6,
@@ -856,19 +872,25 @@ def make_sharded_sample_runner(model, mesh: Mesh, mcs: int,
     _check_replicas(replicas, mesh)
     mcs_or = mcs_over_relax or mcs
 
-    if use_packed in ("clock6", "clock4"):
+    if use_packed in ("clock6", "clock4", "clock3"):
         if use_packed == "clock6":
             from cuda_fortran_mc_simulation_spin_tpu.ops import (
                 clock_multispin as ck_eng,
             )
 
             pack_fn, n_planes = ck_eng.pack_clock_color, 3
-        else:
+        elif use_packed == "clock4":
             from cuda_fortran_mc_simulation_spin_tpu.ops import (
                 clock4_multispin as ck_eng,
             )
 
             pack_fn, n_planes = ck_eng.pack_clock4_color, 2
+        else:
+            from cuda_fortran_mc_simulation_spin_tpu.ops import (
+                clock3_multispin as ck_eng,
+            )
+
+            pack_fn, n_planes = ck_eng.pack_clock3_color, 2
 
         spec = _state_spec(mesh, 3)
         pack_sharded = jax.shard_map(
@@ -1048,7 +1070,7 @@ def _make_local_step(model, mesh: Mesh, n_over_relax: int = 0,
                 state = lax.cond(do_or, do, lambda s: s, state)
             if with_obs and obs is None:
                 obs = _xy_local_obs(model, state, ysh, xsh)
-        elif is_clock and packed in ("clock6", "clock4"):
+        elif is_clock and packed in ("clock6", "clock4", "clock3"):
             a, b, obs = _clock_local_sweep_packed(
                 model, state.a, state.b, key, ysh, xsh, rep0, row0,
                 col0, want_obs=with_obs, interpret=packed_interpret,
@@ -1095,9 +1117,9 @@ def _make_local_step(model, mesh: Mesh, n_over_relax: int = 0,
 
     nd = 4 if is_3d else 3
     spec = _state_spec(mesh, nd)
-    if packed in ("clock6", "clock4"):
+    if packed in ("clock6", "clock4", "clock3"):
         # state is a tuple of packed bit planes per color (3 for the
-        # q=6 CRT engine, 2 for the q=4 digit engine)
+        # q=6 CRT engine, 2 for the q=4/q=3 digit engines)
         n_planes = 3 if packed == "clock6" else 2
         state_struct = CheckerboardState((spec,) * n_planes,
                                          (spec,) * n_planes)
