@@ -581,15 +581,21 @@ def make_helical_runner(
                         model, planes, rng.sweep_key(call_key, t))
 
                     def do_or(p):
-                        return lax.fori_loop(
-                            0, n_over_relax,
+                        # the LAST OR sweep carries the fused (m, my,
+                        # e) — no separate whole-lattice observables()
+                        # pass on the schedule's hot branch
+                        p = lax.fori_loop(
+                            0, n_over_relax - 1,
                             lambda i, p2: xhd.over_relax_sweep(
                                 model, p2),
                             p,
                         )
-                    planes = lax.cond(
-                        t <= mcs_or, do_or, lambda p: p, planes)
-                    return planes, xhd.observables(model, planes)
+                        return xhd.over_relax_sweep_measure(model, p)
+
+                    def no_or(p):
+                        return p, xhd.observables(model, p)
+
+                    return lax.cond(t <= mcs_or, do_or, no_or, planes)
 
                 planes, series = lax.scan(
                     body, planes, t0 + jnp.arange(1, size + 1))

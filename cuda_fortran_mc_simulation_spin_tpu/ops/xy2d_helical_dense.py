@@ -309,7 +309,9 @@ def _phase_kernel(seed_ref, sx_ref, sy_ref,
 
 def _or_kernel(sx_ref, sy_ref, ox_ref, oxu_ref, oxd_ref,
                oy_ref, oyu_ref, oyd_ref, outx_ref, outy_ref,
-               *, color: int, ty: int, nc: int):
+               *rest, color: int, ty: int, nc: int,
+               measuring: bool = False):
+    obs_ref = rest[0] if measuring else None
     i = pl.program_id(1)
     sx = sx_ref[0]
     sy = sy_ref[0]
@@ -338,8 +340,33 @@ def _or_kernel(sx_ref, sy_ref, ox_ref, oxu_ref, oxd_ref,
     rinv = jax.lax.rsqrt(jnp.maximum(rx_ * rx_ + ry_ * ry_,
                                      jnp.float32(1e-30)))
     valid = _valid_col(color, nc, col, p0row)
-    outx_ref[0] = jnp.where(valid, rx_ * rinv, sx)
-    outy_ref[0] = jnp.where(valid, ry_ * rinv, sy)
+    fin_x = jnp.where(valid, rx_ * rinv, sx)
+    fin_y = jnp.where(valid, ry_ * rinv, sy)
+    outx_ref[0] = fin_x
+    outy_ref[0] = fin_y
+    if measuring:
+        # fused (m, my, e) from the second OR color phase: h is built
+        # from FINAL other-color values (already reflected in the
+        # first OR phase) and each bond appears once in Σ_b S·h —
+        # saves the separate whole-lattice observables() pass the OR
+        # schedule otherwise needs.
+        ovalid = _valid_col(1 - color, nc, col, p0row)
+        vm = valid.astype(jnp.float32)
+        ovm = ovalid.astype(jnp.float32)
+        mx = jnp.sum(fin_x * vm) + jnp.sum(ox * ovm)
+        my = jnp.sum(fin_y * vm) + jnp.sum(oy * ovm)
+        e = -jnp.sum((fin_x * hx + fin_y * hy) * vm)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+        row = jnp.where(
+            lane == 0, mx,
+            jnp.where(lane == 1, my, jnp.where(lane == 2, e, 0.0)),
+        )
+
+        @pl.when(i == 0)
+        def _():
+            obs_ref[0] = jnp.zeros_like(obs_ref[0])
+
+        obs_ref[0] = obs_ref[0] + row
 
 
 def _pick_ty(ny: int, w: int, budget: int = 1 << 17) -> int:
@@ -425,32 +452,46 @@ def _dense_phase(planes, seeds, u_cand, u_acc, *, color, beta, nrep,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("color", "nrep", "ny", "nc", "interpret")
+    jax.jit, static_argnames=("color", "nrep", "ny", "nc", "measuring",
+                              "interpret")
 )
-def _dense_or_phase(planes, *, color, nrep, ny, nc, interpret=False):
+def _dense_or_phase(planes, *, color, nrep, ny, nc, measuring=False,
+                    interpret=False):
     ax, ay, bx, by = planes
     w = ax.shape[-1]
     ty = _pick_ty(ny, w)
     n = ny // ty
     center, up, dn = _specs(ty, ny, w)
-    kernel = functools.partial(_or_kernel, color=color, ty=ty, nc=nc)
+    kernel = functools.partial(_or_kernel, color=color, ty=ty, nc=nc,
+                               measuring=measuring)
     sx, sy, ox, oy = ((ax, ay, bx, by) if color == 0
                       else (bx, by, ax, ay))
+    out_shape = [
+        jax.ShapeDtypeStruct((nrep, ny, w), jnp.float32),
+        jax.ShapeDtypeStruct((nrep, ny, w), jnp.float32),
+    ]
+    out_specs = [center, center]
+    if measuring:
+        out_shape.append(jax.ShapeDtypeStruct((nrep, 1, 128),
+                                              jnp.float32))
+        out_specs.append(pl.BlockSpec((1, 1, 128),
+                                      lambda r, i: (r, 0, 0),
+                                      memory_space=pltpu.VMEM))
     res = pl.pallas_call(
         kernel,
-        out_shape=(
-            jax.ShapeDtypeStruct((nrep, ny, w), jnp.float32),
-            jax.ShapeDtypeStruct((nrep, ny, w), jnp.float32),
-        ),
+        out_shape=tuple(out_shape),
         grid=(nrep, n),
         in_specs=[center, center, center, up, dn, center, up, dn],
-        out_specs=(center, center),
+        out_specs=tuple(out_specs),
         input_output_aliases={0: 0, 1: 1},
         interpret=interpret,
     )(sx, sy, ox, ox, ox, oy, oy, oy)
-    fin_x, fin_y = res
-    return ((fin_x, fin_y, bx, by) if color == 0
-            else (ax, ay, fin_x, fin_y))
+    fin_x, fin_y = res[0], res[1]
+    planes = ((fin_x, fin_y, bx, by) if color == 0
+              else (ax, ay, fin_x, fin_y))
+    if measuring:
+        return planes, res[2]
+    return planes
 
 
 # ---------------------------------------------------------------------------
@@ -501,6 +542,23 @@ def over_relax_sweep(model, planes):
               nc=dense_nc(model.nx))
     planes = _dense_or_phase(planes, color=0, **kw)
     return _dense_or_phase(planes, color=1, **kw)
+
+
+def over_relax_sweep_measure(model, planes):
+    """One OR sweep + fused (m, my, e) from the second color phase —
+    the OR schedule's replacement for over_relax_sweep() followed by a
+    separate observables() pass (one fewer whole-lattice read/MCS)."""
+    kw = dict(nrep=planes[0].shape[0], ny=model.ny,
+              nc=dense_nc(model.nx))
+    planes = _dense_or_phase(planes, color=0, **kw)
+    planes, obs = _dense_or_phase(planes, color=1, measuring=True,
+                                  **kw)
+    n_inv = jnp.float32(1.0 / model.nsites)
+    return planes, {
+        "m": obs[:, 0, 0] * n_inv,
+        "my": obs[:, 0, 1] * n_inv,
+        "e": obs[:, 0, 2] * n_inv,
+    }
 
 
 def observables(model, planes):

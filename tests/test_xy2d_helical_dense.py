@@ -149,6 +149,42 @@ def test_or_kernel_interpret_matches_reference(color):
                                    rtol=0, atol=4e-7)
 
 
+def test_or_measure_interpret_matches_separate_observables():
+    """over_relax_sweep_measure (fused (m, my, e) in the second OR
+    color phase) == over_relax_sweep followed by the separate
+    observables() pass — same final planes, same densities."""
+    model = XY2DHelical(nx=NX, ny=NY, kbt=0.895)
+    fx, fy = _rand_state(jax.random.PRNGKey(31), (2,))
+    planes = xhd.pack_state((fx, fy), NY, NX)
+    nc = xhd.dense_nc(NX)
+
+    p_sep = xhd._dense_or_phase(tuple(p + 0 for p in planes),
+                                color=0, nrep=2, ny=NY, nc=nc,
+                                interpret=True)
+    p_sep = xhd._dense_or_phase(p_sep, color=1, nrep=2, ny=NY, nc=nc,
+                                interpret=True)
+    want = xhd.observables(model, p_sep)
+
+    p_fus = xhd._dense_or_phase(tuple(p + 0 for p in planes),
+                                color=0, nrep=2, ny=NY, nc=nc,
+                                interpret=True)
+    p_fus, obs = xhd._dense_or_phase(p_fus, color=1, measuring=True,
+                                     nrep=2, ny=NY, nc=nc,
+                                     interpret=True)
+    n_inv = 1.0 / model.nsites
+    for g, wv in zip(p_fus, p_sep):
+        np.testing.assert_array_equal(np.asarray(g), np.asarray(wv))
+    np.testing.assert_allclose(np.asarray(obs[:, 0, 0]) * n_inv,
+                               np.asarray(want["m"]), rtol=0,
+                               atol=5e-5)
+    np.testing.assert_allclose(np.asarray(obs[:, 0, 1]) * n_inv,
+                               np.asarray(want["my"]), rtol=0,
+                               atol=5e-5)
+    np.testing.assert_allclose(np.asarray(obs[:, 0, 2]) * n_inv,
+                               np.asarray(want["e"]), rtol=0,
+                               atol=5e-5)
+
+
 def test_or_reference_conserves_energy_and_norm():
     """Over-relaxation: |S|=1 after renorm and energy is conserved to
     f32 accuracy (the reflection is microcanonical,
