@@ -130,12 +130,34 @@ def make_batch_runner(
             )(jnp.arange(batch))
             state = jax.vmap(prepare)(state, prep_keys)
 
+        or_measure = (
+            getattr(model, "over_relax_sweep_measure_batched", None)
+            if measure_batch is not None else None
+        )
+
         def body(state, t):
             state = model.sweep_batched(state, rng.sweep_key(call_key, t))
             if n_over_relax > 0:
                 or_sweep = getattr(
                     model, "over_relax_sweep_batched", None
                 ) or (lambda s: jax.vmap(model.over_relax_sweep)(s))
+
+                if or_measure is not None:
+                    # the LAST OR sweep carries the fused measurement —
+                    # no separate whole-lattice observables pass on the
+                    # schedule's hot branch
+                    def do_or_measure(s):
+                        s = lax.fori_loop(
+                            0, n_over_relax - 1,
+                            lambda i, s2: or_sweep(s2), s)
+                        return or_measure(s)
+
+                    if mcs_over_relax >= mcs:
+                        return do_or_measure(state)
+                    return lax.cond(
+                        t <= mcs_over_relax, do_or_measure,
+                        lambda s: (s, measure_batch(s)), state,
+                    )
 
                 def do_or(s):
                     def or_body(i, s):

@@ -460,6 +460,20 @@ class XY2D:
             return {"m": obs["mx"], "my": obs["my"], "e": obs["e"]}
         return jax.vmap(self.observables)(state)
 
+    def over_relax_sweep_measure_batched(
+            self, state: XYState) -> tuple[XYState, dict[str, jax.Array]]:
+        """One OR sweep + {m, my, e} densities, with the measurement
+        fused into the color-1 reflection kernel on TPU (saves the
+        separate measure_plain pass the OR schedule otherwise needs —
+        /root/reference/app/xy2d_periodic_gpu_over_relaxation.f90:42-45
+        measures after the OR sweeps)."""
+        if self.resolved_backend == "pallas":
+            from cuda_fortran_mc_simulation_spin_tpu.ops import xy2d_pallas
+
+            return xy2d_pallas.over_relax_sweep_measure(self, state)
+        state = self.over_relax_sweep_batched(state)
+        return state, self.observables_batched(state)
+
     # -- test oracles -------------------------------------------------------------------
     def full_vectors(self, state: XYState) -> np.ndarray:
         fx = np.asarray(lattice.merge_checkerboard(state.ax, state.bx))

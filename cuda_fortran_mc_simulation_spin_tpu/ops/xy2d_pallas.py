@@ -79,8 +79,9 @@ def _metropolis_kernel(seed_ref, sx_ref, sy_ref,
 def _over_relax_kernel(sx_ref, sy_ref,
                        ox_ref, oxu_ref, oxd_ref,
                        oy_ref, oyu_ref, oyd_ref,
-                       outx_ref, outy_ref,
-                       *, color: int, ty: int):
+                       outx_ref, outy_ref, *rest,
+                       color: int, ty: int, measuring: bool = False):
+    obs_ref = rest[0] if measuring else None
     i = pl.program_id(1)
     parity = stencil.row_parity_mask(ty, i * ty)
     hx, hy = _field(ox_ref, oxu_ref, oxd_ref, oy_ref, oyu_ref, oyd_ref,
@@ -96,8 +97,29 @@ def _over_relax_kernel(sx_ref, sy_ref,
     rinv = jax.lax.rsqrt(
         jnp.maximum(rx * rx + ry * ry, jnp.float32(1e-30))
     )
-    outx_ref[0] = rx * rinv
-    outy_ref[0] = ry * rinv
+    fin_x = rx * rinv
+    fin_y = ry * rinv
+    outx_ref[0] = fin_x
+    outy_ref[0] = fin_y
+    if measuring:
+        # fused (mx, my, e) from the second OR color phase: h is built
+        # from FINAL other-color values (reflected in the first OR
+        # phase) and each bond appears once in Σ_b S·h — replaces the
+        # separate measure_plain pass on the OR schedule's hot branch
+        mx = jnp.sum(fin_x) + jnp.sum(ox_ref[0])
+        my = jnp.sum(fin_y) + jnp.sum(oy_ref[0])
+        e = -jnp.sum(fin_x * hx + fin_y * hy)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+        row = jnp.where(
+            lane == 0, mx,
+            jnp.where(lane == 1, my, jnp.where(lane == 2, e, 0.0)),
+        )
+
+        @pl.when(i == 0)
+        def _():
+            obs_ref[0] = jnp.zeros_like(obs_ref[0])
+
+        obs_ref[0] = obs_ref[0] + row
 
 
 def _specs(ty: int, ny: int, half: int):
@@ -148,31 +170,43 @@ def _metropolis_phase(sx, sy, ox, oy, seeds, *, color, beta, nrep, ny,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("color", "nrep", "ny", "half")
+    jax.jit, static_argnames=("color", "nrep", "ny", "half",
+                              "measuring")
 )
-def _over_relax_phase(sx, sy, ox, oy, *, color, nrep, ny, half):
+def _over_relax_phase(sx, sy, ox, oy, *, color, nrep, ny, half,
+                      measuring=False):
     ty = _pick_tile_rows(ny, half, budget_bytes=128 << 10, gran=8)
     # 128K-element blocks: ty=128 at 1536^2 measured 2.08e10 vs
     # 1.93e10 at ty=64 on the from-disorder path; ty>=256 fails
     # to compile (VMEM)
     n = ny // ty
     center, up, dn = _specs(ty, ny, half)
-    kernel = functools.partial(_over_relax_kernel, color=color, ty=ty)
-    return pl.pallas_call(
+    kernel = functools.partial(_over_relax_kernel, color=color, ty=ty,
+                               measuring=measuring)
+    out_shape = [
+        jax.ShapeDtypeStruct((nrep, ny, half), jnp.float32),
+        jax.ShapeDtypeStruct((nrep, ny, half), jnp.float32),
+    ]
+    out_specs = [center, center]
+    if measuring:
+        out_shape.append(jax.ShapeDtypeStruct((nrep, 1, 128),
+                                              jnp.float32))
+        out_specs.append(pl.BlockSpec((1, 1, 128),
+                                      lambda r, i: (r, 0, 0),
+                                      memory_space=pltpu.VMEM))
+    res = pl.pallas_call(
         kernel,
-        out_shape=(
-            jax.ShapeDtypeStruct((nrep, ny, half), jnp.float32),
-            jax.ShapeDtypeStruct((nrep, ny, half), jnp.float32),
-        ),
+        out_shape=tuple(out_shape),
         grid=(nrep, n),
         in_specs=[
             center, center,
             center, up, dn,
             center, up, dn,
         ],
-        out_specs=(center, center),
+        out_specs=tuple(out_specs),
         input_output_aliases={0: 0, 1: 1},
     )(sx, sy, ox, ox, ox, oy, oy, oy)
+    return res
 
 
 def _maybe_batch(state: XYState):
@@ -206,6 +240,31 @@ def over_relax_sweep(model, state: XYState) -> XYState:
     bx, by = _over_relax_phase(bx, by, ax, ay, color=1, **kw)
     out = XYState(ax, ay, bx, by)
     return out if batched else XYState(*(p[0] for p in out))
+
+
+def over_relax_sweep_measure(model, state: XYState):
+    """One OR sweep + fused (m, my, e) densities from the color-1
+    kernel — the OR schedule's replacement for over_relax_sweep()
+    followed by a separate measure_plain pass (one fewer
+    whole-lattice read per MCS)."""
+    ny, half = model.color_shape
+    st, batched = _maybe_batch(state)
+    ax, ay, bx, by = st
+    kw = dict(nrep=ax.shape[0], ny=ny, half=half)
+    ax, ay = _over_relax_phase(ax, ay, bx, by, color=0, **kw)
+    bx, by, obs = _over_relax_phase(bx, by, ax, ay, color=1,
+                                    measuring=True, **kw)
+    out = XYState(ax, ay, bx, by)
+    n_inv = jnp.float32(1.0 / model.nsites)
+    od = {
+        "m": obs[:, 0, 0] * n_inv,
+        "my": obs[:, 0, 1] * n_inv,
+        "e": obs[:, 0, 2] * n_inv,
+    }
+    if batched:
+        return out, od
+    return (XYState(*(p[0] for p in out)),
+            {k: v[0] for k, v in od.items()})
 
 
 # ---------------------------------------------------------------------------

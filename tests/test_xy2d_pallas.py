@@ -28,6 +28,34 @@ def test_xy_pallas_unit_norm_and_or_conservation():
 
 
 @requires_tpu
+def test_xy_pallas_or_measure_fused_matches_separate():
+    """over_relax_sweep_measure (fused (m, my, e) in the color-1
+    reflection kernel) == over_relax_sweep + the separate
+    measure_plain pass: same state bitwise, same densities."""
+    import jax.numpy as jnp
+
+    from cuda_fortran_mc_simulation_spin_tpu.core import rng
+    from cuda_fortran_mc_simulation_spin_tpu.models.xy2d import XY2D
+    from cuda_fortran_mc_simulation_spin_tpu.ops import xy2d_pallas
+
+    m = XY2D(nx=512, ny=512, kbt=0.89, backend="pallas")
+    st = jax.vmap(lambda k: m.init_state("random", k))(
+        jax.random.split(rng.base_key(3), 2))
+    st = jax.jit(m.sweep_batched)(st, rng.base_key(4))
+
+    sep = jax.jit(m.over_relax_sweep_batched)(
+        jax.tree.map(lambda p: p + 0, st))
+    want = m.observables_batched(sep)
+    fus, obs = jax.jit(m.over_relax_sweep_measure_batched)(st)
+    for g, wv in zip(fus, sep):
+        np.testing.assert_array_equal(np.asarray(g), np.asarray(wv))
+    for k in ("m", "my", "e"):
+        np.testing.assert_allclose(np.asarray(obs[k]),
+                                   np.asarray(want[k]),
+                                   rtol=0, atol=5e-5)
+
+
+@requires_tpu
 def test_xy_pallas_matches_jnp_statistically():
     from cuda_fortran_mc_simulation_spin_tpu.core import rng
     from cuda_fortran_mc_simulation_spin_tpu.engine import sweep as sw
