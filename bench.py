@@ -166,19 +166,20 @@ def _xy_or():
     return model.nsites * mcs / best
 
 
-def _clock_ensemble(n: int = 2048, mcs: int = 256):
+def _clock_ensemble(n: int = 2048, mcs: int = 256, nrep: int = 16):
     """Routed q=6 clock ensemble path with per-sweep measurement at the
     2048^2 class (the reference's largest production workload).  At
     n=2000 the same routing engages the PADDED packed engine — the
     reference's literal committed geometry
     (/root/reference/src/clock/clock_dual_lattice_yhalf_tableall_m
-    .f90:13)."""
+    .f90:13); there R=40 replicas amortize the ~4.6% pad overhead
+    (measured 1.10e11 vs 0.99e11 at R=16 — and 40 divides the committed
+    5000-sample count, so it is also the production batch)."""
     from cuda_fortran_mc_simulation_spin_tpu.engine import protocols
     from cuda_fortran_mc_simulation_spin_tpu.engine import sweep as sweep_mod
     from cuda_fortran_mc_simulation_spin_tpu.config import RunConfig
     from cuda_fortran_mc_simulation_spin_tpu.models.clock import Clock2D
 
-    nrep = 16
     model = Clock2D(nx=n, ny=n, kbt=0.80, q=6)
     cfg = RunConfig(model="clock", nx=n, ny=n, q=6, kbt=0.80, mcs=mcs,
                     tot_sample=nrep, replicas=nrep)
@@ -235,7 +236,7 @@ def main() -> None:
         except Exception as exc:  # pragma: no cover - bench resilience
             secondary["clock_ensemble_flips_per_sec"] = {"error": repr(exc)}
         try:
-            v, eng = _clock_ensemble(n=2000)
+            v, eng = _clock_ensemble(n=2000, nrep=40)
             if v is not None:
                 secondary["clock_literal2000_flips_per_sec"] = {
                     "value": v, "unit": "flip-attempts/s",

@@ -224,12 +224,16 @@ def test_absorbing_states():
     model_hot = Clock2D(nx=256, ny=256, kbt=1e6, q=3, backend="jnp")
     wa, wb = _pack_full(full0)
     obs = None
-    for t in range(100, 105):
+    # Each hot sweep multiplies the Z3 character bias by exactly -1/2
+    # (uniform ±1 offsets: E[w^r] = -1/2), so from allup m(t) ~ (-1/2)^t
+    # DETERMINISTICALLY — 5 sweeps leave -0.03125, which is not noise.
+    # 12 sweeps leave 2.4e-4 bias << the ~2.8e-3 statistical std.
+    for t in range(100, 112):
         wa, wb, obs = c3.sweep_measure_packed3(model_hot, wa, wb,
                                                rng.sweep_key(key, t))
     # at infinite T the magnetization density decays toward the q=3
     # disordered mean 0 (cos average over 3 states is 0)
-    assert abs(float(obs["m"][0])) < 0.03
+    assert abs(float(obs["m"][0])) < 0.015
 
 
 def test_fused_obs_match_direct():
