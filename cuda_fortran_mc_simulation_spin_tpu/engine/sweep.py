@@ -43,6 +43,14 @@ _EST_PACKED_RATE = {
     "ising2d": 3.0e11,
     "ising3d": 1.5e11,
     "clock": 6.0e10,
+    # helical fast paths (BENCHMARKS.md: packed 1.86e11, masked clock
+    # saturates at 1.73e10 — the clock estimate is extra-conservative
+    # because a 501x500 x R=100 x 1e5-MCS single dispatch crashed the
+    # device worker well under the nominal deadline)
+    "ising2d_helical_packed": 1.2e11,
+    "ising2d_helical": 2.0e10,
+    "clock_helical": 5.0e9,
+    "clock_helical_packed": 4.0e10,
 }
 
 
@@ -177,6 +185,54 @@ def make_batch_runner(
         # (mcs, batch) -> (batch, mcs)
         return jax.tree.map(lambda x: jnp.swapaxes(x, 0, 1), series)
 
+    return run
+
+
+def _invocation_chunked(init_fn, body_fn, mcs, chunk, batch, est_rate,
+                        nsites):
+    """Scan of fixed-``chunk``-sweep kernel invocations keyed by the
+    GLOBAL invocation index, grouped into host-level dispatches that
+    fit the execution budget (`body_fn(carry, call_key, ci) ->
+    (carry, {k: (batch, chunk)})`).  The final invocation always runs
+    the full ``chunk`` (the helical kernels take ``sweeps`` statically;
+    surplus columns are truncated), so the chunked trajectory is
+    bitwise identical to the monolithic scan."""
+    n_chunks = -(-mcs // chunk)
+    padded = n_chunks * chunk
+    budget_sweeps = _sweeps_per_dispatch(nsites, batch, est_rate)
+    g_inv = max(1, budget_sweeps // chunk)
+
+    def span(carry, call_key, ci0, n_inv):
+        def body(c, ci):
+            return body_fn(c, call_key, ci)
+
+        carry, series = lax.scan(body, carry, ci0 + jnp.arange(n_inv))
+        return carry, {
+            k: jnp.moveaxis(v, 0, 1).reshape(batch, n_inv * chunk)
+            for k, v in series.items()
+        }
+
+    if n_chunks <= g_inv:
+        def run(call_key: jax.Array) -> dict[str, jax.Array]:
+            _, series = span(init_fn(call_key), call_key,
+                             jnp.int32(0), n_chunks)
+            return {k: v[:, :mcs] for k, v in series.items()}
+
+        return run
+
+    def chunk_fn(carry, call_key, t0, size):
+        return span(carry, call_key, t0 // chunk, size // chunk)
+
+    base = _host_chunk_runner(
+        jax.jit(init_fn),
+        jax.jit(chunk_fn, static_argnums=3),
+        padded, g_inv * chunk)
+
+    def run(call_key: jax.Array) -> dict[str, jax.Array]:
+        out = base(call_key)
+        return {k: v[:, :mcs] for k, v in out.items()}
+
+    run.host_chunked = True
     return run
 
 
@@ -534,6 +590,15 @@ def helical_pallas_eligible(model, n_over_relax: int = 0) -> bool:
             # the masked kernels (no ny tiling requirement)
             if helical_multispin.fits(model):
                 return True
+        if (isinstance(model, Clock2DHelical)
+                and os.environ.get("SPINLAT_CLOCK_HELICAL_PACKED")
+                != "0"):
+            from cuda_fortran_mc_simulation_spin_tpu.ops import (
+                clock_helical_multispin,
+            )
+
+            if clock_helical_multispin.fits(model):
+                return True
         if not helical_pallas.ising_fits_vmem(model.ny, model.nx):
             return False
         # ny without a multiple-of-8 divisor runs in single-block mode
@@ -723,10 +788,8 @@ def make_helical_runner(
         # the committed 1001x1000 geometry (BENCHMARKS.md)
         m_half = model.nsites // 2
         chunk = min(chunk, mcs)
-        n_chunks = -(-mcs // chunk)
-        padded = n_chunks * chunk
 
-        def run(call_key: jax.Array) -> dict[str, jax.Array]:
+        def init_fn(call_key):
             init_keys = jax.vmap(
                 lambda r: jax.random.fold_in(rng.init_key(call_key), r)
             )(jnp.arange(batch))
@@ -734,50 +797,70 @@ def make_helical_runner(
                 init_keys
             )
             a, b = hms.split_flat(flat)
-            wa = hms.pack_flat(a, m_half)
-            wb = hms.pack_flat(b, m_half)
+            return (hms.pack_flat(a, m_half), hms.pack_flat(b, m_half))
 
-            def body(c, ci):
-                wa, wb, obs = hms.multisweep(
-                    model, c[0], c[1], rng.sweep_key(call_key, ci),
-                    chunk,
-                )
-                return (wa, wb), obs
+        def body_fn(c, call_key, ci):
+            wa, wb, obs = hms.multisweep(
+                model, c[0], c[1], rng.sweep_key(call_key, ci), chunk,
+            )
+            return (wa, wb), obs
 
-            _, series = lax.scan(body, (wa, wb), jnp.arange(n_chunks))
-            out = {}
-            for k, v in series.items():
-                v = jnp.moveaxis(v, 0, 1).reshape(batch, padded)
-                out[k] = v[:, :mcs]
-            return out
+        return _invocation_chunked(
+            init_fn, body_fn, mcs, chunk, batch,
+            _EST_PACKED_RATE["ising2d_helical_packed"], model.nsites)
 
-        return run
+    from cuda_fortran_mc_simulation_spin_tpu.ops import (
+        clock_helical_multispin as chm,
+    )
+
+    if (isinstance(model, Clock2DHelical) and chm.fits(model)
+            and os.environ.get("SPINLAT_CLOCK_HELICAL_PACKED") != "0"):
+        # flat even/odd bit-sliced q=6 engine for the committed
+        # 501x500 clock geometry (BENCHMARKS.md)
+        m_half = model.nsites // 2
+        chunk = min(chunk, mcs)
+
+        def init_fn(call_key):
+            init_keys = jax.vmap(
+                lambda r: jax.random.fold_in(rng.init_key(call_key), r)
+            )(jnp.arange(batch))
+            flat = jax.vmap(lambda k: model.init_state(init_kind, k))(
+                init_keys
+            )
+            a, b = chm.split_flat(flat)
+            return (chm.pack_clock_flat(a, m_half),
+                    chm.pack_clock_flat(b, m_half))
+
+        def body_fn(c, call_key, ci):
+            wa3, wb3, obs = chm.multisweep(
+                model, c[0], c[1], rng.sweep_key(call_key, ci), chunk,
+            )
+            return (wa3, wb3), obs
+
+        return _invocation_chunked(
+            init_fn, body_fn, mcs, chunk, batch,
+            _EST_PACKED_RATE["clock_helical_packed"], model.nsites)
 
     ms = (hp.clock_multisweep if isinstance(model, Clock2DHelical)
           else hp.ising_multisweep)
     chunk = min(chunk, mcs)
-    n_chunks = -(-mcs // chunk)
-    padded = n_chunks * chunk
 
-    def run(call_key: jax.Array) -> dict[str, jax.Array]:
+    def init_fn(call_key):
         init_keys = jax.vmap(
             lambda r: jax.random.fold_in(rng.init_key(call_key), r)
         )(jnp.arange(batch))
-        state = jax.vmap(lambda k: model.init_state(init_kind, k))(
+        return jax.vmap(lambda k: model.init_state(init_kind, k))(
             init_keys
         )
 
-        def body(state, c):
-            return ms(model, state, rng.sweep_key(call_key, c), chunk)
+    def body_fn(state, call_key, ci):
+        return ms(model, state, rng.sweep_key(call_key, ci), chunk)
 
-        _, series = lax.scan(body, state, jnp.arange(n_chunks))
-        out = {}
-        for k, v in series.items():
-            v = jnp.moveaxis(v, 0, 1).reshape(batch, padded)
-            out[k] = v[:, :mcs]
-        return out
-
-    return run
+    est = _EST_PACKED_RATE[
+        "clock_helical" if isinstance(model, Clock2DHelical)
+        else "ising2d_helical"]
+    return _invocation_chunked(
+        init_fn, body_fn, mcs, chunk, batch, est, model.nsites)
 
 
 def run_ensemble(

@@ -137,3 +137,133 @@ def test_ising2d_stream_chunked_bitwise_on_tpu(monkeypatch):
     chunked = _series(chunked_runner, key)
     for k in mono:
         np.testing.assert_array_equal(mono[k], chunked[k])
+
+
+# ---------------------------------------------------------------------------
+# Helical runners (make_helical_runner tails): the kernel is faked with
+# a pure-jnp stand-in so the RUNNER structure — global invocation-index
+# keying, carry threading across host dispatches, padded-tail
+# truncation — is pinned bitwise on CPU (the real kernels are
+# TPU-only; their physics is pinned by the TPU-gated suites).
+# ---------------------------------------------------------------------------
+
+def _fake_masked_ms(model, state, key, sweeps):
+    r = jax.random.fold_in(key, 7)
+    bump = jax.random.bits(r, state.shape, dtype=jnp.uint8).astype(
+        state.dtype)
+    new = (state + bump) % model.q
+    base = jax.random.uniform(r, (state.shape[0], sweeps))
+    s = jnp.sum(state, axis=1).astype(jnp.float32)
+    return new, {"m": base + s[:, None], "e": base * 2.0}
+
+
+def test_helical_masked_runner_chunked_bitwise(monkeypatch):
+    from cuda_fortran_mc_simulation_spin_tpu.models.clock_helical import (
+        Clock2DHelical,
+    )
+    from cuda_fortran_mc_simulation_spin_tpu.ops import helical_pallas as hp
+
+    monkeypatch.setattr(hp, "clock_multisweep", _fake_masked_ms)
+    # force the masked route (the packed clock branch would otherwise
+    # claim this q=6 shape and run a real Pallas kernel on CPU)
+    monkeypatch.setenv("SPINLAT_CLOCK_HELICAL_PACKED", "0")
+    model = Clock2DHelical(nx=17, ny=16, kbt=0.9, q=6)
+    key = rng.sample_key(rng.base_key(5), 0)
+
+    mono = _series(
+        sw.make_helical_runner(model, 10, 3, chunk=4), key)
+    assert mono["m"].shape == (3, 10)
+
+    rates = dict(sw._EST_PACKED_RATE)
+    rates["clock_helical"] = 3 * model.nsites * 4 / sw._DISPATCH_BUDGET_S
+    monkeypatch.setattr(sw, "_EST_PACKED_RATE", rates)
+    chunked_runner = sw.make_helical_runner(model, 10, 3, chunk=4)
+    assert getattr(chunked_runner, "host_chunked", False)
+    chunked = _series(chunked_runner, key)
+    for k in mono:
+        np.testing.assert_array_equal(mono[k], chunked[k])
+
+
+def _fake_packed_ms(model, wa, wb, key, sweeps):
+    r = jax.random.fold_in(key, 3)
+    wa2 = wa ^ jax.random.bits(r, wa.shape, dtype=jnp.uint32).astype(
+        wa.dtype)
+    batch = wa.shape[0]
+    base = jax.random.uniform(r, (batch, sweeps))
+    s = jnp.sum(wa.astype(jnp.float32),
+                axis=tuple(range(1, wa.ndim)))
+    return wa2, wb ^ jnp.ones_like(wb), {"m": base + s[:, None],
+                                         "e": base}
+
+
+def test_helical_packed_runner_chunked_bitwise(monkeypatch):
+    from cuda_fortran_mc_simulation_spin_tpu.models.ising2d_helical import (
+        Ising2DHelical,
+    )
+    from cuda_fortran_mc_simulation_spin_tpu.ops import (
+        helical_multispin as hms,
+    )
+
+    model = Ising2DHelical(nx=257, ny=256, kbt=2.27)
+    if not hms.fits(model):
+        pytest.skip("packed helical gate excludes this shape")
+    monkeypatch.setattr(hms, "multisweep", _fake_packed_ms)
+    monkeypatch.setenv("SPINLAT_HELICAL_PACKED", "1")
+    key = rng.sample_key(rng.base_key(11), 0)
+
+    mono = _series(sw.make_helical_runner(model, 10, 2, chunk=4), key)
+    assert mono["m"].shape == (2, 10)
+
+    rates = dict(sw._EST_PACKED_RATE)
+    rates["ising2d_helical_packed"] = (
+        2 * model.nsites * 4 / sw._DISPATCH_BUDGET_S)
+    monkeypatch.setattr(sw, "_EST_PACKED_RATE", rates)
+    chunked_runner = sw.make_helical_runner(model, 10, 2, chunk=4)
+    assert getattr(chunked_runner, "host_chunked", False)
+    chunked = _series(chunked_runner, key)
+    for k in mono:
+        np.testing.assert_array_equal(mono[k], chunked[k])
+
+
+def _fake_clock_packed_ms(model, wa3, wb3, key, sweeps):
+    r = jax.random.fold_in(key, 5)
+    bump = jax.random.bits(r, wa3[0].shape, dtype=jnp.uint32).astype(
+        wa3[0].dtype)
+    wa3 = tuple(w ^ bump for w in wa3)
+    batch = wa3[0].shape[0]
+    base = jax.random.uniform(r, (batch, sweeps))
+    s = jnp.sum(wa3[0].astype(jnp.float32),
+                axis=tuple(range(1, wa3[0].ndim)))
+    return wa3, wb3, {"m": base + s[:, None], "e": base,
+                      "my": base * 0.5}
+
+
+def test_clock_helical_packed_runner_chunked_bitwise(monkeypatch):
+    """The packed clock helical branch threads its nested
+    (3-tuple, 3-tuple) carry across host dispatches bitwise."""
+    from cuda_fortran_mc_simulation_spin_tpu.models.clock_helical import (
+        Clock2DHelical,
+    )
+    from cuda_fortran_mc_simulation_spin_tpu.ops import (
+        clock_helical_multispin as chm,
+    )
+
+    model = Clock2DHelical(nx=257, ny=256, kbt=0.9, q=6)
+    assert chm.fits(model)
+    monkeypatch.setattr(chm, "multisweep", _fake_clock_packed_ms)
+    monkeypatch.setenv("SPINLAT_CLOCK_HELICAL_PACKED", "1")
+    key = rng.sample_key(rng.base_key(13), 0)
+
+    mono = _series(sw.make_helical_runner(model, 10, 2, chunk=4), key)
+    assert mono["m"].shape == (2, 10)
+    assert mono["my"].shape == (2, 10)
+
+    rates = dict(sw._EST_PACKED_RATE)
+    rates["clock_helical_packed"] = (
+        2 * model.nsites * 4 / sw._DISPATCH_BUDGET_S)
+    monkeypatch.setattr(sw, "_EST_PACKED_RATE", rates)
+    chunked_runner = sw.make_helical_runner(model, 10, 2, chunk=4)
+    assert getattr(chunked_runner, "host_chunked", False)
+    chunked = _series(chunked_runner, key)
+    for k in mono:
+        np.testing.assert_array_equal(mono[k], chunked[k])
