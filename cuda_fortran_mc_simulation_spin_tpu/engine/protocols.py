@@ -172,14 +172,33 @@ def _wrap_runner(runner, batch):
     must not be re-jitted into one program) and squeeze the replica
     axis for batch-1 runs."""
     chunked = getattr(runner, "host_chunked", False)
+    engine = getattr(runner, "engine", None)
     if not chunked:
         runner = jax.jit(runner)
     if batch == 1:
         inner = runner
         squeezed = lambda k: jax.tree.map(  # noqa: E731
             lambda v: v[0], inner(k))
-        return squeezed if chunked else jax.jit(squeezed)
+        runner = squeezed if chunked else jax.jit(squeezed)
+    if engine is not None:
+        try:
+            runner.engine = engine
+        except AttributeError:
+            pass  # jitted callables accept attributes; belt-and-braces
     return runner
+
+
+# engine stamped on the most recent run — the analog of the reference's
+# `print_version` data-file stamping (/root/reference/src/clock/
+# clock_tableall_gpu_m.f90:47-50); emitted as a `# engine:` stderr line
+# and a registry field by runs/__main__.py
+LAST_ENGINE: str | None = None
+
+
+def _stamp_engine(runner, err, default: str) -> None:
+    global LAST_ENGINE
+    LAST_ENGINE = getattr(runner, "engine", default)
+    err.write(f"# engine: {LAST_ENGINE}\n")
 
 
 def _run_accumulating(cfg, model, accumulators, fold, err,
@@ -241,6 +260,11 @@ def _run_accumulating(cfg, model, accumulators, fold, err,
                                         cfg.init_state, **runner_kwargs)
         )
 
+    _stamp_engine(
+        runner, err,
+        f"domain-sharded mesh ({cfg.mesh_dp},{cfg.mesh_y},{cfg.mesh_x})"
+        if cfg.mesh_dp * cfg.mesh_y * cfg.mesh_x > 1
+        else "phase engine")
     start_call = 0
     n_calls = cfg.tot_sample // batch
     if checkpoint_path:
@@ -309,6 +333,7 @@ def run_relaxation(cfg: RunConfig, out: IO[str] = sys.stdout,
     _run_accumulating(cfg, model, {"op": op}, fold, err,
                       checkpoint_path, checkpoint_every, runner_kwargs)
     err.write(f"# elapsed: {time.time() - t0:.3f}s\n")
+    out.write(f"# engine: {LAST_ENGINE}\n")
     if cfg.measure_times is None:
         datfmt.write_relaxation_table(out, model.nsites, cfg.mcs, op)
     else:
@@ -684,16 +709,22 @@ def _run_xy_disorder(cfg: RunConfig, prep: str, out, err,
         raise ValueError("tot_sample must be divisible by replicas")
     if cfg.mesh_dp * cfg.mesh_y * cfg.mesh_x > 1:
         runner = _xy_disorder_mesh_runner(model, cfg, prep, batch)
+        engine = (f"XY disorder domain-sharded mesh "
+                  f"({cfg.mesh_dp},{cfg.mesh_y},{cfg.mesh_x})")
     elif _xy_multisweep_eligible(cfg, model, prep):
         runner = jax.jit(
             _xy_disorder_multisweep_runner(model, cfg, prep, batch)
         )
+        engine = "xy2d_multisweep (int16-angle VMEM, opt-in)"
     elif batch == 1:
         runner = jax.jit(_xy_disorder_runner(model, cfg, prep))
+        engine = "XY disorder phase engine (single history)"
     else:
         runner = jax.jit(
             _xy_disorder_batched_runner(model, cfg, prep, batch)
         )
+        engine = "XY disorder phase engine (batched)"
+    _stamp_engine(runner, err, engine)
 
     start = 0
     if checkpoint_path:
@@ -714,7 +745,13 @@ def _run_xy_disorder(cfg: RunConfig, prep: str, out, err,
             accs["corr"].add_data(series["corr"])
 
     progress = _progress(err, cfg.tot_sample)
+    budget = cfg.max_samples_this_run
+    if budget and not checkpoint_path:
+        raise ValueError(
+            "max_samples_this_run needs --checkpoint (the next "
+            "invocation resumes from it)")
     t0 = time.time()
+    done = start
     for call in range(start // batch, cfg.tot_sample // batch):
         series = jax.device_get(runner(rng.sample_key(base, call)))
         series = {k: np.asarray(v, np.float64) for k, v in series.items()}
@@ -724,9 +761,19 @@ def _run_xy_disorder(cfg: RunConfig, prep: str, out, err,
         if (checkpoint_path and checkpoint_every
                 and done % checkpoint_every == 0):
             checkpoint.save(checkpoint_path, cfg, done, accs)
+        if (budget and done - start >= budget
+                and done < cfg.tot_sample):
+            # time-sliced run: checkpoint and stop; the next invocation
+            # with the same physics config resumes at sample `done`
+            checkpoint.save(checkpoint_path, cfg, done, accs)
+            err.write(f"# stopping after {done - start} samples this "
+                      f"run ({done} / {cfg.tot_sample} total); resume "
+                      "with the same command\n")
+            break
     if checkpoint_path:
-        checkpoint.save(checkpoint_path, cfg, cfg.tot_sample, accs)
+        checkpoint.save(checkpoint_path, cfg, done, accs)
     err.write(f"# elapsed: {time.time() - t0:.3f}s\n")
+    out.write(f"# engine: {LAST_ENGINE}\n")
     return model, accs
 
 

@@ -60,6 +60,16 @@ def _sweeps_per_dispatch(nsites: int, batch: int, rate: float) -> int:
     return max(1, int(_DISPATCH_BUDGET_S / per_sweep))
 
 
+def _tag(run, name: str):
+    """Stamp the runner with the engine it routes to — the analog of
+    the reference's `print_version` data-file stamping
+    (/root/reference/src/clock/clock_tableall_gpu_m.f90:47-50); the
+    protocol layer emits it as a `# engine:` header line and a
+    registry field."""
+    run.engine = name
+    return run
+
+
 def make_sample_runner(
     model,
     mcs: int,
@@ -106,7 +116,7 @@ def make_sample_runner(
         _, series = lax.scan(body, state, jnp.arange(1, mcs + 1))
         return series
 
-    return run
+    return _tag(run, "phase engine (single history)")
 
 
 def make_batch_runner(
@@ -185,7 +195,7 @@ def make_batch_runner(
         # (mcs, batch) -> (batch, mcs)
         return jax.tree.map(lambda x: jnp.swapaxes(x, 0, 1), series)
 
-    return run
+    return _tag(run, "phase engine (batched)")
 
 
 def _invocation_chunked(init_fn, body_fn, mcs, chunk, batch, est_rate,
@@ -384,13 +394,16 @@ def make_multispin_runner(
     from cuda_fortran_mc_simulation_spin_tpu.ops import ising2d_multispin
 
     ny, half = model.color_shape
-    return _make_packed_runner(
+    resident = ising2d_multispin.multisweep_fits_vmem(ny, half)
+    return _tag(_make_packed_runner(
         model, mcs, batch, init_kind,
-        ising2d_multispin.multisweep_fits_vmem(ny, half),
+        resident,
         ising2d_multispin.multisweep_packed,
         ising2d_multispin.sweep_measure_packed,
         _EST_PACKED_RATE["ising2d"],
-    )
+    ), "ising2d_multispin bit-packed "
+       + ("(resident multisweep)" if resident
+          else "(streaming phase pairs)"))
 
 
 def make_multispin3d_runner(
@@ -405,13 +418,16 @@ def make_multispin3d_runner(
     from cuda_fortran_mc_simulation_spin_tpu.ops import ising3d_multispin
 
     nz, ny, half = model.color_shape
-    return _make_packed_runner(
+    resident = ising3d_multispin.multisweep3d_fits_vmem(nz, ny, half)
+    return _tag(_make_packed_runner(
         model, mcs, batch, init_kind,
-        ising3d_multispin.multisweep3d_fits_vmem(nz, ny, half),
+        resident,
         ising3d_multispin.multisweep_packed3d,
         ising3d_multispin.sweep_measure_packed3d,
         _EST_PACKED_RATE["ising3d"],
-    )
+    ), "ising3d_multispin bit-packed "
+       + ("(resident multisweep)" if resident
+          else "(streaming z-plane phases)"))
 
 
 def make_clock_multispin_runner(
@@ -494,6 +510,8 @@ def make_clock_multispin_runner(
         c, series = lax.scan(body, c, t0 + jnp.arange(1, size + 1))
         return c, jax.tree.map(lambda x: jnp.swapaxes(x, 0, 1), series)
 
+    name = (f"clock q={getattr(model, 'q', 6)} bit-sliced packed"
+            + (" (padded)" if spec is not None else ""))
     budget_sweeps = _sweeps_per_dispatch(
         model.nsites, batch, _EST_PACKED_RATE["clock"])
     if mcs <= budget_sweeps:
@@ -502,11 +520,11 @@ def make_clock_multispin_runner(
             _, series = span(c, call_key, jnp.int32(0), mcs)
             return series
 
-        return run
+        return _tag(run, name)
 
-    return _host_chunk_runner(
+    return _tag(_host_chunk_runner(
         jax.jit(init_fn), jax.jit(span, static_argnums=3),
-        mcs, budget_sweeps)
+        mcs, budget_sweeps), name)
 
 
 def make_multisweep_runner(
@@ -558,7 +576,7 @@ def make_multisweep_runner(
             out[k] = v[:, :mcs]
         return out
 
-    return run
+    return _tag(run, "int8 VMEM multisweep")
 
 
 def helical_pallas_eligible(model, n_over_relax: int = 0) -> bool:
@@ -713,7 +731,7 @@ def make_helical_runner(
                     lambda *xs: jnp.concatenate(xs, axis=1), *parts)
 
             run.host_chunked = True
-            return run
+            return _tag(run, "xy2d_helical_dense (ragged dual-color)")
 
         @functools.partial(jax.jit, static_argnums=3)
         def _chunk_m(carry, call_key, t0, size):
@@ -770,7 +788,7 @@ def make_helical_runner(
                 lambda *xs: jnp.concatenate(xs, axis=1), *parts)
 
         run.host_chunked = True
-        return run
+        return _tag(run, "helical_pallas XY (masked streaming)")
 
     from cuda_fortran_mc_simulation_spin_tpu.models.clock_helical import (
         Clock2DHelical,
@@ -805,9 +823,10 @@ def make_helical_runner(
             )
             return (wa, wb), obs
 
-        return _invocation_chunked(
+        return _tag(_invocation_chunked(
             init_fn, body_fn, mcs, chunk, batch,
-            _EST_PACKED_RATE["ising2d_helical_packed"], model.nsites)
+            _EST_PACKED_RATE["ising2d_helical_packed"], model.nsites),
+            "helical_multispin (flat even/odd bit-packed)")
 
     from cuda_fortran_mc_simulation_spin_tpu.ops import (
         clock_helical_multispin as chm,
@@ -837,9 +856,10 @@ def make_helical_runner(
             )
             return (wa3, wb3), obs
 
-        return _invocation_chunked(
+        return _tag(_invocation_chunked(
             init_fn, body_fn, mcs, chunk, batch,
-            _EST_PACKED_RATE["clock_helical_packed"], model.nsites)
+            _EST_PACKED_RATE["clock_helical_packed"], model.nsites),
+            "clock_helical_multispin (bit-sliced packed)")
 
     ms = (hp.clock_multisweep if isinstance(model, Clock2DHelical)
           else hp.ising_multisweep)
@@ -859,8 +879,12 @@ def make_helical_runner(
     est = _EST_PACKED_RATE[
         "clock_helical" if isinstance(model, Clock2DHelical)
         else "ising2d_helical"]
-    return _invocation_chunked(
-        init_fn, body_fn, mcs, chunk, batch, est, model.nsites)
+    return _tag(
+        _invocation_chunked(
+            init_fn, body_fn, mcs, chunk, batch, est, model.nsites),
+        "helical_pallas multisweep (masked "
+        + ("clock)" if isinstance(model, Clock2DHelical)
+           else "Ising)"))
 
 
 def run_ensemble(

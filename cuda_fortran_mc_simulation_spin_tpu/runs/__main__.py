@@ -110,6 +110,8 @@ def main(argv=None) -> int:
                   "checkpoint_every": a.checkpoint_every}
     from cuda_fortran_mc_simulation_spin_tpu.utils.timing import profile
 
+    from cuda_fortran_mc_simulation_spin_tpu.engine import protocols
+    protocols.LAST_ENGINE = None
     t0 = time.time()
     with profile(a.profile_dir):
         if a.output and a.output != "-":
@@ -118,8 +120,10 @@ def main(argv=None) -> int:
         else:
             protocol(cfg, out=sys.stdout, err=sys.stderr, **kwargs)
     if a.registry:
+        from cuda_fortran_mc_simulation_spin_tpu.engine import protocols
         registry.append(a.registry, cfg, time.time() - t0,
-                        a.output, {"protocol": a.protocol})
+                        a.output, {"protocol": a.protocol,
+                                   "engine": protocols.LAST_ENGINE})
     return 0
 
 

@@ -27,8 +27,11 @@ run --model clock --q 6 --nx 501 --ny 500 --kbt 0.80 \
   --output data/production/clock_multi_501x500_kbt0.80_mcs100000_s300.dat \
   --registry data/production/runs.log
 
+# NOTE: the OR schedule rides the relaxation protocol (there is no
+# separate --protocol value; the reference's *_over_relaxation apps are
+# relaxation + an OR schedule, matching RunConfig)
 run --model xy2d --nx 10001 --ny 10000 --kbt 0.890 \
-  --mcs 10000 --samples 4 --replicas 1 --protocol over_relaxation \
+  --mcs 10000 --samples 4 --replicas 1 --protocol relaxation \
   --n-over-relax 1 --mcs-over-relax 10000 \
   --output data/production/xy2d_or_10001x10000_mcs10000_s4_slice.dat \
   --registry data/production/runs.log

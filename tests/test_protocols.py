@@ -411,6 +411,54 @@ def test_max_samples_this_run_two_stage_bitwise(tmp_path):
         _parse_table(out3.getvalue()))
 
 
+def test_engine_stamp_in_output_and_stderr():
+    """Every run stamps which engine produced the data — the analog of
+    the reference's print_version data-file stamping
+    (/root/reference/src/clock/clock_tableall_gpu_m.f90:47-50)."""
+    cfg = RunConfig(model="ising2d", nx=8, ny=8, kbt=2.5, mcs=3,
+                    tot_sample=2, use_pallas=False)
+    out, err = io.StringIO(), io.StringIO()
+    protocols.run_relaxation(cfg, out, err)
+    assert "# engine: " in out.getvalue()
+    assert "# engine: " in err.getvalue()
+    assert protocols.LAST_ENGINE
+
+    cfg_fd = RunConfig(model="xy2d", nx=8, ny=8, kbt=0.9, mcs=2,
+                       tot_sample=2, replicas=2, use_pallas=False)
+    out2, err2 = io.StringIO(), io.StringIO()
+    protocols.run_from_disorder(cfg_fd, out2, err2)
+    assert "# engine: XY disorder phase engine (batched)" \
+        in out2.getvalue()
+
+
+def test_max_samples_this_run_from_disorder_bitwise(tmp_path):
+    """The disorder protocols honor --max-samples-this-run too
+    (time-sliced production of the 1500^2 x 1e5-MCS from-disorder
+    flagship): sliced + resumed == uninterrupted, bitwise."""
+    ck = str(tmp_path / "ck.npz")
+    kw = dict(model="xy2d", nx=8, ny=8, kbt=0.9, mcs=3, tot_sample=4,
+              use_pallas=False)
+    out_full = io.StringIO()
+    protocols.run_from_disorder(RunConfig(**kw), out_full, io.StringIO())
+
+    cfg_slice = RunConfig(**kw, max_samples_this_run=2)
+    err1 = io.StringIO()
+    protocols.run_from_disorder(cfg_slice, io.StringIO(), err1,
+                                checkpoint_path=ck)
+    assert "stopping after 2 samples this run" in err1.getvalue()
+    out2 = io.StringIO()
+    err2 = io.StringIO()
+    protocols.run_from_disorder(cfg_slice, out2, err2,
+                                checkpoint_path=ck)
+    assert "# resumed at sample 2" in err2.getvalue()
+    np.testing.assert_array_equal(
+        _parse_table(out_full.getvalue()),
+        _parse_table(out2.getvalue()))
+    with pytest.raises(ValueError, match="needs --checkpoint"):
+        protocols.run_from_disorder(cfg_slice, io.StringIO(),
+                                    io.StringIO())
+
+
 def test_cli_end_to_end(tmp_path):
     out_file = tmp_path / "run.dat"
     reg = tmp_path / "runs.log"
