@@ -839,6 +839,9 @@ def run_samples(cfg: RunConfig, out: IO[str] = sys.stdout,
     _emit_headers(cfg, model, out, err, extra)
     base = rng.base_key(cfg.seed, cfg.stream)
     runner = jax.jit(_xy_disorder_runner(model, cfg, prep))
+    _stamp_engine(runner, err,
+                  "XY disorder phase engine (single history)")
+    out.write(f"# engine: {LAST_ENGINE}\n")
     progress = _progress(err, cfg.tot_sample)
     order = ("mx", "e", "my", "A")
     if cfg.track_correlation:
@@ -865,9 +868,10 @@ def _run_samples_generic(cfg: RunConfig, model, out, err) -> None:
         )
     _emit_headers(cfg, model, out, err)
     base = rng.base_key(cfg.seed, cfg.stream)
-    runner = jax.jit(
-        sweep_mod.make_sample_runner(model, cfg.mcs, cfg.init_state)
-    )
+    inner = sweep_mod.make_sample_runner(model, cfg.mcs, cfg.init_state)
+    runner = jax.jit(inner)
+    _stamp_engine(inner, err, "phase engine (single history)")
+    out.write(f"# engine: {LAST_ENGINE}\n")
     progress = _progress(err, cfg.tot_sample)
     order = None
     for s in range(cfg.tot_sample):

@@ -66,6 +66,23 @@ run --model xy2d --nx 10000 --ny 10000 --kbt 0.895 \
   --output data/production/xy2d_periodic_10000x10000_mcs10000_s1.dat \
   --registry data/production/runs.log
 
+# The scripts-only specific-times ("bin") protocol as a committed
+# artifact (scripts/fpm_run_ising3d_relaxations_specific_times.sh:7-11):
+# 512^3 Ising at the scripts' Tc with log-spaced measurement times.
+times=$(python - <<'EOF'
+ts, t = [], 1
+while t <= 10000:
+    ts.append(int(t))
+    t = max(t + 1, int(t * 1.25))
+print(" ".join(str(t) for t in sorted(set(ts))))
+EOF
+)
+run --model ising3d --nx 512 --ny 512 --nz 512 --kbt 4.511454583186711 \
+  --mcs 10000 --samples 64 --replicas 8 --protocol relaxation \
+  --measure-times $times \
+  --output data/production/ising3d_512_specific_times_mcs10000_s64.dat \
+  --registry data/production/runs.log
+
 while [ "$(date +%s)" -lt "$deadline" ]; do
   echo "=== $(date '+%H:%M:%S') FROM-DISORDER LEG (100 samples)" >&2
   run --model xy2d --nx 1500 --ny 1500 --kbt 0.890 \
