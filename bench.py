@@ -36,6 +36,10 @@ Secondary metrics (TPU only — each a committed-workload class):
   - clock_literal2000_flips_per_sec: same routing at the LITERAL
     2000x2000 committed geometry — exercises the padded packed engine
     (word/lane-padded planes on the unchanged kernel).
+  - clock_helical501_flips_per_sec: the LITERAL 501x500 committed
+    geometry (/root/reference/app/clock_gpu_relaxation.f90:6-13)
+    through the routed helical runner — the bit-sliced packed helical
+    engine (ops/clock_helical_multispin.py) at R=100.
 """
 
 from __future__ import annotations
@@ -202,6 +206,32 @@ def _clock_ensemble(n: int = 2048, mcs: int = 256, nrep: int = 16):
     return model.nsites * nrep * mcs / best, engine
 
 
+def _clock_helical():
+    """The committed 501x500 clock geometry
+    (/root/reference/app/clock_gpu_relaxation.f90:6-13) through the
+    routed helical runner — the bit-sliced packed helical engine
+    (ops/clock_helical_multispin.py) at the production batch R=100."""
+    from cuda_fortran_mc_simulation_spin_tpu.engine import (
+        sweep as sweep_mod,
+    )
+    from cuda_fortran_mc_simulation_spin_tpu.models.clock_helical import (
+        Clock2DHelical,
+    )
+
+    nrep, mcs = 100, 1024
+    model = Clock2DHelical(nx=501, ny=500, kbt=0.80, q=6)
+    runner = sweep_mod.make_helical_runner(model, mcs, nrep, "allup")
+    engine = getattr(runner, "engine", "helical runner")
+    if not getattr(runner, "host_chunked", False):
+        runner = jax.jit(runner)
+
+    def timed(_carry, key):
+        return None, runner(key)["m"][:, -1].sum()
+
+    best = _time_best(timed, None, rng.base_key(42))
+    return model.nsites * nrep * mcs / best, engine
+
+
 def main() -> None:
     on_accel = jax.default_backend() not in ("cpu",)
     flips_per_sec, engine = _headline(on_accel)
@@ -244,6 +274,15 @@ def main() -> None:
                 }
         except Exception as exc:  # pragma: no cover - bench resilience
             secondary["clock_literal2000_flips_per_sec"] = {
+                "error": repr(exc)}
+        try:
+            v, eng = _clock_helical()
+            secondary["clock_helical501_flips_per_sec"] = {
+                "value": v, "unit": "flip-attempts/s",
+                "engine": eng + " [literal 501x500, R=100]",
+            }
+        except Exception as exc:  # pragma: no cover - bench resilience
+            secondary["clock_helical501_flips_per_sec"] = {
                 "error": repr(exc)}
 
     print(
