@@ -201,6 +201,37 @@ def _stamp_engine(runner, err, default: str) -> None:
     err.write(f"# engine: {LAST_ENGINE}\n")
 
 
+def _ensemble_loop(cfg, runner, fold, err, accs, base, batch, start,
+                   checkpoint_path, checkpoint_every):
+    """The shared sample loop: run batches keyed by the global call
+    index, fold into accumulators, checkpoint on cadence, and honor the
+    --max-samples-this-run time-slice budget (checkpoint + clean stop;
+    the next invocation with the same physics config resumes)."""
+    progress = _progress(err, cfg.tot_sample)
+    budget = cfg.max_samples_this_run
+    if budget and not checkpoint_path:
+        raise ValueError(
+            "max_samples_this_run needs --checkpoint (the next "
+            "invocation resumes from it)")
+    done = start
+    for call in range(start // batch, cfg.tot_sample // batch):
+        series = jax.device_get(runner(rng.sample_key(base, call)))
+        series = {k: np.asarray(v, np.float64) for k, v in series.items()}
+        fold(_filter_times(series, cfg))
+        done = (call + 1) * batch
+        progress(done, cfg.tot_sample)
+        if (checkpoint_path and checkpoint_every
+                and done % checkpoint_every == 0):
+            checkpoint.save(checkpoint_path, cfg, done, accs)
+        if budget and done - start >= budget and done < cfg.tot_sample:
+            err.write(f"# stopping after {done - start} samples this "
+                      f"run ({done} / {cfg.tot_sample} total); resume "
+                      "with the same command\n")
+            break
+    if checkpoint_path:
+        checkpoint.save(checkpoint_path, cfg, done, accs)
+
+
 def _run_accumulating(cfg, model, accumulators, fold, err,
                       checkpoint_path=None, checkpoint_every=0,
                       runner_kwargs=None):
@@ -265,43 +296,16 @@ def _run_accumulating(cfg, model, accumulators, fold, err,
         f"domain-sharded mesh ({cfg.mesh_dp},{cfg.mesh_y},{cfg.mesh_x})"
         if cfg.mesh_dp * cfg.mesh_y * cfg.mesh_x > 1
         else "phase engine")
-    start_call = 0
-    n_calls = cfg.tot_sample // batch
+    start = 0
     if checkpoint_path:
         try:
             done = checkpoint.load(checkpoint_path, cfg, accumulators)
-            start_call = done // batch
+            start = (done // batch) * batch
             err.write(f"# resumed at sample {done}\n")
         except FileNotFoundError:
             pass
-
-    progress = _progress(err, cfg.tot_sample)
-    budget = cfg.max_samples_this_run
-    if budget and not checkpoint_path:
-        raise ValueError(
-            "max_samples_this_run needs --checkpoint (the next "
-            "invocation resumes from it)")
-    done = start_call * batch
-    for call in range(start_call, n_calls):
-        series = jax.device_get(runner(rng.sample_key(base, call)))
-        series = {k: np.asarray(v, np.float64) for k, v in series.items()}
-        fold(_filter_times(series, cfg))
-        done = (call + 1) * batch
-        progress(done, cfg.tot_sample)
-        if (checkpoint_path and checkpoint_every
-                and done % checkpoint_every == 0):
-            checkpoint.save(checkpoint_path, cfg, done, accumulators)
-        if (budget and done - start_call * batch >= budget
-                and done < cfg.tot_sample):
-            # time-sliced run: checkpoint and stop; the next invocation
-            # with the same physics config resumes at sample `done`
-            checkpoint.save(checkpoint_path, cfg, done, accumulators)
-            err.write(f"# stopping after {done - start_call * batch} "
-                      f"samples this run ({done} / {cfg.tot_sample} "
-                      "total); resume with the same command\n")
-            break
-    if checkpoint_path:
-        checkpoint.save(checkpoint_path, cfg, done, accumulators)
+    _ensemble_loop(cfg, runner, fold, err, accumulators, base, batch,
+                   start, checkpoint_path, checkpoint_every)
 
 
 # ---------------------------------------------------------------------------
@@ -744,34 +748,10 @@ def _run_xy_disorder(cfg: RunConfig, prep: str, out, err,
         if cfg.track_correlation:
             accs["corr"].add_data(series["corr"])
 
-    progress = _progress(err, cfg.tot_sample)
-    budget = cfg.max_samples_this_run
-    if budget and not checkpoint_path:
-        raise ValueError(
-            "max_samples_this_run needs --checkpoint (the next "
-            "invocation resumes from it)")
     t0 = time.time()
-    done = start
-    for call in range(start // batch, cfg.tot_sample // batch):
-        series = jax.device_get(runner(rng.sample_key(base, call)))
-        series = {k: np.asarray(v, np.float64) for k, v in series.items()}
-        fold(_filter_times(series, cfg))
-        done = (call + 1) * batch
-        progress(done, cfg.tot_sample)
-        if (checkpoint_path and checkpoint_every
-                and done % checkpoint_every == 0):
-            checkpoint.save(checkpoint_path, cfg, done, accs)
-        if (budget and done - start >= budget
-                and done < cfg.tot_sample):
-            # time-sliced run: checkpoint and stop; the next invocation
-            # with the same physics config resumes at sample `done`
-            checkpoint.save(checkpoint_path, cfg, done, accs)
-            err.write(f"# stopping after {done - start} samples this "
-                      f"run ({done} / {cfg.tot_sample} total); resume "
-                      "with the same command\n")
-            break
-    if checkpoint_path:
-        checkpoint.save(checkpoint_path, cfg, done, accs)
+    _ensemble_loop(cfg, runner, fold, err, accs, base, batch,
+                   (start // batch) * batch,
+                   checkpoint_path, checkpoint_every)
     err.write(f"# elapsed: {time.time() - t0:.3f}s\n")
     out.write(f"# engine: {LAST_ENGINE}\n")
     return model, accs

@@ -57,9 +57,11 @@ from cuda_fortran_mc_simulation_spin_tpu.ops.helical_multispin import (
     _shift_mod_impl,
     grid_rows,
     helical_offsets,
-)
-from cuda_fortran_mc_simulation_spin_tpu.ops.ising2d_multispin import (
-    PACK,
+    merge_flat,
+    pack_flat,
+    split_flat,
+    unpack_flat,
+    valid_mask as _valid_mask_rows,
 )
 from cuda_fortran_mc_simulation_spin_tpu.ops.ising2d_pallas import (
     seeds_from_key,
@@ -74,26 +76,16 @@ _TWOCOS = np.array([2, 1, -1, -2, -1, 1], dtype=np.int32)
 # ---------------------------------------------------------------------------
 
 def _pack_bits_flat(bits: jax.Array, m: int) -> jax.Array:
-    """(..., m) 0/1 ints -> (..., rows, 128) int32 words (bit k of flat
-    word g = site 32g + k; pad bits zero)."""
-    rows = grid_rows(m)
-    cap = rows * LANES * PACK
-    b = (bits > 0).astype(jnp.uint32)
-    b = jnp.pad(b, [(0, 0)] * (bits.ndim - 1) + [(0, cap - m)])
-    b = b.reshape(bits.shape[:-1] + (rows * LANES, PACK))
-    w = jnp.zeros(bits.shape[:-1] + (rows * LANES,), jnp.uint32)
-    for k in range(PACK):
-        w = w | (b[..., k] << np.uint32(k))
-    return w.reshape(bits.shape[:-1] + (rows, LANES)).astype(jnp.int32)
+    """(..., m) 0/1 ints -> (..., rows, 128) int32 words — the same
+    word layout as the Ising engine's :func:`helical_multispin
+    .pack_flat` ((x > 0) packing covers the 0/1 domain)."""
+    return pack_flat(bits, m)
 
 
 def _unpack_bits_flat(w: jax.Array, m: int) -> jax.Array:
-    """Inverse of :func:`_pack_bits_flat` (to 0/1 int32, pad dropped)."""
-    wu = w.astype(jnp.uint32).reshape(w.shape[:-2] + (-1,))
-    cols = [((wu >> np.uint32(k)) & jnp.uint32(1)).astype(jnp.int32)
-            for k in range(PACK)]
-    flat = jnp.stack(cols, axis=-1).reshape(w.shape[:-2] + (-1,))
-    return flat[..., :m]
+    """Inverse of :func:`_pack_bits_flat` (to 0/1 int32, pad dropped):
+    helical_multispin.unpack_flat's ±1 output mapped back to bits."""
+    return (unpack_flat(w, m).astype(jnp.int32) + 1) >> 1
 
 
 def pack_clock_flat(flat: jax.Array, m: int):
@@ -114,12 +106,9 @@ def unpack_clock_flat(s, t0, t1, m: int) -> jax.Array:
     return ((3 * sb + 4 * tau) % 6).astype(jnp.int8)
 
 
-def split_flat(flat: jax.Array):
-    return flat[..., 0::2], flat[..., 1::2]
-
-
-def merge_flat(a: jax.Array, b: jax.Array) -> jax.Array:
-    return jnp.stack([a, b], axis=-1).reshape(a.shape[:-1] + (-1,))
+# split_flat / merge_flat are the Ising helical engine's (re-exported
+# from helical_multispin in the import block above): the even/odd
+# index-parity color split is layout, not physics.
 
 
 # ---------------------------------------------------------------------------
@@ -219,14 +208,8 @@ def phase_packed_with_bits(xplanes, oplanes, planes8, *, offs, m: int,
 # VMEM-resident multisweep kernel with fused (m, my, e)
 # ---------------------------------------------------------------------------
 
-def _valid_mask(rows: int, m: int) -> jax.Array:
-    g = (jax.lax.broadcasted_iota(jnp.int32, (rows, LANES), 0) * LANES
-         + jax.lax.broadcasted_iota(jnp.int32, (rows, LANES), 1))
-    nbits = jnp.clip(jnp.int32(m) - g * PACK, 0, PACK)
-    return jnp.where(
-        nbits == PACK, jnp.uint32(0xFFFFFFFF),
-        (jnp.uint32(1) << nbits.astype(jnp.uint32)) - jnp.uint32(1),
-    )
+# the Ising engine's per-word valid-site mask (pads hold garbage)
+_valid_mask = _valid_mask_rows
 
 
 def _pc(u):

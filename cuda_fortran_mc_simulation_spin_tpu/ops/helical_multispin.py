@@ -88,6 +88,20 @@ def unpack_flat(w: jax.Array, m: int) -> jax.Array:
     return flat[..., :m].astype(jnp.int8)
 
 
+def valid_mask(rows: int, m: int) -> jax.Array:
+    """(rows, 128) uint32 per-word mask of the bits that hold real
+    sites (pads hold garbage) — shared by every flat-packed helical
+    kernel's fused measurement."""
+    shape = (rows, LANES)
+    g = (jax.lax.broadcasted_iota(jnp.int32, shape, 0) * LANES
+         + jax.lax.broadcasted_iota(jnp.int32, shape, 1))
+    nbits = jnp.clip(jnp.int32(m) - g * PACK, 0, PACK)
+    return jnp.where(
+        nbits == PACK, jnp.uint32(0xFFFFFFFF),
+        (jnp.uint32(1) << nbits.astype(jnp.uint32)) - jnp.uint32(1),
+    )
+
+
 def _roll_words(w: jax.Array, t: int, roll) -> jax.Array:
     """out word g = in word (g + t) mod (rows·128) in row-major flat
     order — one lane roll, two row rolls, one lane-position select.
@@ -226,13 +240,7 @@ def _ms_kernel(seed_ref, wa_in, wb_in, wa_ref, wb_ref, obs_ref,
     wb_ref[0] = wb_in[0]
     shape = (rows, LANES)
     # valid-site mask for measurement (pads hold garbage)
-    g = (jax.lax.broadcasted_iota(jnp.int32, shape, 0) * LANES
-         + jax.lax.broadcasted_iota(jnp.int32, shape, 1))
-    nbits = jnp.clip(jnp.int32(m) - g * PACK, 0, PACK)
-    vmask = jnp.where(
-        nbits == PACK, jnp.uint32(0xFFFFFFFF),
-        (jnp.uint32(1) << nbits.astype(jnp.uint32)) - jnp.uint32(1),
-    )
+    vmask = valid_mask(rows, m)
 
     def gen():
         return pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)

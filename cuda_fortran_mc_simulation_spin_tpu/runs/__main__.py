@@ -120,7 +120,6 @@ def main(argv=None) -> int:
         else:
             protocol(cfg, out=sys.stdout, err=sys.stderr, **kwargs)
     if a.registry:
-        from cuda_fortran_mc_simulation_spin_tpu.engine import protocols
         registry.append(a.registry, cfg, time.time() - t0,
                         a.output, {"protocol": a.protocol,
                                    "engine": protocols.LAST_ENGINE})

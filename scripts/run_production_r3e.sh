@@ -85,13 +85,22 @@ run --model ising3d --nx 512 --ny 512 --nz 512 --kbt 4.511454583186711 \
 
 while [ "$(date +%s)" -lt "$deadline" ]; do
   echo "=== $(date '+%H:%M:%S') FROM-DISORDER LEG (100 samples)" >&2
+  legerr=$(mktemp)
   run --model xy2d --nx 1500 --ny 1500 --kbt 0.890 \
     --mcs 100000 --samples 2222 --replicas 2 --protocol from_disorder \
     --output data/production/xy2d_fd_1500x1500_mcs100000_s2222.dat \
     --registry data/production/runs.log \
     --checkpoint data/production/xy2d_fd_literal.ck \
     --checkpoint-every 10 \
-    --max-samples-this-run 100
+    --max-samples-this-run 100 2>"$legerr"
+  cat "$legerr" >&2
+  # a completed run prints no budget-stop marker: stop re-invoking
+  if ! grep -q "stopping after" "$legerr"; then
+    rm -f "$legerr"
+    echo "=== $(date '+%H:%M:%S') FROM-DISORDER RUN COMPLETE" >&2
+    break
+  fi
+  rm -f "$legerr"
 done
-echo "=== $(date '+%H:%M:%S') time guard reached, no more FD legs" >&2
+echo "=== $(date '+%H:%M:%S') FD loop done (deadline or completion)" >&2
 echo "=== $(date '+%H:%M:%S') R3E BATCH COMPLETE" >&2

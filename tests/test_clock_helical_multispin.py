@@ -14,7 +14,6 @@ Validation ladder (mirrors test_clock_multispin + test_helical_multispin):
    equilibrium energy vs the masked int8 engine, runner routing.
 """
 
-import os
 
 import jax
 import jax.numpy as jnp
@@ -33,9 +32,9 @@ NX, NY = 129, 64          # nall = 8256, M = 4128
 M = NX * NY // 2
 
 
-def _on_tpu() -> bool:
-    return jax.default_backend() != "cpu" or bool(
-        os.environ.get("SPINLAT_TEST_ON_TPU"))
+def _needs_chip() -> bool:
+    # the Mosaic kernels have no interpret fallback in these tests
+    return jax.default_backend() == "cpu"
 
 
 def _rand_states(key, shape):
@@ -148,7 +147,7 @@ def test_fits_gate():
 # ---------------------------------------------------------------------------
 
 def test_multisweep_absorbing_and_fused_obs_on_chip():
-    if not _on_tpu() or jax.default_backend() == "cpu":
+    if _needs_chip():
         pytest.skip("hardware PRNG path needs the chip")
     cold = Clock2DHelical(nx=NX, ny=NY, kbt=0.02, q=6)
     R = 2
@@ -185,7 +184,7 @@ def test_multisweep_absorbing_and_fused_obs_on_chip():
 def test_equilibrium_energy_vs_masked_engine_on_chip():
     """Late-time ⟨e⟩ agrees between the packed and the masked int8
     helical engines at the committed temperature."""
-    if not _on_tpu() or jax.default_backend() == "cpu":
+    if _needs_chip():
         pytest.skip("hardware PRNG path needs the chip")
     model = Clock2DHelical(nx=NX, ny=NY, kbt=0.9, q=6)
     R, WARM, MEAS = 16, 300, 200
@@ -206,7 +205,7 @@ def test_equilibrium_energy_vs_masked_engine_on_chip():
 
 
 def test_helical_runner_routes_packed_clock(monkeypatch):
-    if not _on_tpu() or jax.default_backend() == "cpu":
+    if _needs_chip():
         pytest.skip("helical runner routing is TPU-only")
     from cuda_fortran_mc_simulation_spin_tpu.engine import sweep as sw
 
