@@ -824,8 +824,14 @@ def run_samples(cfg: RunConfig, out: IO[str] = sys.stdout,
     out.write(f"# engine: {LAST_ENGINE}\n")
     progress = _progress(err, cfg.tot_sample)
     order = ("mx", "e", "my", "A")
+    header_cols = "# N, smaple, time, m_x, e, m_y, A"  # sic — the
+    # reference's literal header incl. typo (/root/reference/app/
+    # xy2d_periodic_gpu_relaxation_from_disorder_finite_magne_samples
+    # .f90:40)
     if cfg.track_correlation:
         order += ("corr",)
+        header_cols += ", corr"
+    out.write(header_cols + "\n")
     for s in range(cfg.tot_sample):
         series = jax.device_get(runner(rng.sample_key(base, s)))
         series = {k: np.asarray(v, np.float64) for k, v in series.items()}

@@ -51,6 +51,8 @@ _EST_PACKED_RATE = {
     "ising2d_helical": 2.0e10,
     "clock_helical": 5.0e9,
     "clock_helical_packed": 4.0e10,
+    "ising3d_helical_packed": 8.0e10,
+    "ising3d_helical_stream": 1.5e10,
 }
 
 
@@ -595,6 +597,20 @@ def helical_pallas_eligible(model, n_over_relax: int = 0) -> bool:
 
     if jax.default_backend() in ("cpu", "gpu"):
         return False
+    from cuda_fortran_mc_simulation_spin_tpu.models.ising3d_helical import (
+        Ising3DHelical,
+    )
+
+    if isinstance(model, Ising3DHelical):
+        if n_over_relax != 0:
+            return False
+        if os.environ.get("SPINLAT_HELICAL3D_PACKED") == "0":
+            return False
+        from cuda_fortran_mc_simulation_spin_tpu.ops import (
+            helical3d_multispin as h3,
+        )
+
+        return h3.fits(model) or h3.fits_stream(model)
     if isinstance(model, (Ising2DHelical, Clock2DHelical)):
         if n_over_relax != 0:
             return False
@@ -649,7 +665,56 @@ def make_helical_runner(
     from cuda_fortran_mc_simulation_spin_tpu.models.xy2d_helical import (
         XY2DHelical,
     )
+    from cuda_fortran_mc_simulation_spin_tpu.models.ising3d_helical import (
+        Ising3DHelical,
+    )
     from cuda_fortran_mc_simulation_spin_tpu.ops import helical_pallas as hp
+
+    if isinstance(model, Ising3DHelical):
+        # flat even/odd bit-packed 3-D engine for the reference's
+        # committed odd geometries 151x151x150 / 501x501x500 /
+        # 1001x1000x1000 (ops/helical3d_multispin.py): VMEM-resident
+        # multisweep for 151³-class volumes, streaming phase pairs
+        # above that
+        from cuda_fortran_mc_simulation_spin_tpu.ops import (
+            helical3d_multispin as h3,
+        )
+
+        m_half = model.nsites // 2
+        resident = h3.fits(model)
+
+        def init3_fn(call_key):
+            init_keys = jax.vmap(
+                lambda r: jax.random.fold_in(rng.init_key(call_key), r)
+            )(jnp.arange(batch))
+            flat = jax.vmap(lambda k: model.init_state(init_kind, k))(
+                init_keys
+            )
+            a = flat[:, 0::2]
+            b = flat[:, 1::2]
+            if resident:
+                return (h3.pack_flat(a, m_half),
+                        h3.pack_flat(b, m_half))
+            return (h3.pack_flat_stream(a, m_half),
+                    h3.pack_flat_stream(b, m_half))
+
+        ms = h3.multisweep if resident else h3.multisweep_stream
+        chunk3 = min(chunk, mcs)
+
+        def body3_fn(c, call_key, ci):
+            wa, wb, obs = ms(
+                model, c[0], c[1], rng.sweep_key(call_key, ci), chunk3,
+            )
+            return (wa, wb), obs
+
+        est = _EST_PACKED_RATE[
+            "ising3d_helical_packed" if resident
+            else "ising3d_helical_stream"]
+        return _tag(_invocation_chunked(
+            init3_fn, body3_fn, mcs, chunk3, batch, est, model.nsites),
+            "helical3d_multispin "
+            + ("(resident multisweep)" if resident
+               else "(streaming phase pairs)"))
 
     if isinstance(model, XY2DHelical):
         mcs_or = mcs_over_relax or mcs

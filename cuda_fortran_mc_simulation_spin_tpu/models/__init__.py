@@ -25,6 +25,15 @@ def build_model(cfg):
             return Ising2DHelical(nx=cfg.nx, ny=cfg.ny, kbt=cfg.kbt)
         return Ising2D(nx=cfg.nx, ny=cfg.ny, kbt=cfg.kbt, backend=backend)
     if cfg.model == "ising3d":
+        if cfg.nx % 2 == 1:
+            # the reference's committed 3-D geometries are odd-nx
+            # helical: 151x151x150, 501x501x500, 1001x1000x1000
+            # (/root/reference/scripts/fpm_run_ising3d.sh:7-9,
+            # app/ising3d_gpu_relaxation.f90:8-10)
+            from cuda_fortran_mc_simulation_spin_tpu.models.\
+                ising3d_helical import Ising3DHelical
+            return Ising3DHelical(nx=cfg.nx, ny=cfg.ny, nz=cfg.nz,
+                                  kbt=cfg.kbt)
         return Ising3D(nx=cfg.nx, ny=cfg.ny, nz=cfg.nz, kbt=cfg.kbt,
                        backend=backend)
     if cfg.model == "clock":

@@ -17,6 +17,7 @@ equivalent).  --checkpoint enables exact resume.
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 import time
 
@@ -115,8 +116,15 @@ def main(argv=None) -> int:
     t0 = time.time()
     with profile(a.profile_dir):
         if a.output and a.output != "-":
-            with open(a.output, "w") as out:
+            # atomic dataset write: rows land in <output>.partial and
+            # the final name appears only when the protocol completes —
+            # no 0-byte/header-only .dat from crashed or cut-off runs
+            # (the reference's tmpfile → cp → chmod 400 pattern,
+            # /root/reference/scripts/fpm_run_ising3d.sh:43-48)
+            tmp = a.output + ".partial"
+            with open(tmp, "w") as out:
                 protocol(cfg, out=out, err=sys.stderr, **kwargs)
+            os.replace(tmp, a.output)
         else:
             protocol(cfg, out=sys.stdout, err=sys.stderr, **kwargs)
     if a.registry:

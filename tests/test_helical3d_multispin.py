@@ -1,0 +1,387 @@
+"""Flat even/odd bit-packed helical 3-D Ising engine
+(ops/helical3d_multispin.py): offset algebra vs the brute-force flat
+stencil, bitwise oracle chain (flat ±1 -> packed jnp -> Pallas
+interpret/Mosaic), streaming-kernel fused observables, and the model
+routing for the reference's committed odd 3-D geometries
+(/root/reference/scripts/fpm_run_ising3d.sh:7-9,
+/root/reference/app/ising3d_gpu_relaxation.f90:8-10)."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cuda_fortran_mc_simulation_spin_tpu.core import rng
+from cuda_fortran_mc_simulation_spin_tpu.models.ising3d_helical import (
+    Ising3DHelical,
+)
+from cuda_fortran_mc_simulation_spin_tpu.ops import (
+    helical3d_multispin as h3,
+)
+
+# cross-parity geometry (odd nx*ny — the 151³/501³ script class)
+NXC, NYC, NZC = 17, 17, 16          # nall = 4624, M = 2312
+# even-nx*ny geometry (the 1001x1000x1000 app class: z is self-parity)
+NXS, NYS, NZS = 17, 16, 17          # nall = 4624, M = 2312
+
+
+def _on_tpu() -> bool:
+    return jax.default_backend() != "cpu" or bool(
+        os.environ.get("SPINLAT_TEST_ON_TPU"))
+
+
+def _rand_flat(key, shape):
+    return (jax.random.bernoulli(key, 0.5, shape).astype(jnp.int8) * 2
+            - 1)
+
+
+def _brute_nsum(full, nx, nxy):
+    f = full.astype(jnp.int32)
+    return sum(jnp.roll(f, -d) + jnp.roll(f, d)
+               for d in (1, nx, nxy))
+
+
+@pytest.mark.parametrize("dims", [(NXC, NYC, NZC), (NXS, NYS, NZS),
+                                  (5, 5, 4), (5, 4, 3)])
+def test_offsets_match_brute_force_stencil(dims):
+    """Color-vector modular offsets reproduce the reference's six flat
+    neighbors idx±1, idx±nx, idx±nx·ny mod nall
+    (/root/reference/src/ising3d_gpu_m.f90:190-206)."""
+    nx, ny, nz = dims
+    nall = nx * ny * nz
+    m = nall // 2
+    full = _rand_flat(rng.base_key(0), (nall,))
+    a, b = full[0::2], full[1::2]
+    offs_a, offs_b, offs_s = h3.helical3d_offsets(nx, nx * ny)
+
+    nsum_full = _brute_nsum(full, nx, nx * ny)
+    a32, b32 = a.astype(jnp.int32), b.astype(jnp.int32)
+
+    nsum_a = sum(jnp.roll(b32, -d) for d in offs_a)
+    nsum_b = sum(jnp.roll(a32, -d) for d in offs_b)
+    for d in offs_s:
+        nsum_a = nsum_a + jnp.roll(a32, -d)
+        nsum_b = nsum_b + jnp.roll(b32, -d)
+    np.testing.assert_array_equal(np.asarray(nsum_a),
+                                  np.asarray(nsum_full[0::2]))
+    np.testing.assert_array_equal(np.asarray(nsum_b),
+                                  np.asarray(nsum_full[1::2]))
+
+
+@pytest.mark.parametrize("dims", [(NXC, NYC, NZC), (NXS, NYS, NZS)])
+@pytest.mark.parametrize("color", [0, 1])
+def test_flat_oracle_matches_model_phase(dims, color):
+    """flat_phase_reference == Ising3DHelical._phase (the masked jnp
+    model) given the same accept draws."""
+    nx, ny, nz = dims
+    model = Ising3DHelical(nx=nx, ny=ny, nz=nz, kbt=3.7)
+    nall = model.nsites
+    m = nall // 2
+    kf, ku = jax.random.split(rng.base_key(1))
+    full = _rand_flat(kf, (nall,))
+    u = rng.uniform(ku, (nall,))
+
+    want_full = model._phase(full, color, u)
+
+    offs_a, offs_b, offs_s = h3.helical3d_offsets(nx, model.nxy)
+    x = full[color::2]
+    o = full[1 - color::2]
+    uc = u[color::2]
+    bt = model.beta
+    b4u = uc < jnp.float32(np.exp(-4.0 * bt))
+    b8u = uc < jnp.float32(np.exp(-8.0 * bt))
+    b12u = uc < jnp.float32(np.exp(-12.0 * bt))
+    got = h3.flat_phase_reference(
+        x, o, offs_a if color == 0 else offs_b, offs_s, b4u, b8u, b12u)
+    np.testing.assert_array_equal(np.asarray(got),
+                                  np.asarray(want_full[color::2]))
+    # untouched color unchanged
+    np.testing.assert_array_equal(
+        np.asarray(want_full[1 - color::2]), np.asarray(o))
+
+
+@pytest.mark.parametrize("dims", [(NXC, NYC, NZC), (NXS, NYS, NZS)])
+@pytest.mark.parametrize("color", [0, 1])
+def test_packed_oracle_matches_flat_oracle(dims, color):
+    """packed_phase_reference (jnp packed planes) == the flat ±1
+    decision, bitwise on the valid sites."""
+    nx, ny, nz = dims
+    nxy = nx * ny
+    m = nx * ny * nz // 2
+    ka, kb, k4, k8, k12 = jax.random.split(rng.base_key(2), 5)
+    a = _rand_flat(ka, (m,))
+    b = _rand_flat(kb, (m,))
+    b4u = jax.random.bernoulli(k4, 0.4, (m,))
+    b8u = jax.random.bernoulli(k8, 0.15, (m,))
+    b12u = jax.random.bernoulli(k12, 0.05, (m,))
+    offs_a, offs_b, offs_s = h3.helical3d_offsets(nx, nxy)
+    x, o, offs = ((a, b, offs_a) if color == 0 else (b, a, offs_b))
+
+    want = h3.flat_phase_reference(x, o, offs, offs_s, b4u, b8u, b12u)
+    got = h3.unpack_flat(
+        h3.packed_phase_reference(
+            h3.pack_flat(x, m), h3.pack_flat(o, m), offs, offs_s,
+            h3.pack_flat(b4u.astype(jnp.int8) * 2 - 1, m),
+            h3.pack_flat(b8u.astype(jnp.int8) * 2 - 1, m),
+            h3.pack_flat(b12u.astype(jnp.int8) * 2 - 1, m), m),
+        m)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+@pytest.mark.parametrize("dims", [(NXC, NYC, NZC), (NXS, NYS, NZS)])
+@pytest.mark.parametrize("color", [0, 1])
+def test_phase_kernel_interpret_matches_reference(dims, color):
+    """Pallas phase with injected planes (interpret on CPU, Mosaic on
+    TPU) is bitwise the jnp packed oracle — covers the in-kernel
+    _pltpu_roll shift path for all six 3-D offsets."""
+    nx, ny, nz = dims
+    nxy = nx * ny
+    m = nx * ny * nz // 2
+    rows = h3.grid_rows(m)
+    R = 2
+    ka, kb, k4, k8, k12 = jax.random.split(rng.base_key(3), 5)
+    x = h3.pack_flat(_rand_flat(ka, (R, m)), m)
+    o = h3.pack_flat(_rand_flat(kb, (R, m)), m)
+    bits = [
+        jax.random.bits(k, (R, rows, 128), dtype=jnp.uint32
+                        ).astype(jnp.int32)
+        for k in (k4, k8, k12)
+    ]
+    offs_a, offs_b, offs_s = h3.helical3d_offsets(nx, nxy)
+    offs = offs_a if color == 0 else offs_b
+    interpret = jax.default_backend() == "cpu"
+    got = h3.phase_packed_with_bits(
+        x, o, *bits, offs_cross=offs, offs_self=offs_s, m=m,
+        interpret=interpret)
+    want = jax.vmap(
+        lambda xw, ow, p4, p8, p12: h3.packed_phase_reference(
+            xw, ow, offs, offs_s, p4, p8, p12, m)
+    )(x, o, *bits)
+    np.testing.assert_array_equal(
+        np.asarray(jax.vmap(lambda w: h3.unpack_flat(w, m))(got)),
+        np.asarray(jax.vmap(lambda w: h3.unpack_flat(w, m))(want)),
+    )
+
+
+def _stream_geometry():
+    """A geometry whose word grid is exactly one streaming block."""
+    # m = nx*ny*nz/2 sites -> rows = 512 needs m <= 512*128*32 = 2.09e6
+    nx, ny, nz = 33, 32, 30            # nall = 31680, M = 15840
+    return nx, ny, nz
+
+
+@pytest.mark.parametrize("measuring", [False, True])
+def test_stream_phase_interpret_matches_oracle(measuring):
+    """Streaming kernel with injected planes == packed oracle; fused
+    per-block (m, e) partials reduce to the direct flat sums."""
+    nx, ny, nz = _stream_geometry()
+    nxy = nx * ny
+    nall = nx * ny * nz
+    m = nall // 2
+    rows = h3.stream_rows(m)
+    R = 2
+    ka, kb, k4, k8, k12 = jax.random.split(rng.base_key(4), 5)
+    a = _rand_flat(ka, (R, m))
+    b = _rand_flat(kb, (R, m))
+    wa = h3.pack_flat_stream(a, m)
+    wb = h3.pack_flat_stream(b, m)
+    bits = [
+        jax.random.bits(k, (R, rows, 128), dtype=jnp.uint32
+                        ).astype(jnp.int32)
+        for k in (k4, k8, k12)
+    ]
+    offs_a, offs_b, offs_s = h3.helical3d_offsets(nx, nxy)
+    from cuda_fortran_mc_simulation_spin_tpu.ops.ising2d_multispin import (
+        chain_digits,
+    )
+    d4 = tuple(chain_digits(0.3))
+    d8 = tuple(chain_digits(0.1))
+    d12 = tuple(chain_digits(0.03))
+
+    # phase b (the measuring phase): x = b, planes from a
+    out, obs = h3._stream_phase(
+        wb, wa, jnp.zeros((2,), jnp.int32), offs_cross=offs_b,
+        offs_self=offs_s, m=m, rows=rows, nrep=R, d4=d4, d8=d8,
+        d12=d12, measuring=measuring, bits=bits,
+        interpret=jax.default_backend() == "cpu")
+
+    bit_flags = [
+        jax.vmap(lambda w: h3.unpack_flat(w, m) > 0)(p) for p in bits
+    ]
+    want = jax.vmap(
+        lambda xf, of, p4, p8, p12: h3.flat_phase_reference(
+            xf, of, offs_b, offs_s, p4, p8, p12)
+    )(b, a, *bit_flags)
+    got_flat = jax.vmap(lambda w: h3.unpack_flat(w, m))(out)
+    np.testing.assert_array_equal(np.asarray(got_flat),
+                                  np.asarray(want))
+
+    if measuring:
+        # mm partial sum = total magnetization of (a, b_new);
+        # e partial sum = -Σ_b s_b·(Σ cross a + Σ read-old self b)
+        b_new = want.astype(jnp.int32)
+        a32 = a.astype(jnp.int32)
+        b_old = b.astype(jnp.int32)
+        nsum = sum(
+            jnp.roll(a32, -d, axis=-1) for d in offs_b
+        )
+        for d in offs_s:
+            nsum = nsum + jnp.roll(b_old, -d, axis=-1)
+        e_want = -jnp.sum(b_new * nsum, axis=-1)
+        mm_want = jnp.sum(b_new, axis=-1) + jnp.sum(a32, axis=-1)
+        mm_got = jnp.sum(obs[:, :, 0].astype(jnp.int64), axis=1)
+        e_got = jnp.sum(obs[:, :, 1].astype(jnp.int64), axis=1)
+        np.testing.assert_array_equal(np.asarray(mm_got),
+                                      np.asarray(mm_want))
+        np.testing.assert_array_equal(np.asarray(e_got),
+                                      np.asarray(e_want))
+
+
+@pytest.mark.parametrize("dims", [(NXC, NYC, NZC), (5, 5, 4)])
+def test_model_energy_matches_numpy_brute_force(dims):
+    nx, ny, nz = dims
+    model = Ising3DHelical(nx=nx, ny=ny, nz=nz, kbt=4.5)
+    full = _rand_flat(rng.base_key(5), (model.nsites,))
+    f = np.asarray(full, np.int64)
+    e = 0
+    for d in (1, nx, nx * ny):
+        e -= int((f * np.roll(f, -d)).sum())
+    assert int(model.energy_sum(full)) == e
+
+
+def test_model_gates():
+    with pytest.raises(ValueError):
+        Ising3DHelical(nx=16, ny=17, nz=17, kbt=4.5)   # even nx
+    with pytest.raises(ValueError):
+        Ising3DHelical(nx=17, ny=17, nz=17, kbt=4.5)   # odd site count
+    m = Ising3DHelical(nx=151, ny=151, nz=150, kbt=4.511454583186711)
+    assert m.z_cross_parity
+    assert h3.fits(m)
+    big = Ising3DHelical(nx=501, ny=501, nz=500, kbt=4.51152174982078)
+    assert not h3.fits(big) and h3.fits_stream(big)
+    app = Ising3DHelical(nx=1001, ny=1000, nz=1000, kbt=4.51152)
+    assert not app.z_cross_parity
+    assert h3.fits_stream(app)
+
+
+def test_build_model_routes_odd_ising3d():
+    from cuda_fortran_mc_simulation_spin_tpu.config import RunConfig
+    from cuda_fortran_mc_simulation_spin_tpu.models import build_model
+
+    cfg = RunConfig(model="ising3d", nx=151, ny=151, nz=150, kbt=4.51,
+                    mcs=2, tot_sample=1, seed=1)
+    assert isinstance(build_model(cfg), Ising3DHelical)
+
+
+def test_model_sweep_absorbing_and_hot():
+    """Masked jnp model: T→0 all-up is absorbing; a hot sweep changes
+    the state and conserves shape/dtype."""
+    model = Ising3DHelical(nx=NXC, ny=NYC, nz=NZC, kbt=0.05)
+    up = model.init_state("allup")
+    out = model.sweep(up, rng.base_key(6))
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(up))
+
+    hot = Ising3DHelical(nx=NXC, ny=NYC, nz=NZC, kbt=50.0)
+    st = hot.init_state("random", rng.base_key(7))
+    out = hot.sweep(st, rng.base_key(8))
+    assert out.dtype == jnp.int8 and out.shape == st.shape
+    assert np.any(np.asarray(out) != np.asarray(st))
+
+
+# -- chip-gated engine runs ---------------------------------------------------
+
+def test_multisweep_physics_on_chip():
+    """Hardware: absorbing at T→0 (fused obs pinned exactly), fused
+    (m, e) == direct reductions on the unpacked final state at Tc."""
+    if not _on_tpu() or jax.default_backend() == "cpu":
+        pytest.skip("hardware PRNG path needs the chip")
+    m = NXC * NYC * NZC // 2
+    cold = Ising3DHelical(nx=NXC, ny=NYC, nz=NZC, kbt=0.05)
+    R = 2
+    up = jnp.ones((R, m), jnp.int8)
+    wa, wb = h3.pack_flat(up, m), h3.pack_flat(up, m)
+    wa, wb, obs = h3.multisweep(cold, wa, wb, rng.base_key(9), 3)
+    np.testing.assert_allclose(np.asarray(obs["m"]), 1.0, atol=0)
+    np.testing.assert_allclose(np.asarray(obs["e"]), -3.0, atol=0)
+
+    hot = Ising3DHelical(nx=NXC, ny=NYC, nz=NZC,
+                         kbt=4.511454583186711)
+    st = _rand_flat(rng.base_key(10), (R, hot.nsites))
+    a, b = st[:, 0::2], st[:, 1::2]
+    wa, wb = h3.pack_flat(a, m), h3.pack_flat(b, m)
+    wa, wb, obs = h3.multisweep(hot, wa, wb, rng.base_key(11), 4)
+    af = h3.unpack_flat(wa, m)
+    bf = h3.unpack_flat(wb, m)
+    full = jnp.stack([af, bf], axis=-1).reshape(R, -1)
+    n_inv = 1.0 / hot.nsites
+    for r in range(R):
+        m_want = float(jnp.sum(full[r].astype(jnp.int32))) * n_inv
+        e_want = float(hot.energy_sum(full[r])) * n_inv
+        np.testing.assert_allclose(float(obs["m"][r, -1]), m_want,
+                                   rtol=0, atol=1e-6)
+        np.testing.assert_allclose(float(obs["e"][r, -1]), e_want,
+                                   rtol=0, atol=1e-6)
+
+
+@pytest.mark.parametrize("dims", [(33, 32, 30), (33, 33, 32)])
+def test_multisweep_stream_physics_on_chip(dims):
+    """Hardware: the streaming engine (both parities) — absorbing at
+    T→0 and final-sweep (m, e) == direct reductions."""
+    if not _on_tpu() or jax.default_backend() == "cpu":
+        pytest.skip("hardware PRNG path needs the chip")
+    nx, ny, nz = dims
+    model = Ising3DHelical(nx=nx, ny=ny, nz=nz, kbt=0.05)
+    m = model.nsites // 2
+    R = 2
+    up = jnp.ones((R, m), jnp.int8)
+    wa = h3.pack_flat_stream(up, m)
+    wb = h3.pack_flat_stream(up, m)
+    wa, wb, obs = h3.multisweep_stream(model, wa, wb, rng.base_key(12),
+                                       3)
+    np.testing.assert_allclose(np.asarray(obs["m"]), 1.0, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(obs["e"]), -3.0, atol=1e-5)
+
+    hot = Ising3DHelical(nx=nx, ny=ny, nz=nz, kbt=4.51152)
+    st = _rand_flat(rng.base_key(13), (R, hot.nsites))
+    a, b = st[:, 0::2], st[:, 1::2]
+    wa = h3.pack_flat_stream(a, m)
+    wb = h3.pack_flat_stream(b, m)
+    wa, wb, obs = h3.multisweep_stream(hot, wa, wb, rng.base_key(14), 4)
+    af = h3.unpack_flat(wa, m)[:, :m]
+    bf = h3.unpack_flat(wb, m)[:, :m]
+    full = jnp.stack([af, bf], axis=-1).reshape(R, -1)
+    n_inv = 1.0 / hot.nsites
+    for r in range(R):
+        m_want = float(jnp.sum(full[r].astype(jnp.int32))) * n_inv
+        e_want = float(hot.energy_sum(full[r])) * n_inv
+        np.testing.assert_allclose(float(obs["m"][r, -1]), m_want,
+                                   rtol=0, atol=1e-5)
+        np.testing.assert_allclose(float(obs["e"][r, -1]), e_want,
+                                   rtol=0, atol=1e-5)
+
+
+def test_helical_runner_routes_3d(monkeypatch):
+    """make_helical_runner selects the packed 3-D engine and completes
+    end-to-end with finite observables."""
+    if not _on_tpu() or jax.default_backend() == "cpu":
+        pytest.skip("helical runner routing is TPU-only")
+    from cuda_fortran_mc_simulation_spin_tpu.engine import sweep as sw
+
+    called = {}
+    orig = h3.multisweep
+
+    def spy(*a, **k):
+        called["yes"] = True
+        return orig(*a, **k)
+
+    monkeypatch.setattr(h3, "multisweep", spy)
+    model = Ising3DHelical(nx=NXC, ny=NYC, nz=NZC,
+                           kbt=4.511454583186711)
+    assert sw.helical_pallas_eligible(model)
+    runner = sw.make_helical_runner(model, mcs=4, batch=2)
+    out = jax.device_get(runner(rng.base_key(15)))
+    assert called.get("yes")
+    assert out["m"].shape == (2, 4)
+    assert np.all(np.isfinite(out["e"]))

@@ -163,7 +163,12 @@ def test_finite_magne_samples_output():
                     tot_sample=2, init_magne=0.3, use_pallas=False)
     out = io.StringIO()
     protocols.run_finite_magne_samples(cfg, out, io.StringIO())
-    table = _parse_table(out.getvalue())
+    text = out.getvalue()
+    # the reference's literal column-header line incl. its typo
+    # (/root/reference/app/xy2d_periodic_gpu_relaxation_from_disorder_
+    # finite_magne_samples.f90:40)
+    assert "# N, smaple, time, m_x, e, m_y, A" in text
+    table = _parse_table(text)
     # rows: samples × mcs, cols: N, sample, t, mx, e, my, A
     assert table.shape == (6, 7)
     np.testing.assert_array_equal(table[:, 1], [1, 1, 1, 2, 2, 2])
