@@ -651,6 +651,106 @@ def _xy_disorder_multisweep_runner(model, cfg: RunConfig, prep: str,
     return run
 
 
+def _xy_resident_eligible(cfg: RunConfig, model, prep: str) -> bool:
+    """Route to the VMEM-resident f32 multisweep (ops/xy2d_resident.py)
+    — the default fast path for the from-disorder protocol family on
+    lattices whose state + snapshot planes fit VMEM (incl. the literal
+    1500² whose nx/2 = 750 fails the streaming kernels' lane tiling).
+    Zero HBM lattice traffic between sweeps vs ~16 plane reads/MCS on
+    the per-phase path (BENCHMARKS.md)."""
+    if os.environ.get("SPINLAT_XY_RESIDENT") == "0":
+        return False
+    if os.environ.get("SPINLAT_XY_ANGLE_MS") == "1":
+        return False        # explicit A/B opt-in for the angle engine
+    if jax.default_backend() in ("cpu", "gpu"):
+        return False
+    if getattr(model, "backend", "auto") == "jnp":
+        return False
+    if cfg.track_correlation or cfg.n_over_relax > 0:
+        return False
+    if max(cfg.replicas, 1) > 1:
+        # the replica grid axis double-buffers the whole resident
+        # plane set across grid steps — R=2 at 1500² exceeded scoped
+        # VMEM (121M > 110M, measured r4b); samples run sequentially
+        return False
+    from cuda_fortran_mc_simulation_spin_tpu.ops import xy2d_resident
+    return xy2d_resident.fits(model, snapshot=True)
+
+
+def _xy_disorder_resident_runner(model, cfg: RunConfig, prep: str,
+                                 batch: int, chunk: int = 64):
+    """run(call_key) -> {mx, my, e, A: (batch, mcs)} on the VMEM-
+    resident f32 multisweep: state + t=0 snapshot live in VMEM for
+    ``chunk`` MCS per kernel invocation with per-sweep fused
+    (mx, my, e, A) — the engine for the reference's 1500² × 10⁵ MCS
+    from-disorder workload (/root/reference/app/
+    xy2d_periodic_gpu_relaxation_from_disorder.f90:9-15,39-61)."""
+    from cuda_fortran_mc_simulation_spin_tpu.ops import (
+        xy2d_resident as xr,
+    )
+
+    mcs = cfg.mcs
+    fix1 = prep == "fix1mcs"
+    half = model.nx // 2
+    n_inv = 1.0 / model.nsites
+
+    def measure_t1(state, snap):
+        mx, my = model.magne_sums(state)
+        return {
+            "mx": mx * n_inv,
+            "my": my * n_inv,
+            "e": model.energy_sum(state) * n_inv,
+            "A": model.autocorrelation_sum(state, snap) * n_inv,
+        }
+
+    def rot_one(state, snap):
+        mx, my = model.magne_sums(state)
+        th = -jnp.arctan2(my, mx)
+        return model.rotate(state, th), model.rotate(snap, th)
+
+    def run(call_key: jax.Array) -> dict[str, jax.Array]:
+        init_keys = jax.vmap(
+            lambda r: jax.random.fold_in(rng.init_key(call_key), r)
+        )(jnp.arange(batch))
+        state, snap = jax.vmap(
+            lambda k: _xy_init_for_prep(model, cfg, prep, k)
+        )(init_keys)
+        first = None
+        t0 = 0
+        if fix1:
+            # sweep 1 + rotation + its measurement run on the jnp
+            # path; the kernel takes over from t=2 on the rotated state
+            state = model.sweep_batched(state,
+                                        rng.sweep_key(call_key, 1))
+            state, snap = jax.vmap(rot_one)(state, snap)
+            first = jax.vmap(measure_t1)(state, snap)
+            t0 = 1
+        planes = xr.pad_planes(tuple(state), half)
+        snaps = xr.pad_planes(tuple(snap), half)
+        remaining = mcs - t0
+        c_sz = min(chunk, remaining)
+        n_chunks = -(-remaining // c_sz)
+
+        def body(planes, c):
+            planes, series = xr.multisweep(
+                model, planes, snaps, rng.sweep_key(call_key, c + 2),
+                c_sz,
+            )
+            return planes, series
+
+        _, series = lax.scan(body, planes, jnp.arange(n_chunks))
+        out = {}
+        for k, v in series.items():
+            v = jnp.moveaxis(v, 0, 1).reshape(batch, n_chunks * c_sz)
+            v = v[:, :remaining]
+            if first is not None:
+                v = jnp.concatenate([first[k][:, None], v], axis=1)
+            out[k] = v
+        return out
+
+    return run
+
+
 def _xy_disorder_mesh_runner(model, cfg: RunConfig, prep: str,
                              batch: int):
     """Domain-sharded XY disorder runner: sweeps in shard_map, prep /
@@ -715,6 +815,11 @@ def _run_xy_disorder(cfg: RunConfig, prep: str, out, err,
         runner = _xy_disorder_mesh_runner(model, cfg, prep, batch)
         engine = (f"XY disorder domain-sharded mesh "
                   f"({cfg.mesh_dp},{cfg.mesh_y},{cfg.mesh_x})")
+    elif _xy_resident_eligible(cfg, model, prep):
+        runner = jax.jit(
+            _xy_disorder_resident_runner(model, cfg, prep, batch)
+        )
+        engine = "xy2d_resident (VMEM-resident f32 multisweep)"
     elif _xy_multisweep_eligible(cfg, model, prep):
         runner = jax.jit(
             _xy_disorder_multisweep_runner(model, cfg, prep, batch)

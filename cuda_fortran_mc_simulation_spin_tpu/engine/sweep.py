@@ -682,6 +682,7 @@ def make_helical_runner(
 
         m_half = model.nsites // 2
         resident = h3.fits(model)
+        halo = not resident and h3.fits_stream_halo(model)
 
         def init3_fn(call_key):
             init_keys = jax.vmap(
@@ -695,10 +696,17 @@ def make_helical_runner(
             if resident:
                 return (h3.pack_flat(a, m_half),
                         h3.pack_flat(b, m_half))
+            if halo:
+                return (
+                    h3.pack_flat_halo(a, m_half, model.nx, model.nxy),
+                    h3.pack_flat_halo(b, m_half, model.nx, model.nxy),
+                )
             return (h3.pack_flat_stream(a, m_half),
                     h3.pack_flat_stream(b, m_half))
 
-        ms = h3.multisweep if resident else h3.multisweep_stream
+        ms = (h3.multisweep if resident
+              else h3.multisweep_stream_halo if halo
+              else h3.multisweep_stream)
         chunk3 = min(chunk, mcs)
 
         def body3_fn(c, call_key, ci):
@@ -708,12 +716,13 @@ def make_helical_runner(
             return (wa, wb), obs
 
         est = _EST_PACKED_RATE[
-            "ising3d_helical_packed" if resident
+            "ising3d_helical_packed" if resident or halo
             else "ising3d_helical_stream"]
         return _tag(_invocation_chunked(
             init3_fn, body3_fn, mcs, chunk3, batch, est, model.nsites),
             "helical3d_multispin "
             + ("(resident multisweep)" if resident
+               else "(block-halo streaming)" if halo
                else "(streaming phase pairs)"))
 
     if isinstance(model, XY2DHelical):

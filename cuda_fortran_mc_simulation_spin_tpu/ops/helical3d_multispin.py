@@ -54,6 +54,7 @@ from cuda_fortran_mc_simulation_spin_tpu.ops.helical_multispin import (
     LANES,
     _jnp_roll,
     _pltpu_roll,
+    _shift_bits,
     _shift_mod_impl,
     grid_rows,
     pack_flat,
@@ -76,8 +77,9 @@ from cuda_fortran_mc_simulation_spin_tpu.ops.ising3d_multispin import (
 )
 
 __all__ = [
-    "helical3d_offsets", "fits", "fits_stream", "multisweep",
-    "multisweep_stream", "pack_flat", "unpack_flat", "split_flat",
+    "helical3d_offsets", "fits", "fits_stream", "fits_stream_halo",
+    "multisweep", "multisweep_stream", "multisweep_stream_halo",
+    "pack_flat", "unpack_flat", "split_flat",
 ]
 
 
@@ -260,10 +262,19 @@ def _multisweep(wa, wb, seeds, *, sweeps, beta, nx, nxy, m, nrep,
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM), plane, plane],
         out_specs=(plane, plane, obs),
         input_output_aliases={1: 0, 2: 1},
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=110 * 1024 * 1024,
+        ),
     )(seeds, wa, wb)
 
 
-_VMEM_ROW_BUDGET = 1024  # matches ops/helical_multispin.py
+# word-grid rows servable by the resident multisweep, matching
+# ops/helical_multispin.py.  A 16K-row budget was tried for the
+# committed 501x501x500 geometry (rows=15,320) but the whole-plane
+# funnel shifts spill: XLA reported 137M of register-allocator spill
+# slots against the 128M scoped-vmem cap (r4c log).  Large geometries
+# route to the block-halo streaming engine below instead.
+_VMEM_ROW_BUDGET = 1024
 
 
 def fits(model) -> bool:
@@ -273,6 +284,8 @@ def fits(model) -> bool:
         return False
     if model.nxy % 2 == 0:
         return False
+    if 3 * model.nsites > 2 ** 31 - 1:
+        return False        # fused int32 (m, e) would wrap
     return grid_rows(model.nsites // 2) <= _VMEM_ROW_BUDGET
 
 
@@ -304,8 +317,8 @@ def _stream_kernel(seed_ref, x_ref, n1, n2, n3, n4, n5, n6, *rest,
                    d4, d8, d12, measuring: bool, has_bits: bool,
                    m: int, rows_blk: int):
     refs = list(rest)
-    obs_ref = refs.pop()
-    out_ref = refs.pop()
+    obs_ref = refs.pop()        # (1, nblk, 128) — whole per-replica
+    out_ref = refs.pop()        # block, revisited across the g axis
     r = pl.program_id(0)
     g = pl.program_id(1)
     x = pltpu.bitcast(x_ref[0, 0], jnp.uint32)
@@ -365,8 +378,8 @@ def _stream_kernel(seed_ref, x_ref, n1, n2, n3, n4, n5, n6, *rest,
         mm = 2 * (s_x + s_a) - 2 * nvalid
         e = -(4 * s_xc - 12 * s_x - 2 * s_c + 6 * nvalid)
         lane = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
-        obs_ref[0] = jnp.where(lane == 0, mm,
-                               jnp.where(lane == 1, e, 0))
+        obs_ref[0, pl.ds(g, 1), :] = jnp.where(
+            lane == 0, mm, jnp.where(lane == 1, e, 0))
 
 
 def _shift_mod_batched(w, d: int, m: int):
@@ -390,7 +403,10 @@ def _stream_phase(xw, ow, seeds, *, offs_cross, offs_self, m, rows,
     blk = pl.BlockSpec((1, 1, _BLOCK_ROWS, LANES),
                        lambda r, g: (r, 0, g, 0),
                        memory_space=pltpu.VMEM)
-    obs_spec = pl.BlockSpec((1, 1, 128), lambda r, g: (r, g, 0),
+    # whole per-replica obs block, revisited across the g axis (a row
+    # per block; Mosaic needs the trailing block dims (nblk, 128) to
+    # match the array — a (1, 1, 128) row block fails lowering)
+    obs_spec = pl.BlockSpec((1, nblk, 128), lambda r, g: (r, 0, 0),
                             memory_space=pltpu.VMEM)
     xw4 = xw.reshape(nrep, 1, rows, LANES)
     planes4 = [p.reshape(nrep, 1, rows, LANES) for p in planes]
@@ -532,6 +548,396 @@ def multisweep_stream(model, wa, wb, key, sweeps: int):
     wa, wb, mm, e = _multisweep_stream(
         wa, wb, key, sweeps=sweeps, beta=float(model.beta),
         nx=model.nx, nxy=model.nxy, m=m, nrep=nrep, rows=rows,
+    )
+    n_inv = jnp.float32(1.0 / model.nsites)
+    return wa, wb, {"m": mm * n_inv, "e": e * n_inv}
+
+
+# -- block-halo streaming path ------------------------------------------------
+#
+# The funnel-shift streaming path above materializes every neighbor
+# plane in HBM (~10 whole-plane elementwise ops per shift, 12 shifts
+# per sweep) and measured 2.1e8 flips/s on the 1001x1000x1000 app
+# geometry (r4b) — 500x below the committed perf bar.  Here the
+# neighbor shifts move into VMEM: all six helical offsets are at most
+# nxy/2 + nx bits (~122 word-rows on the 1001-geometry), so a kernel
+# gridded over 512-row blocks sees every neighbor bit inside the
+# [prev | cur | next] block window — three views of the SAME HBM plane
+# with shifted index maps (the dense-XY up/dn-view pattern).  The
+# modular wrap at bit m never needs an in-kernel blend because the
+# planes keep a RING-PAD INVARIANT in HBM:
+#
+#   capacity C >= m + 2k bits;  positions [m, m+k)   hold bits [0, k)
+#                               positions [C-k, C)   hold bits [m-k, m)
+#
+# so a plain funnel shift by |d| <= k in the capacity/block-ring
+# domain reads exactly bit (f+d) mod m for every valid site f.  The
+# invariant is restored after each phase by rewriting the ~k-bit pad
+# regions (two tiny strided word blends, O(k/32) words).
+
+def _halo_pad_k(nx: int, nxy: int) -> int:
+    """Max |neighbor offset| in bits + one word of slack."""
+    offs_a, offs_b, offs_s = helical3d_offsets(nx, nxy)
+    return max(abs(d) for d in offs_a + offs_b + offs_s) + PACK
+
+
+def halo_rows(m: int, k: int, block_rows: int = _BLOCK_ROWS) -> int:
+    """Plane rows for the halo path: grid_rows(m) + ring pad (>= 2k
+    bits + a row), rounded to whole blocks."""
+    pad = -(-2 * k // (LANES * PACK)) + 1
+    return -(-(grid_rows(m) + pad) // block_rows) * block_rows
+
+
+def fits_stream_halo(model, block_rows: int = _BLOCK_ROWS) -> bool:
+    """Gate: odd nx, even site count, every neighbor offset within one
+    adjacent block (so the 3-block window suffices), and the wrap
+    copies sourced from real data (k < m)."""
+    if model.nx % 2 == 0 or model.nsites % 2:
+        return False
+    k = _halo_pad_k(model.nx, model.nxy)
+    m = model.nsites // 2
+    return k + PACK <= m and k <= (block_rows - 1) * LANES * PACK
+
+
+def ring_fill(w: jax.Array, m: int, k: int) -> jax.Array:
+    """Restore the ring-pad invariant on (..., rows, 128) packed
+    planes: flat-bit positions [m, C-kt·32) := bits [0, ...) and
+    positions [C-kt·32, C) := bits [m-kt·32, m); only the first/last k
+    bits of each region are ever read by the kernels."""
+    rows = w.shape[-2]
+    wc = rows * LANES
+    w_m, b = divmod(m, PACK)
+    kt = -(-k // PACK) + 1
+    flatw = w.astype(jnp.uint32).reshape(w.shape[:-2] + (wc,))
+    hn = wc - kt - w_m
+    src = flatw[..., :hn]
+    if b:
+        pad = [(0, 0)] * (src.ndim - 1) + [(1, 0)]
+        srcm1 = jnp.pad(src[..., :-1], pad)
+        head = (src << jnp.uint32(b)) | (srcm1 >> jnp.uint32(PACK - b))
+        lowmask = jnp.uint32((1 << b) - 1)
+        first = ((flatw[..., w_m] & lowmask)
+                 | (head[..., 0] & ~lowmask))
+        head = jnp.concatenate(
+            [first[..., None], head[..., 1:]], axis=-1)
+        tlo = flatw[..., w_m - kt: w_m]
+        thi = flatw[..., w_m - kt + 1: w_m + 1]
+        tail = ((tlo >> jnp.uint32(b))
+                | (thi << jnp.uint32(PACK - b)))
+    else:
+        head = src
+        tail = flatw[..., w_m - kt: w_m]
+    out = jnp.concatenate([flatw[..., :w_m], head, tail], axis=-1)
+    return out.reshape(w.shape).astype(jnp.int32)
+
+
+def pack_flat_halo(flat: jax.Array, m: int, nx: int, nxy: int,
+                   block_rows: int = _BLOCK_ROWS) -> jax.Array:
+    """pack_flat, padded to the halo row count, invariant installed."""
+    k = _halo_pad_k(nx, nxy)
+    w = pack_flat(flat, m)
+    pad = halo_rows(m, k, block_rows) - w.shape[-2]
+    if pad:
+        w = jnp.pad(w, [(0, 0)] * (w.ndim - 2) + [(0, pad), (0, 0)])
+    return ring_fill(w, m, k)
+
+
+def _win_shift(win, d: int, blk: int):
+    """Central block of the 3-block window shifted by d bits (|d| <
+    blk·4096; the plain funnel is modular by the ring-pad
+    invariant)."""
+    return _shift_bits(win, d, _pltpu_roll)[blk:2 * blk]
+
+
+def _halo_kernel(seed_ref, *refs, d4, d8, d12, offs_cross, offs_self,
+                 measuring: bool, has_bits: bool, self_read: bool,
+                 m: int, blk: int):
+    refs = list(refs)
+    obs_ref = refs.pop()
+    out_ref = refs.pop()
+    bits = ()
+    if has_bits:
+        bits = tuple(refs[-3:])
+        refs = refs[:-3]
+    it = iter(refs)
+    xc_ref = next(it)
+    if self_read:
+        xp_ref, xn_ref = next(it), next(it)
+    op_ref, oc_ref, on_ref = next(it), next(it), next(it)
+    r = pl.program_id(0)
+    g = pl.program_id(1)
+    x = pltpu.bitcast(xc_ref[0, 0], jnp.uint32)
+    o_win = pltpu.bitcast(
+        jnp.concatenate([op_ref[0, 0], oc_ref[0, 0], on_ref[0, 0]],
+                        axis=0), jnp.uint32)
+    planes = [_win_shift(o_win, d, blk) for d in offs_cross]
+    if self_read:
+        x_win = pltpu.bitcast(
+            jnp.concatenate([xp_ref[0, 0], xc_ref[0, 0], xn_ref[0, 0]],
+                            axis=0), jnp.uint32)
+        planes += [_win_shift(x_win, d, blk) for d in offs_self]
+    b1, b2, b4c = _count6(*planes)
+    shape = (blk, LANES)
+    if has_bits:
+        p4, p8, p12 = (
+            pltpu.bitcast(ref[0, 0], jnp.uint32) for ref in bits
+        )
+    else:
+        pltpu.prng_seed(
+            seed_ref[0],
+            seed_ref[1] ^ (r * jnp.int32(0x3C6EF35F))
+            ^ (g * jnp.int32(-1640531527)),
+        )
+
+        def gen():
+            return pltpu.bitcast(pltpu.prng_random_bits(shape),
+                                 jnp.uint32)
+
+        p4 = _bern_plane(shape, d4, gen)
+        p8 = _bern_plane(shape, d8, gen)
+        p12 = _bern_plane(shape, d12, gen)
+    new = x ^ _flip_plane3d(x, b1, b2, b4c, p4, p8, p12)
+    out_ref[0, 0] = pltpu.bitcast(new, jnp.int32)
+    if measuring:
+        gw = ((g * jnp.int32(blk)
+               + jax.lax.broadcasted_iota(jnp.int32, shape, 0))
+              * jnp.int32(LANES)
+              + jax.lax.broadcasted_iota(jnp.int32, shape, 1))
+        nbits = jnp.clip(jnp.int32(m) - gw * jnp.int32(PACK), 0,
+                         jnp.int32(PACK))
+        vmask = jnp.where(
+            nbits == PACK, jnp.uint32(0xFFFFFFFF),
+            (jnp.uint32(1) << nbits.astype(jnp.uint32))
+            - jnp.uint32(1),
+        )
+        nvalid = jnp.sum(nbits)
+        bm = new & vmask
+        oc = pltpu.bitcast(oc_ref[0, 0], jnp.uint32)
+        s_x = jnp.sum(_pc_plane(bm))
+        s_a = jnp.sum(_pc_plane(oc & vmask))
+        mm = 2 * (s_x + s_a) - 2 * nvalid
+        if not self_read:
+            # cross-parity: phase-b counts are vs the FINAL a, so the
+            # fused energy identity of _ms_kernel holds per block
+            s_c = (jnp.sum(_pc_plane(b1 & vmask))
+                   + 2 * jnp.sum(_pc_plane(b2 & vmask))
+                   + 4 * jnp.sum(_pc_plane(b4c & vmask)))
+            s_xc = (jnp.sum(_pc_plane(bm & b1))
+                    + 2 * jnp.sum(_pc_plane(bm & b2))
+                    + 4 * jnp.sum(_pc_plane(bm & b4c)))
+            e = -(4 * s_xc - 12 * s_x - 2 * s_c + 6 * nvalid)
+        else:
+            e = jnp.int32(0)    # self-parity: _halo_energy pass
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+        obs_ref[0, pl.ds(g, 1), :] = jnp.where(
+            lane == 0, mm, jnp.where(lane == 1, e, 0))
+
+
+def _halo_phase(xw, ow, seeds, *, offs_cross, offs_self, m, rows, nrep,
+                d4, d8, d12, measuring, block_rows=_BLOCK_ROWS,
+                bits=None, interpret=False):
+    """One checkerboard phase, block-halo kernel.  Both input planes
+    must carry the ring-pad invariant; the OUTPUT plane does not (the
+    caller ring_fills before the plane is next read)."""
+    nblk = rows // block_rows
+    self_read = len(offs_self) > 0
+    kernel = functools.partial(
+        _halo_kernel, d4=d4, d8=d8, d12=d12,
+        offs_cross=tuple(offs_cross), offs_self=tuple(offs_self),
+        measuring=measuring, has_bits=bits is not None,
+        self_read=self_read, m=m, blk=block_rows,
+    )
+    cur = pl.BlockSpec((1, 1, block_rows, LANES),
+                       lambda r, g: (r, 0, g, 0),
+                       memory_space=pltpu.VMEM)
+    prv = pl.BlockSpec((1, 1, block_rows, LANES),
+                       lambda r, g: (r, 0, (g + nblk - 1) % nblk, 0),
+                       memory_space=pltpu.VMEM)
+    nxt = pl.BlockSpec((1, 1, block_rows, LANES),
+                       lambda r, g: (r, 0, (g + 1) % nblk, 0),
+                       memory_space=pltpu.VMEM)
+    obs_spec = pl.BlockSpec((1, nblk, 128), lambda r, g: (r, 0, 0),
+                            memory_space=pltpu.VMEM)
+    xw4 = xw.reshape(nrep, 1, rows, LANES)
+    ow4 = ow.reshape(nrep, 1, rows, LANES)
+    operands = [seeds, xw4]
+    in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM), cur]
+    if self_read:
+        operands += [xw4, xw4]
+        in_specs += [prv, nxt]
+    operands += [ow4, ow4, ow4]
+    in_specs += [prv, cur, nxt]
+    if bits is not None:
+        operands += [b.reshape(nrep, 1, rows, LANES) for b in bits]
+        in_specs += [cur] * len(bits)
+    # self-parity reads neighbor views of x (read-old), so the output
+    # must not alias x; cross-parity never reads x beyond the central
+    # block being rewritten, so aliasing is safe there
+    aliases = {} if self_read else {1: 0}
+    out, obs = pl.pallas_call(
+        kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((nrep, 1, rows, LANES), jnp.int32),
+            jax.ShapeDtypeStruct((nrep, nblk, 128), jnp.int32),
+        ),
+        grid=(nrep, nblk),
+        in_specs=in_specs,
+        out_specs=(cur, obs_spec),
+        input_output_aliases=aliases,
+        interpret=interpret,
+    )(*operands)
+    return out.reshape(nrep, rows, LANES), obs
+
+
+def halo_phase_with_bits(xw, ow, b4, b8, b12, *, offs_cross, offs_self,
+                         m: int, block_rows: int = _BLOCK_ROWS,
+                         interpret: bool = False):
+    """(R, rows, 128) halo-kernel phase with injected Bernoulli planes
+    — bitwise testable against packed_phase_reference (pad the
+    oracle's planes with zero rows up to halo_rows)."""
+    nrep, rows, _ = xw.shape
+    out, _ = _halo_phase(
+        xw, ow, jnp.zeros((2,), jnp.int32),
+        offs_cross=offs_cross, offs_self=offs_self, m=m, rows=rows,
+        nrep=nrep, d4=(), d8=(), d12=(), measuring=False,
+        block_rows=block_rows, bits=(b4, b8, b12),
+        interpret=interpret)
+    return out
+
+
+def _halo_energy_kernel(ac_ref, ap_ref, an_ref, bc_ref, bp_ref, bn_ref,
+                        obs_ref, *, pairs_ab, pairs_self, m: int,
+                        blk: int):
+    g = pl.program_id(1)
+    a_win = pltpu.bitcast(
+        jnp.concatenate([ap_ref[0, 0], ac_ref[0, 0], an_ref[0, 0]],
+                        axis=0), jnp.uint32)
+    b_win = pltpu.bitcast(
+        jnp.concatenate([bp_ref[0, 0], bc_ref[0, 0], bn_ref[0, 0]],
+                        axis=0), jnp.uint32)
+    ac = pltpu.bitcast(ac_ref[0, 0], jnp.uint32)
+    bc = pltpu.bitcast(bc_ref[0, 0], jnp.uint32)
+    shape = (blk, LANES)
+    gw = ((g * jnp.int32(blk)
+           + jax.lax.broadcasted_iota(jnp.int32, shape, 0))
+          * jnp.int32(LANES)
+          + jax.lax.broadcasted_iota(jnp.int32, shape, 1))
+    nbits = jnp.clip(jnp.int32(m) - gw * jnp.int32(PACK), 0,
+                     jnp.int32(PACK))
+    vmask = jnp.where(
+        nbits == PACK, jnp.uint32(0xFFFFFFFF),
+        (jnp.uint32(1) << nbits.astype(jnp.uint32)) - jnp.uint32(1),
+    )
+    nvalid = jnp.sum(nbits)
+    e = jnp.int32(0)
+    for src, win, d in (
+        [(ac, b_win, d) for d in pairs_ab[0]]
+        + [(bc, a_win, d) for d in pairs_ab[1]]
+        + [(ac, a_win, d) for d in pairs_self]
+        + [(bc, b_win, d) for d in pairs_self]
+    ):
+        sh = _win_shift(win, d, blk)
+        dis = jnp.sum(_pc_plane((src ^ sh) & vmask))
+        e = e + 2 * dis - nvalid
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+    obs_ref[0, pl.ds(g, 1), :] = jnp.where(lane == 0, e, 0)
+
+
+def _halo_energy(wa, wb, *, nx, nxy, m, rows, nrep,
+                 block_rows=_BLOCK_ROWS, interpret=False):
+    """Full helical 3-D energy from ring-pad planes (any parity) via
+    per-block forward-bond disagreement popcounts; returns (R,) f32."""
+    h = (nx - 1) // 2
+    if nxy % 2 == 1:
+        gz = (nxy - 1) // 2
+        pairs_ab = ((0, h, gz), (1, h + 1, gz + 1))
+        pairs_self = ()
+    else:
+        pairs_ab = ((0, h), (1, h + 1))
+        pairs_self = (nxy // 2,)
+    nblk = rows // block_rows
+    kernel = functools.partial(
+        _halo_energy_kernel, pairs_ab=pairs_ab,
+        pairs_self=pairs_self, m=m, blk=block_rows,
+    )
+    cur = pl.BlockSpec((1, 1, block_rows, LANES),
+                       lambda r, g: (r, 0, g, 0),
+                       memory_space=pltpu.VMEM)
+    prv = pl.BlockSpec((1, 1, block_rows, LANES),
+                       lambda r, g: (r, 0, (g + nblk - 1) % nblk, 0),
+                       memory_space=pltpu.VMEM)
+    nxt = pl.BlockSpec((1, 1, block_rows, LANES),
+                       lambda r, g: (r, 0, (g + 1) % nblk, 0),
+                       memory_space=pltpu.VMEM)
+    obs_spec = pl.BlockSpec((1, nblk, 128), lambda r, g: (r, 0, 0),
+                            memory_space=pltpu.VMEM)
+    a4 = wa.reshape(nrep, 1, rows, LANES)
+    b4_ = wb.reshape(nrep, 1, rows, LANES)
+    obs = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((nrep, nblk, 128), jnp.int32),
+        grid=(nrep, nblk),
+        in_specs=[cur, prv, nxt, cur, prv, nxt],
+        out_specs=obs_spec,
+        interpret=interpret,
+    )(a4, a4, a4, b4_, b4_, b4_)
+    return jnp.sum(obs[:, :, 0].astype(jnp.float32), axis=1)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("sweeps", "beta", "nx", "nxy", "m", "nrep",
+                     "rows", "block_rows"),
+)
+def _multisweep_stream_halo(wa, wb, key, *, sweeps, beta, nx, nxy, m,
+                            nrep, rows, block_rows=_BLOCK_ROWS):
+    d4 = tuple(chain_digits(float(np.exp(-4.0 * beta))))
+    d8 = tuple(chain_digits(float(np.exp(-8.0 * beta))))
+    d12 = tuple(chain_digits(float(np.exp(-12.0 * beta))))
+    offs_a, offs_b, offs_s = helical3d_offsets(nx, nxy)
+    cross = nxy % 2 == 1
+    k = _halo_pad_k(nx, nxy)
+
+    def body(carry, s):
+        wa, wb = carry
+        seeds = seeds_from_key(jax.random.fold_in(key, s), 0)
+        wa, _ = _halo_phase(
+            wa, wb, seeds, offs_cross=offs_a, offs_self=offs_s, m=m,
+            rows=rows, nrep=nrep, d4=d4, d8=d8, d12=d12,
+            measuring=False, block_rows=block_rows,
+        )
+        wa = ring_fill(wa, m, k)
+        seeds_b = seeds_from_key(jax.random.fold_in(key, s), 1)
+        wb, obs = _halo_phase(
+            wb, wa, seeds_b, offs_cross=offs_b, offs_self=offs_s, m=m,
+            rows=rows, nrep=nrep, d4=d4, d8=d8, d12=d12,
+            measuring=True, block_rows=block_rows,
+        )
+        wb = ring_fill(wb, m, k)
+        mm = jnp.sum(obs[:, :, 0].astype(jnp.float32), axis=1)
+        if cross:
+            e = jnp.sum(obs[:, :, 1].astype(jnp.float32), axis=1)
+        else:
+            e = _halo_energy(wa, wb, nx=nx, nxy=nxy, m=m, rows=rows,
+                             nrep=nrep, block_rows=block_rows)
+        return (wa, wb), (mm, e)
+
+    (wa, wb), (mm, e) = jax.lax.scan(body, (wa, wb),
+                                     jnp.arange(sweeps))
+    return wa, wb, mm.T, e.T
+
+
+def multisweep_stream_halo(model, wa, wb, key, sweeps: int,
+                           block_rows: int = _BLOCK_ROWS):
+    """Advance ``sweeps`` helical 3-D MCS with the block-halo kernel;
+    planes must carry the ring-pad invariant (pack_flat_halo).
+    Returns (wa, wb, {m, e}) per-sweep densities (f32)."""
+    m = model.nsites // 2
+    nrep, rows, _ = wa.shape
+    wa, wb, mm, e = _multisweep_stream_halo(
+        wa, wb, key, sweeps=sweeps, beta=float(model.beta),
+        nx=model.nx, nxy=model.nxy, m=m, nrep=nrep, rows=rows,
+        block_rows=block_rows,
     )
     n_inv = jnp.float32(1.0 / model.nsites)
     return wa, wb, {"m": mm * n_inv, "e": e * n_inv}

@@ -34,6 +34,7 @@ OR energy conservation, and curve-level cross-checks.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -369,9 +370,20 @@ def _or_kernel(sx_ref, sy_ref, ox_ref, oxu_ref, oxd_ref,
         obs_ref[0] = obs_ref[0] + row
 
 
-def _pick_ty(ny: int, w: int, budget: int = 1 << 17) -> int:
-    # ~18 live f32 planes per phase tile must fit scoped VMEM (16M):
-    # ty*w <= 128K elements keeps them under ~10M
+def _pick_ty(ny: int, w: int, budget: int = 420_000) -> int:
+    # ~18 live f32 planes per phase tile must fit the (raised, see
+    # _VMEM_LIMIT) scoped VMEM.  budget 2^17 gave ty=16 at the
+    # committed 10001x10000 geometry (w=5120), whose 16 halo rows
+    # double the other-color HBM fetch; measured A/Bs on the committed
+    # M+OR workload (scripts/tpu_session_r4{a,b}.py): ty16 9.74e9,
+    # ty40 1.13e10, ty80 1.18e10 MCS-site/s (ty200 exceeds even the
+    # lifted 64M scoped-vmem cap) — budget 420K elements picks ty=80.
+    # SPINLAT_XY_DENSE_TY overrides for perf probes.
+    env = os.environ.get("SPINLAT_XY_DENSE_TY")
+    if env:
+        ty = int(env)
+        if ty >= 8 and ty % 8 == 0 and ny % ty == 0:
+            return ty
     ty = max(8, min(ny, budget // max(w, 1)))
     ty -= ty % 8
     while ty >= 8:
@@ -379,6 +391,12 @@ def _pick_ty(ny: int, w: int, budget: int = 1 << 17) -> int:
             return ty
         ty -= 8
     raise ValueError(f"ny={ny} needs a multiple-of-8 divisor")
+
+
+# lift the 16M default scoped-vmem cap so 40-80-row tiles compile
+# (the A/B showed bigger tiles cut halo overfetch on this HBM-bound
+# path; 20M was needed at ty=80)
+_VMEM_LIMIT = pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024)
 
 
 def _specs(ty, ny, w):
@@ -440,6 +458,7 @@ def _dense_phase(planes, seeds, u_cand, u_acc, *, color, beta, nrep,
         in_specs=in_specs,
         out_specs=tuple(out_specs),
         input_output_aliases={1: 0, 2: 1},
+        compiler_params=_VMEM_LIMIT,
         interpret=interpret,
     )(*operands)
     fin_x, fin_y = res[0], res[1]
@@ -484,6 +503,7 @@ def _dense_or_phase(planes, *, color, nrep, ny, nc, measuring=False,
         in_specs=[center, center, center, up, dn, center, up, dn],
         out_specs=tuple(out_specs),
         input_output_aliases={0: 0, 1: 1},
+        compiler_params=_VMEM_LIMIT,
         interpret=interpret,
     )(sx, sy, ox, ox, ox, oy, oy, oy)
     fin_x, fin_y = res[0], res[1]

@@ -260,9 +260,12 @@ def test_model_gates():
     assert m.z_cross_parity
     assert h3.fits(m)
     big = Ising3DHelical(nx=501, ny=501, nz=500, kbt=4.51152174982078)
-    assert not h3.fits(big) and h3.fits_stream(big)
+    # too big for the resident plane budget; block-halo serves it
+    assert not h3.fits(big)
+    assert h3.fits_stream_halo(big) and h3.fits_stream(big)
     app = Ising3DHelical(nx=1001, ny=1000, nz=1000, kbt=4.51152)
     assert not app.z_cross_parity
+    assert not h3.fits(app)     # even nx*ny (z self-parity) + too big
     assert h3.fits_stream(app)
 
 
@@ -349,6 +352,148 @@ def test_multisweep_stream_physics_on_chip(dims):
     wa = h3.pack_flat_stream(a, m)
     wb = h3.pack_flat_stream(b, m)
     wa, wb, obs = h3.multisweep_stream(hot, wa, wb, rng.base_key(14), 4)
+    af = h3.unpack_flat(wa, m)[:, :m]
+    bf = h3.unpack_flat(wb, m)[:, :m]
+    full = jnp.stack([af, bf], axis=-1).reshape(R, -1)
+    n_inv = 1.0 / hot.nsites
+    for r in range(R):
+        m_want = float(jnp.sum(full[r].astype(jnp.int32))) * n_inv
+        e_want = float(hot.energy_sum(full[r])) * n_inv
+        np.testing.assert_allclose(float(obs["m"][r, -1]), m_want,
+                                   rtol=0, atol=1e-5)
+        np.testing.assert_allclose(float(obs["e"][r, -1]), e_want,
+                                   rtol=0, atol=1e-5)
+
+
+# -- block-halo streaming path -------------------------------------------------
+
+# small multi-block geometries for block_rows=8 CPU runs
+HALO_SELF = (17, 16, 242)     # nall = 65,824 — z self-parity
+HALO_CROSS = (17, 15, 258)    # nall = 65,790 — nxy odd, cross-parity
+
+
+def _halo_setup(dims, block_rows=8, seed=20):
+    nx, ny, nz = dims
+    nxy = nx * ny
+    m = nx * ny * nz // 2
+    k = h3._halo_pad_k(nx, nxy)
+    rows = h3.halo_rows(m, k, block_rows)
+    assert rows // block_rows >= 2, "want a multi-block grid"
+    ka, kb = jax.random.split(rng.base_key(seed))
+    a = _rand_flat(ka, (2, m))
+    b = _rand_flat(kb, (2, m))
+    wa = h3.pack_flat_halo(a, m, nx, nxy, block_rows)
+    wb = h3.pack_flat_halo(b, m, nx, nxy, block_rows)
+    return nx, nxy, m, k, rows, a, b, wa, wb
+
+
+def test_ring_fill_invariant():
+    """pack_flat_halo planes satisfy the ring-pad invariant: bit
+    position m+t holds bit t, and position C-j holds bit m-j, for the
+    first k bits of each region."""
+    nx, nxy, m, k, rows, a, _b, wa, _wb = _halo_setup(HALO_SELF)
+    cap = rows * 128 * 32
+    words = np.asarray(wa, np.uint32).reshape(2, -1)
+
+    def bit(r, q):
+        return (words[r, q // 32] >> np.uint32(q % 32)) & 1
+
+    src = (np.asarray(a) > 0).astype(np.uint32)
+    rng_idx = np.random.default_rng(0)
+    for r in range(2):
+        for t in rng_idx.integers(0, k, size=64):
+            assert bit(r, m + int(t)) == src[r, int(t)]
+            assert bit(r, cap - 1 - int(t)) == src[r, m - 1 - int(t)]
+    # round-trip: unpack drops pads
+    np.testing.assert_array_equal(
+        np.asarray(jax.vmap(lambda w: h3.unpack_flat(w, m))(wa)),
+        np.asarray(a))
+
+
+@pytest.mark.parametrize("dims", [HALO_SELF, HALO_CROSS])
+@pytest.mark.parametrize("color", [0, 1])
+def test_halo_phase_matches_oracle(dims, color):
+    """Block-halo kernel with injected planes is bitwise the packed
+    jnp oracle across a multi-block grid (block ring wrap + ring-pad
+    invariant + in-window funnel shifts)."""
+    nx, nxy, m, k, rows, a, b, wa, wb = _halo_setup(dims)
+    oracle_rows = h3.grid_rows(m)
+    keys = jax.random.split(rng.base_key(21), 3)
+    bits = [
+        jax.random.bits(kk, (2, rows, 128), dtype=jnp.uint32
+                        ).astype(jnp.int32)
+        for kk in keys
+    ]
+    offs_a, offs_b, offs_s = h3.helical3d_offsets(nx, nxy)
+    offs = offs_a if color == 0 else offs_b
+    x, o = (wa, wb) if color == 0 else (wb, wa)
+    xo, oo = (a, b) if color == 0 else (b, a)
+    interpret = jax.default_backend() == "cpu"
+    got = h3.halo_phase_with_bits(
+        x, o, *bits, offs_cross=offs, offs_self=offs_s, m=m,
+        block_rows=8, interpret=interpret)
+    want = jax.vmap(
+        lambda xw, ow, p4, p8, p12: h3.packed_phase_reference(
+            xw, ow, offs, offs_s, p4, p8, p12, m)
+    )(h3.pack_flat(xo, m), h3.pack_flat(oo, m),
+      *(p[:, :oracle_rows] for p in bits))
+    np.testing.assert_array_equal(
+        np.asarray(jax.vmap(lambda w: h3.unpack_flat(w, m))(got)),
+        np.asarray(jax.vmap(lambda w: h3.unpack_flat(w, m))(want)),
+    )
+
+
+@pytest.mark.parametrize("dims", [HALO_SELF, HALO_CROSS])
+def test_halo_energy_matches_funnel_energy(dims):
+    """_halo_energy (block windows) == _energy_all_packed (whole-plane
+    funnel shifts) on random ring-pad planes."""
+    nx, nxy, m, k, rows, a, b, wa, wb = _halo_setup(dims, seed=22)
+    from cuda_fortran_mc_simulation_spin_tpu.ops.helical_multispin import (
+        valid_mask,
+    )
+    got = h3._halo_energy(
+        wa, wb, nx=nx, nxy=nxy, m=m, rows=rows, nrep=2, block_rows=8,
+        interpret=jax.default_backend() == "cpu")
+    want = h3._energy_all_packed(wa, wb, nx, nxy, m,
+                                 valid_mask(rows, m)[None])
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_halo_gates():
+    app = Ising3DHelical(nx=1001, ny=1000, nz=1000, kbt=4.51152)
+    assert h3.fits_stream_halo(app)       # the app geometry's fast path
+    m501 = Ising3DHelical(nx=501, ny=501, nz=500, kbt=4.51152174982078)
+    assert h3.fits_stream_halo(m501)      # the 501³ script geometry
+    tiny = Ising3DHelical(nx=5, ny=5, nz=4, kbt=4.5)
+    assert not h3.fits_stream_halo(tiny)  # wrap copies would source pad
+
+
+@pytest.mark.parametrize("dims", [(33, 32, 3968), (33, 33, 3968)])
+def test_multisweep_stream_halo_physics_on_chip(dims):
+    """Hardware: the block-halo engine (both parities, 2-block grid)
+    — absorbing at T→0 and final-sweep (m, e) == direct reductions."""
+    if not _on_tpu() or jax.default_backend() == "cpu":
+        pytest.skip("hardware PRNG path needs the chip")
+    nx, ny, nz = dims
+    model = Ising3DHelical(nx=nx, ny=ny, nz=nz, kbt=0.05)
+    m = model.nsites // 2
+    R = 2
+    up = jnp.ones((R, m), jnp.int8)
+    wa = h3.pack_flat_halo(up, m, nx, model.nxy)
+    wb = h3.pack_flat_halo(up, m, nx, model.nxy)
+    assert wa.shape[-2] // h3._BLOCK_ROWS >= 2
+    wa, wb, obs = h3.multisweep_stream_halo(model, wa, wb,
+                                            rng.base_key(23), 3)
+    np.testing.assert_allclose(np.asarray(obs["m"]), 1.0, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(obs["e"]), -3.0, atol=1e-5)
+
+    hot = Ising3DHelical(nx=nx, ny=ny, nz=nz, kbt=4.51152)
+    st = _rand_flat(rng.base_key(24), (R, hot.nsites))
+    a, b = st[:, 0::2], st[:, 1::2]
+    wa = h3.pack_flat_halo(a, m, nx, hot.nxy)
+    wb = h3.pack_flat_halo(b, m, nx, hot.nxy)
+    wa, wb, obs = h3.multisweep_stream_halo(hot, wa, wb,
+                                            rng.base_key(25), 4)
     af = h3.unpack_flat(wa, m)[:, :m]
     bf = h3.unpack_flat(wb, m)[:, :m]
     full = jnp.stack([af, bf], axis=-1).reshape(R, -1)
