@@ -58,6 +58,21 @@ def guarded(name, fn):
 results = {}
 
 
+def s0_tests():
+    # in-process (one device claim); remote compiles make a separate
+    # pytest process pathologically slow, and killing one mid-compile
+    # risks wedging the chip claim
+    import pytest
+
+    rc = pytest.main([
+        "-q", "--no-header", "-p", "no:cacheprovider",
+        "tests/test_helical3d_multispin.py", "-k", "halo",
+    ])
+    log(f"pytest halo rc={rc}")
+    results["tests_halo_rc"] = rc
+    assert rc == 0
+
+
 def _time_best(fn, *args, reps=3):
     out = fn(*args)
     jax.block_until_ready(out)
@@ -192,6 +207,7 @@ def s6_prod_from_disorder_leg1():
 
 
 def main():
+    guarded("on-chip halo tests", s0_tests)
     guarded("501^3 block-halo rate", s1_halo_501)
     guarded("1001x1000x1000 block-halo rate", s2_halo_1001)
     guarded("xy2d_resident 1500^2 rate", s3_resident_xy_rate)

@@ -537,3 +537,48 @@ def test_sharded_packed_runner_x_split_invariant(monkeypatch):
         np.testing.assert_array_equal(
             np.asarray(series[(1, 1, 1)][k]),
             np.asarray(series[(1, 2, 2)][k]))
+
+
+def test_streaming_vs_granule_keying_divergence_pinned_on_tpu():
+    """PIN of the documented PRNG-keying split (STATUS.md): the
+    single-chip streaming/multisweep kernels key hardware-PRNG chains
+    per TILE, the sharded kernels per global (replica, granule, lane
+    chunk) — so the unsharded fast path and a (1,1)-mesh run of the
+    SAME seed follow different trajectories.  Each stream must stay
+    deterministic, and where the dynamics are exact (T→0 absorbing)
+    the two paths must agree exactly.  If the hot-T assert below ever
+    finds the trajectories EQUAL, the keyings have converged: delete
+    the STATUS.md caveat and flip the assertion."""
+    if not _on_tpu() or jax.default_backend() == "cpu":
+        pytest.skip("hardware PRNG path")
+    from cuda_fortran_mc_simulation_spin_tpu.engine import sweep
+    from cuda_fortran_mc_simulation_spin_tpu.models.ising2d import Ising2D
+    from cuda_fortran_mc_simulation_spin_tpu.parallel import domain
+    from cuda_fortran_mc_simulation_spin_tpu.parallel import mesh as mm
+
+    def both(kbt):
+        model = Ising2D(nx=512, ny=512, kbt=kbt)
+        key = rng.base_key(91)
+        single = sweep.make_multispin_runner(model, 4, 2)
+        sharded = domain.make_sharded_sample_runner(
+            Ising2D(nx=512, ny=512, kbt=kbt, backend="jnp"),
+            mm.make_mesh(1, 1), mcs=4, replicas=2)
+        s1 = jax.device_get(single(key))
+        s2 = jax.device_get(single(key))
+        g1 = jax.device_get(sharded(key))
+        g2 = jax.device_get(sharded(key))
+        for k in ("m", "e"):
+            np.testing.assert_array_equal(s1[k], s2[k])   # deterministic
+            np.testing.assert_array_equal(g1[k], g2[k])
+        return s1, g1
+
+    s, g = both(0.05)        # absorbing: exact agreement
+    np.testing.assert_allclose(np.asarray(s["m"]), 1.0, atol=0)
+    np.testing.assert_allclose(np.asarray(g["m"]), 1.0, atol=0)
+    s, g = both(2.26918531421)
+    assert not np.array_equal(np.asarray(s["m"]), np.asarray(g["m"])), (
+        "tile- and granule-keyed streams converged — update STATUS.md "
+        "and flip this pin")
+    # same physics: hot trajectories stay in the same NER band
+    np.testing.assert_allclose(np.asarray(s["m"]).mean(),
+                               np.asarray(g["m"]).mean(), atol=0.05)
