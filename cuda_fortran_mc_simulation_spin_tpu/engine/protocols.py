@@ -281,15 +281,21 @@ def _run_accumulating(cfg, model, accumulators, fold, err,
                 model, cfg.mcs, max(batch, 1), cfg.init_state
             ), batch)
     elif batch == 1:
-        runner = jax.jit(
-            sweep_mod.make_sample_runner(model, cfg.mcs, cfg.init_state,
-                                         **runner_kwargs)
-        )
+        # already unbatched — bypass _wrap_runner's axis squeeze but
+        # keep its rule: host-chunked dispatch loops must not be
+        # re-jitted into one device program
+        runner = sweep_mod.make_sample_runner(
+            model, cfg.mcs, cfg.init_state, **runner_kwargs)
+        if not getattr(runner, "host_chunked", False):
+            eng = getattr(runner, "engine", None)
+            runner = jax.jit(runner)
+            if eng is not None:
+                runner.engine = eng
     else:
-        runner = jax.jit(
+        runner = _wrap_runner(
             sweep_mod.make_batch_runner(model, cfg.mcs, batch,
-                                        cfg.init_state, **runner_kwargs)
-        )
+                                        cfg.init_state, **runner_kwargs),
+            batch)
 
     _stamp_engine(
         runner, err,

@@ -37,6 +37,14 @@ from cuda_fortran_mc_simulation_spin_tpu.core import rng
 # the monolithic scan.
 _DISPATCH_BUDGET_S = 120.0
 
+# conservative site-update rate for the GENERIC (jnp-fallback) phase
+# engines — the XY periodic model at lane-unaligned widths (10000² has
+# nx/2 = 5000) runs XLA-fused jnp sweeps at ~1.5e9 site/s; a monolithic
+# 10⁴-MCS dispatch there is ~11 min and reproducibly crashed the device
+# worker (r4d/r4e logs), so the generic sample/batch runners host-chunk
+# too when the estimated dispatch exceeds the budget
+_EST_GENERIC_RATE = 5.0e8
+
 # conservative measured flip rates (BENCHMARKS.md) for the dispatch
 # estimate — underestimates only make chunks smaller, never unsafe
 _EST_PACKED_RATE = {
@@ -95,11 +103,7 @@ def make_sample_runner(
     """
     measure = measure or model.observables
 
-    def run(sample_key: jax.Array) -> dict[str, jax.Array]:
-        state = model.init_state(init_kind, rng.init_key(sample_key))
-        if prepare is not None:
-            state = prepare(state, rng.prepare_key(sample_key))
-
+    def make_body(sample_key):
         def body(state, t):
             state = model.sweep(state, rng.sweep_key(sample_key, t))
             if n_over_relax > 0:
@@ -115,7 +119,38 @@ def make_sample_runner(
                     )
             return state, measure(state)
 
-        _, series = lax.scan(body, state, jnp.arange(1, mcs + 1))
+        return body
+
+    def init_fn(sample_key):
+        state = model.init_state(init_kind, rng.init_key(sample_key))
+        if prepare is not None:
+            state = prepare(state, rng.prepare_key(sample_key))
+        return state
+
+    budget_sweeps = _sweeps_per_dispatch(
+        getattr(model, "nsites", 1), 1, _EST_GENERIC_RATE)
+    if mcs > budget_sweeps:
+        # sweep keys are pure functions of the GLOBAL t, so the chunked
+        # trajectory is bitwise identical to the monolithic scan
+        def chunk_fn(state, sample_key, t0, size):
+            state, series = lax.scan(
+                make_body(sample_key), state, t0 + jnp.arange(1, size + 1)
+            )
+            return state, jax.tree.map(lambda v: v[None], series)
+
+        base = _host_chunk_runner(
+            jax.jit(init_fn), jax.jit(chunk_fn, static_argnums=3),
+            mcs, budget_sweeps)
+
+        def run(sample_key: jax.Array) -> dict[str, jax.Array]:
+            return jax.tree.map(lambda v: v[0], base(sample_key))
+
+        run.host_chunked = True
+        return _tag(run, "phase engine (single history)")
+
+    def run(sample_key: jax.Array) -> dict[str, jax.Array]:
+        _, series = lax.scan(make_body(sample_key), init_fn(sample_key),
+                             jnp.arange(1, mcs + 1))
         return series
 
     return _tag(run, "phase engine (single history)")
@@ -139,7 +174,7 @@ def make_batch_runner(
         measure_batch = model.observables_batched
     measure = measure or model.observables
 
-    def run(call_key: jax.Array) -> dict[str, jax.Array]:
+    def init_fn(call_key):
         init_keys = jax.vmap(
             lambda r: jax.random.fold_in(rng.init_key(call_key), r)
         )(jnp.arange(batch))
@@ -149,7 +184,9 @@ def make_batch_runner(
                 lambda r: jax.random.fold_in(rng.prepare_key(call_key), r)
             )(jnp.arange(batch))
             state = jax.vmap(prepare)(state, prep_keys)
+        return state
 
+    def make_body(call_key):
         or_measure = (
             getattr(model, "over_relax_sweep_measure_batched", None)
             if measure_batch is not None else None
@@ -193,7 +230,28 @@ def make_batch_runner(
                 return state, measure_batch(state)
             return state, jax.vmap(measure)(state)
 
-        _, series = lax.scan(body, state, jnp.arange(1, mcs + 1))
+        return body
+
+    budget_sweeps = _sweeps_per_dispatch(
+        getattr(model, "nsites", 1), batch, _EST_GENERIC_RATE)
+    if mcs > budget_sweeps:
+        # sweep keys are pure functions of the GLOBAL t — bitwise
+        # identical to the monolithic scan (see make_sample_runner)
+        def chunk_fn(state, call_key, t0, size):
+            state, series = lax.scan(
+                make_body(call_key), state, t0 + jnp.arange(1, size + 1)
+            )
+            return state, jax.tree.map(
+                lambda x: jnp.swapaxes(x, 0, 1), series)
+
+        run = _host_chunk_runner(
+            jax.jit(init_fn), jax.jit(chunk_fn, static_argnums=3),
+            mcs, budget_sweeps)
+        return _tag(run, "phase engine (batched)")
+
+    def run(call_key: jax.Array) -> dict[str, jax.Array]:
+        _, series = lax.scan(make_body(call_key), init_fn(call_key),
+                             jnp.arange(1, mcs + 1))
         # (mcs, batch) -> (batch, mcs)
         return jax.tree.map(lambda x: jnp.swapaxes(x, 0, 1), series)
 

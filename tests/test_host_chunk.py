@@ -267,3 +267,52 @@ def test_clock_helical_packed_runner_chunked_bitwise(monkeypatch):
     chunked = _series(chunked_runner, key)
     for k in mono:
         np.testing.assert_array_equal(mono[k], chunked[k])
+
+
+def test_generic_sample_runner_chunked_bitwise(monkeypatch):
+    """make_sample_runner host-chunks when the estimated dispatch
+    exceeds the budget (the xy2d periodic 10000^2 x 1e4-MCS monolithic
+    scan crashed the device worker, r4d/r4e logs) — chunked ==
+    monolithic bitwise, incl. an OR window crossing a chunk edge."""
+    from cuda_fortran_mc_simulation_spin_tpu.models.xy2d import XY2D
+
+    model = XY2D(nx=16, ny=16, kbt=0.9, backend="jnp")
+    key = rng.sample_key(rng.base_key(7), 0)
+    mk = lambda: sw.make_sample_runner(  # noqa: E731
+        model, 9, "random", n_over_relax=1, mcs_over_relax=5)
+    mono_runner = mk()
+    assert not getattr(mono_runner, "host_chunked", False)
+    mono = _series(jax.jit(mono_runner), key)
+
+    monkeypatch.setattr(
+        sw, "_EST_GENERIC_RATE",
+        4 * model.nsites / sw._DISPATCH_BUDGET_S)  # 4 sweeps/dispatch
+    chunked_runner = mk()
+    assert getattr(chunked_runner, "host_chunked", False)
+    chunked = _series(chunked_runner, key)
+    for k in mono:
+        assert mono[k].shape == (9,)
+        np.testing.assert_array_equal(mono[k], chunked[k])
+
+
+def test_generic_batch_runner_chunked_bitwise(monkeypatch):
+    """make_batch_runner: same chunked == monolithic bitwise pin."""
+    from cuda_fortran_mc_simulation_spin_tpu.models.xy2d import XY2D
+
+    model = XY2D(nx=16, ny=16, kbt=0.9, backend="jnp")
+    key = rng.sample_key(rng.base_key(8), 0)
+    mk = lambda: sw.make_batch_runner(  # noqa: E731
+        model, 9, 3, "random", n_over_relax=1, mcs_over_relax=5)
+    mono_runner = mk()
+    assert not getattr(mono_runner, "host_chunked", False)
+    mono = _series(jax.jit(mono_runner), key)
+
+    monkeypatch.setattr(
+        sw, "_EST_GENERIC_RATE",
+        3 * 4 * model.nsites / sw._DISPATCH_BUDGET_S)
+    chunked_runner = mk()
+    assert getattr(chunked_runner, "host_chunked", False)
+    chunked = _series(chunked_runner, key)
+    for k in mono:
+        assert mono[k].shape == (3, 9)
+        np.testing.assert_array_equal(mono[k], chunked[k])
