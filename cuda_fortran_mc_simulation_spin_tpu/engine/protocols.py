@@ -280,6 +280,12 @@ def _run_accumulating(cfg, model, accumulators, fold, err,
             sweep_mod.make_multisweep_runner(
                 model, cfg.mcs, max(batch, 1), cfg.init_state
             ), batch)
+    elif sweep_mod.xy_padded_eligible(model, runner_kwargs):
+        runner = _wrap_runner(
+            sweep_mod.make_xy_padded_runner(
+                model, cfg.mcs, max(batch, 1), cfg.init_state,
+                **runner_kwargs,
+            ), batch)
     elif batch == 1:
         # already unbatched — bypass _wrap_runner's axis squeeze but
         # keep its rule: host-chunked dispatch loops must not be

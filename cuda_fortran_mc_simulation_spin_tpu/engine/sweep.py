@@ -1067,3 +1067,94 @@ def run_ensemble(
         accumulate(series)
         if progress is not None:
             progress((call + 1) * batch, tot_sample)
+
+
+# ---------------------------------------------------------------------------
+# lane-padded periodic XY runner (ops/xy2d_pallas padded API): the
+# committed geometries whose color width nx/2 is no lane multiple
+# (10000^2, 4000^2) previously fell to the ~16x slower jnp fallback
+# ---------------------------------------------------------------------------
+
+def xy_padded_eligible(model, runner_kwargs=None) -> bool:
+    """True when the lane-padded periodic XY Pallas path serves this
+    model: periodic XY2D on TPU whose nx/2 is NOT a lane multiple (the
+    aligned kernels already serve multiples) with 8-row tiling."""
+    from cuda_fortran_mc_simulation_spin_tpu.models.xy2d import XY2D
+
+    if os.environ.get("SPINLAT_XY_PADDED") == "0":
+        return False
+    if type(model) is not XY2D:
+        return False
+    if getattr(model, "backend", "auto") == "jnp":
+        return False
+    if jax.default_backend() in ("cpu", "gpu"):
+        return False
+    ny, half = model.color_shape
+    return ny % 8 == 0 and half % 128 != 0
+
+
+def make_xy_padded_runner(model, mcs, batch, init_kind,
+                          n_over_relax=0, mcs_over_relax=0):
+    """`run(call_key) -> {m, my, e: (batch, mcs)}` on zero-padded color
+    planes (ops/xy2d_pallas padded kernels; pads never flip, fused obs
+    exact).  Mirrors make_batch_runner's schedule incl. the
+    Metropolis+OR mix (/root/reference/app/
+    xy2d_periodic_gpu_over_relaxation.f90:42-45), host-chunked past the
+    dispatch deadline with global-t keying (bitwise-identical legs)."""
+    from cuda_fortran_mc_simulation_spin_tpu.ops import xy2d_pallas as xp
+
+    ny, half = model.color_shape
+    mcs_or = mcs_over_relax or mcs
+
+    def init_fn(call_key):
+        init_keys = jax.vmap(
+            lambda r: jax.random.fold_in(rng.init_key(call_key), r)
+        )(jnp.arange(batch))
+        state = jax.vmap(lambda k: model.init_state(init_kind, k))(
+            init_keys)
+        return xp.pad_planes(state, half)
+
+    def make_body(call_key):
+        def with_or(planes, key):
+            planes = xp.padded_sweep(model, planes, key)
+            planes = lax.fori_loop(
+                0, n_over_relax - 1,
+                lambda i, p: xp.padded_or_sweep(model, p), planes)
+            return xp.padded_or_sweep_measure(model, planes)
+
+        def body(planes, t):
+            key = rng.sweep_key(call_key, t)
+            if n_over_relax == 0:
+                return xp.padded_sweep_measure(model, planes, key)
+            if mcs_or >= mcs:
+                return with_or(planes, key)
+            return lax.cond(
+                t <= mcs_or,
+                lambda p: with_or(p, key),
+                lambda p: xp.padded_sweep_measure(model, p, key),
+                planes,
+            )
+
+        return body
+
+    budget_sweeps = _sweeps_per_dispatch(
+        model.nsites * (1 + max(n_over_relax, 0)), batch, 1.0e10)
+    name = "xy2d periodic lane-padded Pallas"
+    if mcs > budget_sweeps:
+        def chunk_fn(planes, call_key, t0, size):
+            planes, series = lax.scan(
+                make_body(call_key), planes, t0 + jnp.arange(1, size + 1)
+            )
+            return planes, jax.tree.map(
+                lambda x: jnp.swapaxes(x, 0, 1), series)
+
+        return _tag(_host_chunk_runner(
+            jax.jit(init_fn), jax.jit(chunk_fn, static_argnums=3),
+            mcs, budget_sweeps), name)
+
+    def run(call_key: jax.Array) -> dict[str, jax.Array]:
+        _, series = lax.scan(make_body(call_key), init_fn(call_key),
+                             jnp.arange(1, mcs + 1))
+        return jax.tree.map(lambda x: jnp.swapaxes(x, 0, 1), series)
+
+    return _tag(run, name)

@@ -109,3 +109,33 @@ def bits_to_uniform(bits: jax.Array) -> jax.Array:
     return (bits >> jnp.uint32(8)).astype(jnp.int32).astype(
         jnp.float32
     ) * jnp.float32(1.0 / (1 << 24))
+
+
+def lr_sum_padded(o: jax.Array, color: int, parity: jax.Array,
+                  half: int) -> jax.Array:
+    """:func:`lr_sum` for a lane-PADDED color block: the plane is
+    ``w`` lanes wide but only lanes [0, half) are real sites (pads are
+    kept at 0 by the padded kernels).  The periodic x-wrap that the
+    aligned kernels get for free from the lane roll is substituted at
+    the real seam: lane 0's "i-1" neighbor is lane half-1 and lane
+    half-1's "i+1" neighbor is lane 0.  Serves the committed
+    lane-unaligned XY geometries (10000² -> half 5000, 4000² -> 2000;
+    /root/reference/app/xy2d_periodic_gpu_relaxation.f90:7-13,
+    /root/reference/scripts/fpm_run_xy2d_periodic_over_relaxation.sh)."""
+    w = o.shape[1]
+    liota = jax.lax.broadcasted_iota(jnp.int32, (1, w), 1)
+    minus = pltpu.roll(o, 1, axis=1)
+    minus = jnp.where(liota == 0, o[:, half - 1:half], minus)
+    plus = pltpu.roll(o, w - 1, axis=1)
+    plus = jnp.where(liota == half - 1, o[:, 0:1], plus)
+    if color == 0:
+        return o + jnp.where(parity, plus, minus)
+    return o + jnp.where(parity, minus, plus)
+
+
+def nbr_sum_padded(o: jax.Array, up_row: jax.Array, dn_row: jax.Array,
+                   color: int, parity: jax.Array, half: int) -> jax.Array:
+    """4-neighbor sum for a lane-padded color block (y-halos spliced,
+    x-wrap at the real seam)."""
+    up, dn = splice_updown(o, up_row, dn_row)
+    return up + dn + lr_sum_padded(o, color, parity, half)

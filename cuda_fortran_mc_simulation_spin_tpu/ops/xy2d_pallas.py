@@ -18,6 +18,7 @@ BlockSpecs as in ops/ising2d_pallas.py.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -36,9 +37,19 @@ _TWO_PI = np.float32(2.0 * np.pi)
 
 
 def _field(ox_ref, oxu_ref, oxd_ref, oy_ref, oyu_ref, oyd_ref,
-           color, parity):
+           color, parity, half: int = 0):
+    """``half`` > 0: lane-PADDED planes — only lanes [0, half) are real
+    sites (pads held at 0), x-wrap substituted at the real seam."""
     ox = ox_ref[0]
     oy = oy_ref[0]
+    if half:
+        hx = stencil.nbr_sum_padded(
+            ox, oxu_ref[0, 7:8, :], oxd_ref[0, 0:1, :], color, parity,
+            half)
+        hy = stencil.nbr_sum_padded(
+            oy, oyu_ref[0, 7:8, :], oyd_ref[0, 0:1, :], color, parity,
+            half)
+        return hx, hy
     hx = stencil.nbr_sum(ox, oxu_ref[0, 7:8, :], oxd_ref[0, 0:1, :],
                          color, parity)
     hy = stencil.nbr_sum(oy, oyu_ref[0, 7:8, :], oyd_ref[0, 0:1, :],
@@ -48,44 +59,80 @@ def _field(ox_ref, oxu_ref, oxd_ref, oy_ref, oyu_ref, oyd_ref,
 
 def _metropolis_kernel(seed_ref, sx_ref, sy_ref,
                        ox_ref, oxu_ref, oxd_ref,
-                       oy_ref, oyu_ref, oyd_ref,
-                       outx_ref, outy_ref,
-                       *, color: int, ty: int, beta: float):
+                       oy_ref, oyu_ref, oyd_ref, *rest,
+                       color: int, ty: int, beta: float, half: int = 0,
+                       has_u: bool = False, measuring: bool = False):
+    refs = list(rest)
+    obs_ref = refs.pop() if measuring else None
+    if has_u:
+        ucand_ref, uacc_ref, outx_ref, outy_ref = refs
+    else:
+        outx_ref, outy_ref = refs
     r = pl.program_id(0)
     i = pl.program_id(1)
-    tile_tag = i * jnp.int32(-1640531527) + r * jnp.int32(0x3C6EF35F)
-    pltpu.prng_seed(seed_ref[0], seed_ref[1] ^ tile_tag)
 
     parity = stencil.row_parity_mask(ty, i * ty)
     hx, hy = _field(ox_ref, oxu_ref, oxd_ref, oy_ref, oyu_ref, oyd_ref,
-                    color, parity)
+                    color, parity, half)
     sx = sx_ref[0]
     sy = sy_ref[0]
 
-    u_cand = stencil.bits_to_uniform(
-        pltpu.bitcast(pltpu.prng_random_bits(sx.shape), jnp.uint32)
-    )
+    if has_u:
+        u_cand = ucand_ref[0]
+        u_acc = uacc_ref[0]
+    else:
+        tile_tag = i * jnp.int32(-1640531527) + r * jnp.int32(0x3C6EF35F)
+        pltpu.prng_seed(seed_ref[0], seed_ref[1] ^ tile_tag)
+        u_cand = stencil.bits_to_uniform(
+            pltpu.bitcast(pltpu.prng_random_bits(sx.shape), jnp.uint32)
+        )
+        u_acc = stencil.bits_to_uniform(
+            pltpu.bitcast(pltpu.prng_random_bits(sx.shape), jnp.uint32)
+        )
     cx, cy = trig.cos_sin_2pi(u_cand)
     de = -((cx - sx) * hx + (cy - sy) * hy)
     p = jnp.exp(jnp.float32(-beta) * jnp.maximum(de, 0.0))
-    u_acc = stencil.bits_to_uniform(
-        pltpu.bitcast(pltpu.prng_random_bits(sx.shape), jnp.uint32)
-    )
     accept = u_acc < p
-    outx_ref[0] = jnp.where(accept, cx, sx)
-    outy_ref[0] = jnp.where(accept, cy, sy)
+    if half:
+        # pads-are-zero invariant: pad lanes never accept, so they stay
+        # exactly 0 and every fused sum below is exact unmasked
+        lane = jax.lax.broadcasted_iota(jnp.int32, sx.shape, 1)
+        accept = accept & (lane < half)
+    fin_x = jnp.where(accept, cx, sx)
+    fin_y = jnp.where(accept, cy, sy)
+    outx_ref[0] = fin_x
+    outy_ref[0] = fin_y
+    if measuring:
+        # phase-b fused (mx, my, e): h is built from FINAL phase-a
+        # values and each bond appears once in Σ_b S·h; pad lanes
+        # contribute exact zeros (S_pad = 0)
+        mx = jnp.sum(fin_x) + jnp.sum(ox_ref[0])
+        my = jnp.sum(fin_y) + jnp.sum(oy_ref[0])
+        e = -jnp.sum(fin_x * hx + fin_y * hy)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+        row = jnp.where(
+            lane == 0, mx,
+            jnp.where(lane == 1, my, jnp.where(lane == 2, e, 0.0)),
+        )
+
+        @pl.when(i == 0)
+        def _():
+            obs_ref[0] = jnp.zeros_like(obs_ref[0])
+
+        obs_ref[0] = obs_ref[0] + row
 
 
 def _over_relax_kernel(sx_ref, sy_ref,
                        ox_ref, oxu_ref, oxd_ref,
                        oy_ref, oyu_ref, oyd_ref,
                        outx_ref, outy_ref, *rest,
-                       color: int, ty: int, measuring: bool = False):
+                       color: int, ty: int, half: int = 0,
+                       measuring: bool = False):
     obs_ref = rest[0] if measuring else None
     i = pl.program_id(1)
     parity = stencil.row_parity_mask(ty, i * ty)
     hx, hy = _field(ox_ref, oxu_ref, oxd_ref, oy_ref, oyu_ref, oyd_ref,
-                    color, parity)
+                    color, parity, half)
     sx = sx_ref[0]
     sy = sy_ref[0]
     inv = jax.lax.rsqrt(jnp.maximum(hx * hx + hy * hy, jnp.float32(1e-30)))
@@ -138,43 +185,64 @@ def _specs(ty: int, ny: int, half: int):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("color", "beta", "nrep", "ny", "half")
+    jax.jit, static_argnames=("color", "beta", "nrep", "ny", "half",
+                              "valid_half", "measuring", "interpret")
 )
 def _metropolis_phase(sx, sy, ox, oy, seeds, *, color, beta, nrep, ny,
-                      half):
+                      half, valid_half=0, measuring=False,
+                      u_cand=None, u_acc=None, interpret=False):
     ty = _pick_tile_rows(ny, half, budget_bytes=128 << 10, gran=8)
     # 128K-element blocks: ty=128 at 1536^2 measured 2.08e10 vs
     # 1.93e10 at ty=64 on the from-disorder path; ty>=256 fails
     # to compile (VMEM)
     n = ny // ty
     center, up, dn = _specs(ty, ny, half)
+    has_u = u_cand is not None
     kernel = functools.partial(
-        _metropolis_kernel, color=color, ty=ty, beta=beta
+        _metropolis_kernel, color=color, ty=ty, beta=beta,
+        half=valid_half, has_u=has_u, measuring=measuring,
     )
-    return pl.pallas_call(
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.SMEM),
+        center, center,               # sx, sy
+        center, up, dn,               # ox + halos
+        center, up, dn,               # oy + halos
+    ]
+    operands = [seeds, sx, sy, ox, ox, ox, oy, oy, oy]
+    if has_u:
+        in_specs += [center, center]
+        operands += [u_cand, u_acc]
+    out_shape = [
+        jax.ShapeDtypeStruct((nrep, ny, half), jnp.float32),
+        jax.ShapeDtypeStruct((nrep, ny, half), jnp.float32),
+    ]
+    out_specs = [center, center]
+    if measuring:
+        out_shape.append(jax.ShapeDtypeStruct((nrep, 1, 128),
+                                              jnp.float32))
+        out_specs.append(pl.BlockSpec((1, 1, 128),
+                                      lambda r, i: (r, 0, 0),
+                                      memory_space=pltpu.VMEM))
+    res = pl.pallas_call(
         kernel,
-        out_shape=(
-            jax.ShapeDtypeStruct((nrep, ny, half), jnp.float32),
-            jax.ShapeDtypeStruct((nrep, ny, half), jnp.float32),
-        ),
+        out_shape=tuple(out_shape),
         grid=(nrep, n),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            center, center,               # sx, sy
-            center, up, dn,               # ox + halos
-            center, up, dn,               # oy + halos
-        ],
-        out_specs=(center, center),
+        in_specs=in_specs,
+        out_specs=tuple(out_specs),
         input_output_aliases={1: 0, 2: 1},
-    )(seeds, sx, sy, ox, ox, ox, oy, oy, oy)
+        interpret=interpret,
+    )(*operands)
+    if measuring:
+        return res
+    return res[0], res[1]
 
 
 @functools.partial(
     jax.jit, static_argnames=("color", "nrep", "ny", "half",
-                              "measuring")
+                              "valid_half", "measuring", "interpret")
 )
 def _over_relax_phase(sx, sy, ox, oy, *, color, nrep, ny, half,
-                      measuring=False):
+                      valid_half=0, measuring=False, interpret=False):
     ty = _pick_tile_rows(ny, half, budget_bytes=128 << 10, gran=8)
     # 128K-element blocks: ty=128 at 1536^2 measured 2.08e10 vs
     # 1.93e10 at ty=64 on the from-disorder path; ty>=256 fails
@@ -182,7 +250,7 @@ def _over_relax_phase(sx, sy, ox, oy, *, color, nrep, ny, half,
     n = ny // ty
     center, up, dn = _specs(ty, ny, half)
     kernel = functools.partial(_over_relax_kernel, color=color, ty=ty,
-                               measuring=measuring)
+                               half=valid_half, measuring=measuring)
     out_shape = [
         jax.ShapeDtypeStruct((nrep, ny, half), jnp.float32),
         jax.ShapeDtypeStruct((nrep, ny, half), jnp.float32),
@@ -205,6 +273,7 @@ def _over_relax_phase(sx, sy, ox, oy, *, color, nrep, ny, half,
         ],
         out_specs=tuple(out_specs),
         input_output_aliases={0: 0, 1: 1},
+        interpret=interpret,
     )(sx, sy, ox, ox, ox, oy, oy, oy)
     return res
 
@@ -686,3 +755,100 @@ def shard_pallas_ok(local_shape: tuple[int, ...]) -> bool:
         return False
     _, L, half = local_shape
     return half % 128 == 0 and L % 8 == 0
+
+
+# ---------------------------------------------------------------------------
+# lane-PADDED periodic engine: the committed XY geometries whose color
+# width nx/2 is no lane multiple (10000^2 -> 5000, 4000^2 -> 2000;
+# /root/reference/app/xy2d_periodic_gpu_relaxation.f90:7-13 and
+# /root/reference/scripts/fpm_run_xy2d_periodic_over_relaxation.sh)
+# previously fell back to ~16x slower XLA-fused jnp sweeps.  Planes are
+# zero-padded to the next 128-lane multiple; pad lanes never accept a
+# flip (pads-are-zero invariant), the x-wrap is substituted at the real
+# seam (stencil.lr_sum_padded), and every fused observable sum is exact
+# without masking because pad contributions are exact zeros.
+# ---------------------------------------------------------------------------
+
+def pad_width(half: int) -> int:
+    return -(-half // 128) * 128
+
+
+def pad_planes(state: XYState, half: int) -> XYState:
+    """Zero-pad (..., ny, half) color planes to (..., ny, W)."""
+    w = pad_width(half)
+    if w == half:
+        return state
+    pad = [(0, 0)] * (state.ax.ndim - 1) + [(0, w - half)]
+    return XYState(*(jnp.pad(p, pad) for p in state))
+
+
+def unpad_planes(state: XYState, half: int) -> XYState:
+    return XYState(*(p[..., :half] for p in state))
+
+
+def _padded_interp() -> bool:
+    # CPU test hook (mirrors SPINLAT_SHARD_PALLAS_INTERPRET in
+    # parallel/domain.py): run the padded kernels in interpret mode
+    return os.environ.get("SPINLAT_XY_PADDED_INTERPRET") == "1"
+
+
+def padded_sweep_measure(model, st: XYState, key: jax.Array):
+    """One Metropolis MCS on padded (R, ny, W) planes + fused
+    (m, my, e) densities from the phase-b kernel."""
+    ny, half = model.color_shape
+    ax, ay, bx, by = st
+    kw = dict(beta=float(model.beta), nrep=ax.shape[0], ny=ny,
+              half=ax.shape[-1], valid_half=half,
+              interpret=_padded_interp())
+    ax, ay = _metropolis_phase(ax, ay, bx, by, seeds_from_key(key, 0),
+                               color=0, **kw)
+    bx, by, obs = _metropolis_phase(bx, by, ax, ay,
+                                    seeds_from_key(key, 1), color=1,
+                                    measuring=True, **kw)
+    n_inv = jnp.float32(1.0 / model.nsites)
+    return XYState(ax, ay, bx, by), {
+        "m": obs[:, 0, 0] * n_inv,
+        "my": obs[:, 0, 1] * n_inv,
+        "e": obs[:, 0, 2] * n_inv,
+    }
+
+
+def padded_sweep(model, st: XYState, key: jax.Array) -> XYState:
+    ny, half = model.color_shape
+    ax, ay, bx, by = st
+    kw = dict(beta=float(model.beta), nrep=ax.shape[0], ny=ny,
+              half=ax.shape[-1], valid_half=half,
+              interpret=_padded_interp())
+    ax, ay = _metropolis_phase(ax, ay, bx, by, seeds_from_key(key, 0),
+                               color=0, **kw)
+    bx, by = _metropolis_phase(bx, by, ax, ay, seeds_from_key(key, 1),
+                               color=1, **kw)
+    return XYState(ax, ay, bx, by)
+
+
+def padded_or_sweep(model, st: XYState) -> XYState:
+    ny, half = model.color_shape
+    ax, ay, bx, by = st
+    kw = dict(nrep=ax.shape[0], ny=ny, half=ax.shape[-1],
+              valid_half=half, interpret=_padded_interp())
+    ax, ay = _over_relax_phase(ax, ay, bx, by, color=0, **kw)
+    bx, by = _over_relax_phase(bx, by, ax, ay, color=1, **kw)
+    return XYState(ax, ay, bx, by)
+
+
+def padded_or_sweep_measure(model, st: XYState):
+    """One OR sweep on padded planes + fused (m, my, e) densities from
+    the color-1 kernel."""
+    ny, half = model.color_shape
+    ax, ay, bx, by = st
+    kw = dict(nrep=ax.shape[0], ny=ny, half=ax.shape[-1],
+              valid_half=half, interpret=_padded_interp())
+    ax, ay = _over_relax_phase(ax, ay, bx, by, color=0, **kw)
+    bx, by, obs = _over_relax_phase(bx, by, ax, ay, color=1,
+                                    measuring=True, **kw)
+    n_inv = jnp.float32(1.0 / model.nsites)
+    return XYState(ax, ay, bx, by), {
+        "m": obs[:, 0, 0] * n_inv,
+        "my": obs[:, 0, 1] * n_inv,
+        "e": obs[:, 0, 2] * n_inv,
+    }
