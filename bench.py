@@ -232,6 +232,34 @@ def _clock_helical():
     return model.nsites * nrep * mcs / best, engine
 
 
+def _xy_padded_or():
+    """The 4000^2 periodic OR script workload's routed engine — the
+    lane-PADDED kernels (nx/2 = 2000 is no lane multiple; previously
+    the jnp fallback, ~1.5e9 site/s) at the literal parameters
+    (/root/reference/scripts/fpm_run_xy2d_periodic_over_relaxation.sh:
+    kbt=0.890, n_over_relax=1)."""
+    from cuda_fortran_mc_simulation_spin_tpu.engine import (
+        sweep as sweep_mod,
+    )
+    from cuda_fortran_mc_simulation_spin_tpu.models.xy2d import XY2D
+
+    n, mcs = 4000, 64
+    model = XY2D(nx=n, ny=n, kbt=0.890)
+    if not sweep_mod.xy_padded_eligible(model):
+        return None, "padded gate did not engage"
+    runner = sweep_mod.make_xy_padded_runner(
+        model, mcs, 1, "allup", n_over_relax=1, mcs_over_relax=mcs)
+    engine = getattr(runner, "engine", "padded runner")
+    if not getattr(runner, "host_chunked", False):
+        runner = jax.jit(runner)
+
+    def timed(_carry, key):
+        return None, runner(key)["m"][:, -1].sum()
+
+    best = _time_best(timed, None, rng.base_key(42))
+    return model.nsites * mcs / best, engine
+
+
 def main() -> None:
     on_accel = jax.default_backend() not in ("cpu",)
     flips_per_sec, engine = _headline(on_accel)
@@ -283,6 +311,16 @@ def main() -> None:
             }
         except Exception as exc:  # pragma: no cover - bench resilience
             secondary["clock_helical501_flips_per_sec"] = {
+                "error": repr(exc)}
+        try:
+            v, eng = _xy_padded_or()
+            if v is not None:
+                secondary["xy2d_padded4000_or_mcs_sites_per_sec"] = {
+                    "value": v, "unit": "MCS-site/s",
+                    "engine": eng + " [literal 4000x4000, M+OR]",
+                }
+        except Exception as exc:  # pragma: no cover - bench resilience
+            secondary["xy2d_padded4000_or_mcs_sites_per_sec"] = {
                 "error": repr(exc)}
 
     print(
