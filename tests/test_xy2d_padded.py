@@ -206,3 +206,46 @@ def test_padded_eligibility_gate(monkeypatch):
         XY2D(nx=42, ny=16, kbt=0.9, backend="jnp"))
     monkeypatch.setattr(jax, "default_backend", lambda: "cpu")
     assert not sw.xy_padded_eligible(XY2D(nx=42, ny=16, kbt=0.9))
+
+
+requires_tpu = pytest.mark.skipif(
+    jax.default_backend() == "cpu" and not os.environ.get(
+        "SPINLAT_TEST_ON_TPU"),
+    reason="needs TPU for Mosaic kernels",
+)
+
+
+@requires_tpu
+def test_padded_mosaic_matches_interpret_on_tpu():
+    """Padded Metropolis Mosaic == interpret BITWISE with shared
+    uniforms; padded OR state bitwise, fused obs to f32 reduction-order
+    accuracy (first run measured 1.3e-6 rel, scripts/tpu_session_r4g)."""
+    model = XY2D(nx=522, ny=256, kbt=0.89, backend="jnp")
+    ny, half = model.color_shape
+    w = xp.pad_width(half)
+    st = _rand_state(model, rng.base_key(0), 2)
+    stp = xp.pad_planes(st, half)
+    ku = jax.random.PRNGKey(5)
+    u_c = jax.random.uniform(ku, (2, ny, w), jnp.float32)
+    u_a = jax.random.uniform(jax.random.fold_in(ku, 1), (2, ny, w),
+                             jnp.float32)
+    kw = dict(beta=float(model.beta), nrep=2, ny=ny, half=w,
+              valid_half=half, u_cand=u_c, u_acc=u_a)
+    got = xp._metropolis_phase(stp.ax, stp.ay, stp.bx, stp.by,
+                               jnp.zeros(2, jnp.int32), color=0, **kw)
+    want = xp._metropolis_phase(stp.ax, stp.ay, stp.bx, stp.by,
+                                jnp.zeros(2, jnp.int32), color=0,
+                                interpret=True, **kw)
+    for g, wv in zip(got, want):
+        np.testing.assert_array_equal(np.asarray(g), np.asarray(wv))
+
+    kwo = dict(nrep=2, ny=ny, half=w, valid_half=half, measuring=True)
+    g = xp._over_relax_phase(stp.bx, stp.by, got[0], got[1], color=1,
+                             **kwo)
+    wv = xp._over_relax_phase(stp.bx, stp.by, got[0], got[1], color=1,
+                              interpret=True, **kwo)
+    for a, b in zip(g[:2], wv[:2]):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    np.testing.assert_allclose(np.asarray(g[2]), np.asarray(wv[2]),
+                               rtol=3e-6, atol=0)
+    np.testing.assert_array_equal(np.asarray(g[0][..., half:]), 0.0)
