@@ -806,7 +806,15 @@ def make_helical_runner(
                 and os.environ.get("SPINLAT_XY_DENSE") != "0"):
             # dense ragged dual-color engine: every lane's trig/exp is
             # useful work and a phase writes only the updated color
-            # (the masked full-width kernels idle half the VPU)
+            # (the masked full-width kernels idle half the VPU).
+            # SPINLAT_XY_DENSE_ANGLE=1 swaps in the f32-ANGLE storage
+            # variant (half the lattice traffic on this HBM-bound
+            # path; same Markov chain — see its module docstring)
+            angle = os.environ.get("SPINLAT_XY_DENSE_ANGLE") == "1"
+            if angle:
+                from cuda_fortran_mc_simulation_spin_tpu.ops import (
+                    xy2d_helical_dense_angle as xhd,  # noqa: F811
+                )
             @functools.partial(jax.jit, static_argnums=3)
             def _chunk_d(planes, call_key, t0, size):
                 def body(planes, t):
@@ -863,7 +871,9 @@ def make_helical_runner(
                     lambda *xs: jnp.concatenate(xs, axis=1), *parts)
 
             run.host_chunked = True
-            return _tag(run, "xy2d_helical_dense (ragged dual-color)")
+            return _tag(run, "xy2d_helical_dense_angle (f32-angle)"
+                        if angle
+                        else "xy2d_helical_dense (ragged dual-color)")
 
         @functools.partial(jax.jit, static_argnums=3)
         def _chunk_m(carry, call_key, t0, size):
