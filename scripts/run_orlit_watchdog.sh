@@ -8,6 +8,11 @@
 set -u
 cd "$(dirname "$0")/.."
 export PYTHONPATH=/root/repo:/root/.axon_site
+# Round-4 on-chip A/B (scripts/tpu_session_r4h.py, BENCHMARKS.md):
+# the f32-ANGLE dense engine is 1.94x the component engine on this
+# HBM-bound path (bitwise-on-chip stage green).  Same Markov chain,
+# different state representation; runs.log records the engine per leg.
+export SPINLAT_XY_DENSE_ANGLE=1
 deadline=${1:?deadline epoch}
 ck=data/production/xy2d_or_literal.ck
 out=data/production/xy2d_or_10001x10000_mcs10000_s500.dat
