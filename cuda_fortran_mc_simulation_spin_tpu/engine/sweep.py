@@ -668,7 +668,8 @@ def helical_pallas_eligible(model, n_over_relax: int = 0) -> bool:
             helical3d_multispin as h3,
         )
 
-        return h3.fits(model) or h3.fits_stream(model)
+        return (h3.fits(model) or h3.fits_stream_halo(model)
+                or h3.fits_stream(model))
     if isinstance(model, (Ising2DHelical, Clock2DHelical)):
         if n_over_relax != 0:
             return False

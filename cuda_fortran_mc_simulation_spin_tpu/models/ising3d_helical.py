@@ -22,10 +22,20 @@ exact.  The committed app geometry 1001×1000×1000
 so the z-neighbors of a site share its parity — the reference's own
 stride-2 CUDA kernel updates z-neighbor pairs concurrently there
 (reads may observe pre- or post-flip values nondeterministically).
-We keep that geometry runnable with DETERMINISTIC read-old semantics:
-a phase evaluates every neighbor from the pre-phase lattice, which is
-one consistent realization of the reference's racy schedule (and the
-natural masked-update formulation below).
+That race is not benign: simultaneous Metropolis co-updates of coupled
+z-pairs (each reading the other's OLD spin) are the classic parallel-
+update pathology — a round-4 production run of the deterministic
+"read-old" realization at the literal app geometry drove e(t) to +0.95
+(impossible for any equilibrium of this Hamiltonian).  The lattice
+graph is non-bipartite under {±1, ±nx, ±nxy} when nx·ny is even (the
++1-chain/+nxy cycle has odd length nxy+1), so no 2-phase schedule can
+be exact.  The EXACT schedule used here: within one flat-parity color
+the only couplings are the z-offsets, whose rings have length nz (even
+for every committed geometry) — each color phase therefore splits into
+two z-plane-parity sub-phases, 4 masked sub-phases per MCS, every
+neighbor fully settled when read.  Even nx·ny with ODD nz (odd
+z-rings, non-bipartite per-color) is rejected at construction; the
+reference has no such geometry.
 
 This class is the jnp masked formulation (validation grade, CPU-
 friendly); production throughput comes from the packed flat engine
@@ -62,6 +72,13 @@ class Ising3DHelical:
                 "helical parity split requires an even site count "
                 f"(got {self.nx}x{self.ny}x{self.nz})"
             )
+        if self.nx * self.ny % 2 == 0 and self.nz % 2:
+            raise ValueError(
+                "even nx*ny with odd nz has odd z-rings: no exact "
+                "checkerboard schedule exists (non-bipartite even "
+                "within a parity color); no reference geometry is of "
+                f"this shape (got {self.nx}x{self.ny}x{self.nz})"
+            )
 
     @property
     def beta(self) -> float:
@@ -96,11 +113,11 @@ class Ising3DHelical:
             for d in (1, self.nx, self.nxy)
         )
 
-    def _phase(self, flat: jax.Array, offset: int, u: jax.Array
-               ) -> jax.Array:
-        """Metropolis on sites with idx % 2 == offset; every neighbor
-        read from the pre-phase lattice (read-old; exact for cross-
-        parity geometries, see module docstring for even nx·ny)."""
+    def _phase(self, flat: jax.Array, offset: int, u: jax.Array,
+               zsub: int | None = None) -> jax.Array:
+        """Metropolis on sites with idx % 2 == offset (and, when
+        ``zsub`` is given, z-plane parity == zsub — the exact even
+        nx·ny sub-phase schedule, see module docstring)."""
         nsum = self._neighbor_sums(flat)
         half_de = flat.astype(jnp.int32) * nsum  # ΔE/2 ∈ {0,±2,±4,±6}
         b = self.beta
@@ -111,15 +128,23 @@ class Ising3DHelical:
         )
         accept = (half_de <= 0) | (u < thresh)
         mask = lattice.helical_parity_mask(self.nsites, offset)
+        if zsub is not None:
+            zpar = (jnp.arange(self.nsites) // self.nxy) % 2
+            mask = mask & (zpar == zsub)
         return jnp.where(mask & accept, -flat, flat).astype(jnp.int8)
 
     def sweep(self, flat: jax.Array, key: jax.Array) -> jax.Array:
-        """Offset-0 phase then offset-1 phase; the reference draws ONE
-        random batch per MCS shared by both phases
-        (/root/reference/src/ising3d_gpu_m.f90:179-187) — mirrored."""
+        """Cross-parity: offset-0 phase then offset-1 phase; the
+        reference draws ONE random batch per MCS shared by both phases
+        (/root/reference/src/ising3d_gpu_m.f90:179-187) — mirrored.
+        Even nx·ny: each color phase splits into two z-plane-parity
+        sub-phases (4 masked sub-phases, every site still consumes its
+        one uniform)."""
         u = rng.uniform(rng.phase_key(key, 0), flat.shape)
-        flat = self._phase(flat, 0, u)
-        flat = self._phase(flat, 1, u)
+        zsubs = (None,) if self.z_cross_parity else (0, 1)
+        for offset in (0, 1):
+            for zsub in zsubs:
+                flat = self._phase(flat, offset, u, zsub)
         return flat
 
     def sweep_batched(self, flat: jax.Array, key: jax.Array) -> jax.Array:

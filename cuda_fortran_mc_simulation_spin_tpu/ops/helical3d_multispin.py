@@ -18,9 +18,21 @@ g = (nx·ny-1)/2, odd nx·ny):
 
 For EVEN nx·ny (the committed 1001×1000×1000 app geometry) the
 z-offsets ±nx·ny preserve parity: z-neighbors live in a site's OWN
-color at self-offsets ±nx·ny/2.  The reference's stride-2 kernel races
-on those pairs; we evaluate them deterministically from the pre-phase
-plane (read-old — one consistent realization of the racy schedule).
+color at self-offsets ±nx·ny/2 — the lattice graph is NOT bipartite
+under these offsets (the +1-chain/+nxy cycle has odd length nxy+1), so
+flat-parity two-coloring cannot decouple the z-bonds.  The reference's
+stride-2 kernel simply races on those pairs
+(/root/reference/src/ising3d_gpu_m.f90:174-206 with even nx·ny updates
+z-neighbor pairs in one launch); simultaneous co-updates of coupled
+pairs are the classic parallel-Metropolis pathology and measurably
+drive the system toward z-anti-alignment (e(t) → +0.95 at Tc — found
+by the round-4 production slice at the literal app geometry).  The
+EXACT scheme used here: within a color the only conflicts are the
+z-offsets, and the z-rings have length nz (even for every committed
+geometry), so each color phase splits into two z-plane-parity
+sub-phases — 4 masked sub-phases per MCS, each reading fully-settled
+neighbors.  A geometry with even nx·ny AND odd nz has odd z-rings
+(non-bipartite even per-color) and is rejected at model construction.
 
 Two execution paths share the packing and the jnp oracle:
 
@@ -79,7 +91,7 @@ from cuda_fortran_mc_simulation_spin_tpu.ops.ising3d_multispin import (
 __all__ = [
     "helical3d_offsets", "fits", "fits_stream", "fits_stream_halo",
     "multisweep", "multisweep_stream", "multisweep_stream_halo",
-    "pack_flat", "unpack_flat", "split_flat",
+    "pack_flat", "unpack_flat", "split_flat", "zmask_plane",
 ]
 
 
@@ -97,12 +109,29 @@ def helical3d_offsets(nx: int, nxy: int
             (nxy // 2, -(nxy // 2)))
 
 
+def zmask_plane(nxy: int, rows: int) -> jax.Array:
+    """(rows, 128) int32 word plane whose bit p is set iff color-index
+    p lies in an EVEN z-plane (p // (nxy/2) even; nxy even).  The same
+    mask serves both colors: flat 2j and 2j+1 share floor(·/nxy)."""
+    zh = nxy // 2
+    w = (jax.lax.broadcasted_iota(jnp.int32, (rows, LANES), 0) * LANES
+         + jax.lax.broadcasted_iota(jnp.int32, (rows, LANES), 1)
+         ) * jnp.int32(PACK)
+    out = jnp.zeros((rows, LANES), jnp.uint32)
+    for b in range(PACK):
+        zeven = ((w + jnp.int32(b)) // jnp.int32(zh)) % 2 == 0
+        out = out | (zeven.astype(jnp.uint32) << jnp.uint32(b))
+    return jax.lax.bitcast_convert_type(out, jnp.int32)
+
+
 # -- oracles -----------------------------------------------------------------
 
 def packed_phase_reference(xw, ow, offs_cross, offs_self, b4, b8, b12,
-                           m: int):
+                           m: int, zmask=None, zsub: int = 0):
     """Pure-jnp packed phase on (rows, 128) planes — the bitwise oracle
-    for both kernels."""
+    for both kernels.  With ``zmask`` (even-nx·ny geometries) only the
+    z-sub-parity ``zsub`` sites flip (one of the four exact
+    sub-phases)."""
     xw = xw.astype(jnp.uint32)
     ow = ow.astype(jnp.uint32)
     planes = [_shift_mod_impl(ow, d, m, _jnp_roll) for d in offs_cross]
@@ -111,12 +140,17 @@ def packed_phase_reference(xw, ow, offs_cross, offs_self, b4, b8, b12,
     flip = _flip_plane3d(xw, b1, b2, b4c,
                          b4.astype(jnp.uint32), b8.astype(jnp.uint32),
                          b12.astype(jnp.uint32))
+    if zmask is not None:
+        zm = jax.lax.bitcast_convert_type(zmask, jnp.uint32)
+        flip = flip & (zm if zsub == 0 else ~zm)
     return (xw ^ flip).astype(jnp.int32)
 
 
 def flat_phase_reference(x_flat, o_flat, offs_cross, offs_self,
-                         b4u, b8u, b12u):
-    """Unpacked ±1 color-vector oracle given Bernoulli accept planes."""
+                         b4u, b8u, b12u, zmask=None, zsub: int = 0):
+    """Unpacked ±1 color-vector oracle given Bernoulli accept planes.
+    ``zmask`` (bool, color-index space) gates flips to one z-sub-parity
+    exactly as in packed_phase_reference."""
     o32 = o_flat.astype(jnp.int32)
     x32 = x_flat.astype(jnp.int32)
     nsum = sum(jnp.roll(o32, -d) for d in offs_cross)
@@ -125,6 +159,8 @@ def flat_phase_reference(x_flat, o_flat, offs_cross, offs_self,
     half_de = x32 * nsum
     accept = (half_de <= 0) | jnp.where(
         half_de == 2, b4u, jnp.where(half_de == 4, b8u, b12u))
+    if zmask is not None:
+        accept = accept & (zmask if zsub == 0 else ~zmask)
     return jnp.where(accept, -x_flat, x_flat).astype(jnp.int8)
 
 
@@ -517,9 +553,11 @@ def magne_sum_packed(wa, wb, m: int):
 
 
 def fits_stream(model) -> bool:
-    """Streaming gate: odd nx, even site count, grid a multiple of the
-    block (pad rows via grid_rows always make it so)."""
-    if model.nx % 2 == 0 or model.nsites % 2:
+    """Streaming gate: odd nx, ODD nx·ny (cross-parity only — the
+    even-nx·ny exact z-sub-phase schedule is implemented by the
+    block-halo engine, whose gate covers every such committed
+    geometry), even site count, grid a multiple of the block."""
+    if model.nx % 2 == 0 or model.nsites % 2 or model.nxy % 2 == 0:
         return False
     return stream_rows(model.nsites // 2) % _BLOCK_ROWS == 0
 
@@ -542,7 +580,14 @@ def pack_flat_stream(flat, m: int):
 
 def multisweep_stream(model, wa, wb, key, sweeps: int):
     """Advance ``sweeps`` helical 3-D MCS with the streaming kernel;
-    returns (wa, wb, {m, e}) per-sweep densities (f32)."""
+    returns (wa, wb, {m, e}) per-sweep densities (f32).  Cross-parity
+    (odd nx·ny) only — even nx·ny needs the z-sub-phase schedule,
+    served by multisweep_stream_halo."""
+    if model.nxy % 2 == 0:
+        raise ValueError(
+            "multisweep_stream is cross-parity only; even nx·ny "
+            "geometries route to multisweep_stream_halo"
+        )
     m = model.nsites // 2
     nrep, rows, _ = wa.shape
     wa, wb, mm, e = _multisweep_stream(
@@ -651,10 +696,11 @@ def _win_shift(win, d: int, blk: int):
 
 def _halo_kernel(seed_ref, *refs, d4, d8, d12, offs_cross, offs_self,
                  measuring: bool, has_bits: bool, self_read: bool,
-                 m: int, blk: int):
+                 has_zmask: bool, zsub: int, m: int, blk: int):
     refs = list(refs)
     obs_ref = refs.pop()
     out_ref = refs.pop()
+    zm_ref = refs.pop() if has_zmask else None
     bits = ()
     if has_bits:
         bits = tuple(refs[-3:])
@@ -696,7 +742,13 @@ def _halo_kernel(seed_ref, *refs, d4, d8, d12, offs_cross, offs_self,
         p4 = _bern_plane(shape, d4, gen)
         p8 = _bern_plane(shape, d8, gen)
         p12 = _bern_plane(shape, d12, gen)
-    new = x ^ _flip_plane3d(x, b1, b2, b4c, p4, p8, p12)
+    fl = _flip_plane3d(x, b1, b2, b4c, p4, p8, p12)
+    if has_zmask:
+        # exact even-nx·ny sub-phase: flips land only on one z-plane
+        # parity, so same-color z-neighbor pairs never co-update
+        zm = pltpu.bitcast(zm_ref[0, 0], jnp.uint32)
+        fl = fl & (zm if zsub == 0 else ~zm)
+    new = x ^ fl
     out_ref[0, 0] = pltpu.bitcast(new, jnp.int32)
     if measuring:
         gw = ((g * jnp.int32(blk)
@@ -735,17 +787,20 @@ def _halo_kernel(seed_ref, *refs, d4, d8, d12, offs_cross, offs_self,
 
 def _halo_phase(xw, ow, seeds, *, offs_cross, offs_self, m, rows, nrep,
                 d4, d8, d12, measuring, block_rows=_BLOCK_ROWS,
-                bits=None, interpret=False):
-    """One checkerboard phase, block-halo kernel.  Both input planes
-    must carry the ring-pad invariant; the OUTPUT plane does not (the
-    caller ring_fills before the plane is next read)."""
+                bits=None, zmask=None, zsub=0, interpret=False):
+    """One checkerboard (sub-)phase, block-halo kernel.  Both input
+    planes must carry the ring-pad invariant; the OUTPUT plane does not
+    (the caller ring_fills before the plane is next read).  ``zmask``
+    (a (rows, 128) int32 word plane, zmask_plane) gates flips to
+    z-plane parity ``zsub`` — the exact even-nx·ny schedule."""
     nblk = rows // block_rows
     self_read = len(offs_self) > 0
     kernel = functools.partial(
         _halo_kernel, d4=d4, d8=d8, d12=d12,
         offs_cross=tuple(offs_cross), offs_self=tuple(offs_self),
         measuring=measuring, has_bits=bits is not None,
-        self_read=self_read, m=m, blk=block_rows,
+        self_read=self_read, has_zmask=zmask is not None, zsub=zsub,
+        m=m, blk=block_rows,
     )
     cur = pl.BlockSpec((1, 1, block_rows, LANES),
                        lambda r, g: (r, 0, g, 0),
@@ -770,6 +825,12 @@ def _halo_phase(xw, ow, seeds, *, offs_cross, offs_self, m, rows, nrep,
     if bits is not None:
         operands += [b.reshape(nrep, 1, rows, LANES) for b in bits]
         in_specs += [cur] * len(bits)
+    if zmask is not None:
+        # one shared (rows, 128) plane for every replica
+        operands += [zmask.reshape(1, 1, rows, LANES)]
+        in_specs += [pl.BlockSpec((1, 1, block_rows, LANES),
+                                  lambda r, g: (0, 0, g, 0),
+                                  memory_space=pltpu.VMEM)]
     # self-parity reads neighbor views of x (read-old), so the output
     # must not alias x; cross-parity never reads x beyond the central
     # block being rewritten, so aliasing is safe there
@@ -791,17 +852,18 @@ def _halo_phase(xw, ow, seeds, *, offs_cross, offs_self, m, rows, nrep,
 
 def halo_phase_with_bits(xw, ow, b4, b8, b12, *, offs_cross, offs_self,
                          m: int, block_rows: int = _BLOCK_ROWS,
+                         zmask=None, zsub: int = 0,
                          interpret: bool = False):
-    """(R, rows, 128) halo-kernel phase with injected Bernoulli planes
-    — bitwise testable against packed_phase_reference (pad the
+    """(R, rows, 128) halo-kernel (sub-)phase with injected Bernoulli
+    planes — bitwise testable against packed_phase_reference (pad the
     oracle's planes with zero rows up to halo_rows)."""
     nrep, rows, _ = xw.shape
     out, _ = _halo_phase(
         xw, ow, jnp.zeros((2,), jnp.int32),
         offs_cross=offs_cross, offs_self=offs_self, m=m, rows=rows,
         nrep=nrep, d4=(), d8=(), d12=(), measuring=False,
-        block_rows=block_rows, bits=(b4, b8, b12),
-        interpret=interpret)
+        block_rows=block_rows, bits=(b4, b8, b12), zmask=zmask,
+        zsub=zsub, interpret=interpret)
     return out
 
 
@@ -897,23 +959,34 @@ def _multisweep_stream_halo(wa, wb, key, *, sweeps, beta, nx, nxy, m,
     offs_a, offs_b, offs_s = helical3d_offsets(nx, nxy)
     cross = nxy % 2 == 1
     k = _halo_pad_k(nx, nxy)
+    # even nx·ny: 4 exact masked sub-phases (color × z-plane parity);
+    # XLA hoists the static mask plane out of the scan
+    zm = None if cross else zmask_plane(nxy, rows)
 
     def body(carry, s):
         wa, wb = carry
-        seeds = seeds_from_key(jax.random.fold_in(key, s), 0)
-        wa, _ = _halo_phase(
-            wa, wb, seeds, offs_cross=offs_a, offs_self=offs_s, m=m,
-            rows=rows, nrep=nrep, d4=d4, d8=d8, d12=d12,
-            measuring=False, block_rows=block_rows,
-        )
-        wa = ring_fill(wa, m, k)
-        seeds_b = seeds_from_key(jax.random.fold_in(key, s), 1)
-        wb, obs = _halo_phase(
-            wb, wa, seeds_b, offs_cross=offs_b, offs_self=offs_s, m=m,
-            rows=rows, nrep=nrep, d4=d4, d8=d8, d12=d12,
-            measuring=True, block_rows=block_rows,
-        )
-        wb = ring_fill(wb, m, k)
+        ks = jax.random.fold_in(key, s)
+
+        def phase(x, o, offs, p, *, measuring=False):
+            subs = ((None, 0),) if cross else ((zm, 0), (zm, 1))
+            obs = None
+            for i, (zmask, zsub) in enumerate(subs):
+                meas = measuring and i == len(subs) - 1
+                x, ob = _halo_phase(
+                    x, o, seeds_from_key(ks, p + i),
+                    offs_cross=offs, offs_self=offs_s, m=m,
+                    rows=rows, nrep=nrep, d4=d4, d8=d8, d12=d12,
+                    measuring=meas, block_rows=block_rows,
+                    zmask=zmask, zsub=zsub,
+                )
+                x = ring_fill(x, m, k)
+                if meas:
+                    obs = ob
+            return x, obs
+
+        nsub = 1 if cross else 2
+        wa, _ = phase(wa, wb, offs_a, 0)
+        wb, obs = phase(wb, wa, offs_b, nsub, measuring=True)
         mm = jnp.sum(obs[:, :, 0].astype(jnp.float32), axis=1)
         if cross:
             e = jnp.sum(obs[:, :, 1].astype(jnp.float32), axis=1)

@@ -23,8 +23,9 @@ from cuda_fortran_mc_simulation_spin_tpu.ops import (
 
 # cross-parity geometry (odd nx*ny — the 151³/501³ script class)
 NXC, NYC, NZC = 17, 17, 16          # nall = 4624, M = 2312
-# even-nx*ny geometry (the 1001x1000x1000 app class: z is self-parity)
-NXS, NYS, NZS = 17, 16, 17          # nall = 4624, M = 2312
+# even-nx*ny geometry (the 1001x1000x1000 app class: z is self-parity;
+# nz must be even — odd z-rings are rejected at model construction)
+NXS, NYS, NZS = 17, 16, 18          # nall = 4896, M = 2448
 
 
 def _on_tpu() -> bool:
@@ -256,6 +257,9 @@ def test_model_gates():
         Ising3DHelical(nx=16, ny=17, nz=17, kbt=4.5)   # even nx
     with pytest.raises(ValueError):
         Ising3DHelical(nx=17, ny=17, nz=17, kbt=4.5)   # odd site count
+    with pytest.raises(ValueError):
+        # even nx*ny with odd nz: odd z-rings, no exact schedule
+        Ising3DHelical(nx=17, ny=16, nz=17, kbt=4.5)
     m = Ising3DHelical(nx=151, ny=151, nz=150, kbt=4.511454583186711)
     assert m.z_cross_parity
     assert h3.fits(m)
@@ -266,7 +270,10 @@ def test_model_gates():
     app = Ising3DHelical(nx=1001, ny=1000, nz=1000, kbt=4.51152)
     assert not app.z_cross_parity
     assert not h3.fits(app)     # even nx*ny (z self-parity) + too big
-    assert h3.fits_stream(app)
+    # even nx·ny: only the block-halo engine implements the exact
+    # z-sub-phase schedule; the plain streaming path refuses
+    assert not h3.fits_stream(app)
+    assert h3.fits_stream_halo(app)
 
 
 def test_build_model_routes_odd_ising3d():
@@ -328,10 +335,11 @@ def test_multisweep_physics_on_chip():
                                    rtol=0, atol=1e-6)
 
 
-@pytest.mark.parametrize("dims", [(33, 32, 30), (33, 33, 32)])
+@pytest.mark.parametrize("dims", [(33, 33, 32)])
 def test_multisweep_stream_physics_on_chip(dims):
-    """Hardware: the streaming engine (both parities) — absorbing at
-    T→0 and final-sweep (m, e) == direct reductions."""
+    """Hardware: the plain streaming engine (cross-parity only; even
+    nx·ny routes to the block-halo engine's z-sub-phase schedule) —
+    absorbing at T→0 and final-sweep (m, e) == direct reductions."""
     if not _on_tpu() or jax.default_backend() == "cpu":
         pytest.skip("hardware PRNG path needs the chip")
     nx, ny, nz = dims
@@ -530,3 +538,182 @@ def test_helical_runner_routes_3d(monkeypatch):
     assert called.get("yes")
     assert out["m"].shape == (2, 4)
     assert np.all(np.isfinite(out["e"]))
+
+
+# -- exact even-nx*ny z-sub-phase schedule -------------------------------------
+# (the 1001x1000x1000 app geometry is non-bipartite under the flat
+# parity coloring: z-neighbors share a site's color.  The round-4
+# production slice proved simultaneous "read-old" z-pair updates are
+# not a valid chain — e(t) drifted to +0.95.  These tests pin the exact
+# 4-sub-phase schedule at every layer: model, oracles, halo kernel.)
+
+def _zflat(m, nxy):
+    return (jnp.arange(m) // (nxy // 2)) % 2 == 0
+
+
+@pytest.mark.parametrize("zsub", [0, 1])
+@pytest.mark.parametrize("color", [0, 1])
+def test_halo_subphase_zmask_matches_oracle(zsub, color):
+    """Block-halo kernel with a zmask operand is bitwise the packed
+    oracle's masked sub-phase (multi-block grid, HALO_SELF dims)."""
+    nx, nxy, m, k, rows, a, b, wa, wb = _halo_setup(HALO_SELF)
+    oracle_rows = h3.grid_rows(m)
+    keys = jax.random.split(rng.base_key(30), 3)
+    bits = [
+        jax.random.bits(kk, (2, rows, 128), dtype=jnp.uint32
+                        ).astype(jnp.int32)
+        for kk in keys
+    ]
+    offs_a, offs_b, offs_s = h3.helical3d_offsets(nx, nxy)
+    offs = offs_a if color == 0 else offs_b
+    x, o = (wa, wb) if color == 0 else (wb, wa)
+    xo, oo = (a, b) if color == 0 else (b, a)
+    zmk = h3.zmask_plane(nxy, rows)
+    got = h3.halo_phase_with_bits(
+        x, o, *bits, offs_cross=offs, offs_self=offs_s, m=m,
+        block_rows=8, zmask=zmk, zsub=zsub,
+        interpret=jax.default_backend() == "cpu")
+    want = jax.vmap(
+        lambda xw, ow, p4, p8, p12: h3.packed_phase_reference(
+            xw, ow, offs, offs_s, p4, p8, p12, m,
+            zmask=zmk[:oracle_rows], zsub=zsub)
+    )(h3.pack_flat(xo, m), h3.pack_flat(oo, m),
+      *(p[:, :oracle_rows] for p in bits))
+    np.testing.assert_array_equal(
+        np.asarray(jax.vmap(lambda w: h3.unpack_flat(w, m))(got)),
+        np.asarray(jax.vmap(lambda w: h3.unpack_flat(w, m))(want)),
+    )
+
+
+def test_even_nxy_model_sweep_is_four_subphase_composition():
+    """Ising3DHelical.sweep (even nx·ny) == the explicit 4-sub-phase
+    flat-oracle composition with the shared per-MCS uniform batch."""
+    model = Ising3DHelical(nx=NXS, ny=NYS, nz=NZS, kbt=4.3)
+    nall, nxy = model.nsites, model.nxy
+    m = nall // 2
+    key = rng.base_key(31)
+    flat = _rand_flat(jax.random.fold_in(key, 9), (nall,))
+    got = model.sweep(flat, key)
+
+    u = rng.uniform(rng.phase_key(key, 0), (nall,))
+    bt = model.beta
+    offs_a, offs_b, offs_s = h3.helical3d_offsets(model.nx, nxy)
+    zf = _zflat(m, nxy)
+    a, b = flat[0::2], flat[1::2]
+    for color, offs in ((0, offs_a), (1, offs_b)):
+        x = a if color == 0 else b
+        o = b if color == 0 else a
+        uc = u[color::2]
+        b4u = uc < jnp.float32(np.exp(-4.0 * bt))
+        b8u = uc < jnp.float32(np.exp(-8.0 * bt))
+        b12u = uc < jnp.float32(np.exp(-12.0 * bt))
+        for zsub in (0, 1):
+            x = h3.flat_phase_reference(
+                x, o, offs, offs_s, b4u, b8u, b12u,
+                zmask=zf, zsub=zsub)
+        if color == 0:
+            a = x
+        else:
+            b = x
+    want = jnp.stack([a, b], axis=-1).reshape(-1)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_even_nxy_halo_schedule_matches_flat_composition():
+    """One full even-nx·ny MCS through the block-halo kernel
+    (a0→a1→b0→b1 with ring_fill between sub-phases, injected bits) is
+    bitwise the flat-oracle composition — the packed schedule is the
+    model's schedule."""
+    nx, nxy, m, k, rows, a, b, wa, wb = _halo_setup(HALO_SELF, seed=32)
+    offs_a, offs_b, offs_s = h3.helical3d_offsets(nx, nxy)
+    zmk = h3.zmask_plane(nxy, rows)
+    zf = _zflat(m, nxy)
+    interp = jax.default_backend() == "cpu"
+
+    kit = iter(jax.random.split(rng.base_key(33), 12))
+
+    def draw():
+        return [
+            jax.random.bits(next(kit), (2, rows, 128),
+                            dtype=jnp.uint32).astype(jnp.int32)
+            for _ in range(3)
+        ]
+
+    af, bf = a, b
+    for color, offs in ((0, offs_a), (1, offs_b)):
+        for zsub in (0, 1):
+            bits = draw()
+            x, o = (wa, wb) if color == 0 else (wb, wa)
+            out = h3.halo_phase_with_bits(
+                x, o, *bits, offs_cross=offs, offs_self=offs_s, m=m,
+                block_rows=8, zmask=zmk, zsub=zsub, interpret=interp)
+            out = h3.ring_fill(out, m, k)
+            if color == 0:
+                wa = out
+            else:
+                wb = out
+            flags = [
+                jax.vmap(lambda w: h3.unpack_flat(w, m) > 0)(p)
+                for p in bits
+            ]
+            xf, of = (af, bf) if color == 0 else (bf, af)
+            xf = jax.vmap(
+                lambda xq, oq, p4, p8, p12: h3.flat_phase_reference(
+                    xq, oq, offs, offs_s, p4, p8, p12,
+                    zmask=zf, zsub=zsub)
+            )(xf, of, *flags)
+            if color == 0:
+                af = xf
+            else:
+                bf = xf
+    np.testing.assert_array_equal(
+        np.asarray(jax.vmap(lambda w: h3.unpack_flat(w, m))(wa)),
+        np.asarray(af))
+    np.testing.assert_array_equal(
+        np.asarray(jax.vmap(lambda w: h3.unpack_flat(w, m))(wb)),
+        np.asarray(bf))
+
+
+def test_even_nxy_equilibrium_matches_sequential_metropolis():
+    """Detailed-balance check of the 4-sub-phase schedule: mean energy
+    of the jnp model's chain == a plain sequential single-site
+    Metropolis chain (numpy, unquestionably exact) on a small even
+    nx·ny lattice.  The racy read-old schedule this replaced fails
+    catastrophically (e -> +0.95 at the production geometry)."""
+    nx, ny, nz, kbt = 5, 4, 4, 4.3
+    model = Ising3DHelical(nx=nx, ny=ny, nz=nz, kbt=kbt)
+    nall, nxy = model.nsites, model.nxy
+    sweeps, burn = 4000, 500
+
+    def scan_body(flat, t):
+        flat = model.sweep(flat, jax.random.fold_in(rng.base_key(34),
+                                                    t))
+        e = model.energy_sum(flat).astype(jnp.float32) / nall
+        return flat, e
+
+    flat = model.init_state("allup")
+    _, es = jax.lax.scan(scan_body, flat, jnp.arange(sweeps))
+    e_model = float(jnp.mean(es[burn:]))
+    assert e_model < -0.5           # the racy schedule drifts positive
+
+    rs = np.random.default_rng(7)
+    s = np.ones(nall, np.int8)
+    beta = 1.0 / kbt
+    acc = []
+    for t in range(sweeps):
+        for i in range(nall):
+            nsum = (int(s[(i + 1) % nall]) + int(s[i - 1])
+                    + int(s[(i + nx) % nall]) + int(s[i - nx])
+                    + int(s[(i + nxy) % nall]) + int(s[i - nxy]))
+            d_e = 2 * int(s[i]) * nsum
+            if d_e <= 0 or rs.random() < np.exp(-beta * d_e):
+                s[i] = -s[i]
+        if t >= burn:
+            e = -sum(
+                int((s.astype(np.int32)
+                     * np.roll(s, -d).astype(np.int32)).sum())
+                for d in (1, nx, nxy)) / nall
+            acc.append(e)
+    e_seq = float(np.mean(acc))
+    # ~3500 correlated samples each; sem ~ 0.005 — 0.04 is >6 sigma
+    assert abs(e_model - e_seq) < 0.04, (e_model, e_seq)
