@@ -808,10 +808,15 @@ def make_helical_runner(
             # dense ragged dual-color engine: every lane's trig/exp is
             # useful work and a phase writes only the updated color
             # (the masked full-width kernels idle half the VPU).
-            # SPINLAT_XY_DENSE_ANGLE=1 swaps in the f32-ANGLE storage
-            # variant (half the lattice traffic on this HBM-bound
-            # path; same Markov chain — see its module docstring)
-            angle = os.environ.get("SPINLAT_XY_DENSE_ANGLE") == "1"
+            # The f32-ANGLE storage variant (half the lattice traffic
+            # on this HBM-bound path; same Markov chain — see its
+            # module docstring) is the DEFAULT: it measured 1.94x the
+            # component engine in a contention-honest on-chip A/B
+            # (BENCHMARKS.md §5) and carries the same host-chunk and
+            # trajectory pins (tests/test_xy2d_dense_angle.py).
+            # SPINLAT_XY_DENSE_ANGLE=0 opts back into the component
+            # (cos,sin) engine.
+            angle = os.environ.get("SPINLAT_XY_DENSE_ANGLE", "1") == "1"
             if angle:
                 from cuda_fortran_mc_simulation_spin_tpu.ops import (
                     xy2d_helical_dense_angle as xhd,  # noqa: F811

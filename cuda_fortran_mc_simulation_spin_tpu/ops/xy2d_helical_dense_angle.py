@@ -20,8 +20,10 @@ engine's two rsqrt roundings are the same magnitude).
 Unlike the earlier int16-angle negative result (ops/xy2d_multisweep.py
 — a VMEM-resident design at 1536² dominated by serial grid overheads),
 this targets the STREAMING HBM-bound regime where traffic is the
-measured bottleneck.  Opt-in via SPINLAT_XY_DENSE_ANGLE=1 until the
-on-chip A/B decides routing (BENCHMARKS.md).
+measured bottleneck.  The contention-honest on-chip A/B measured 1.94x
+the component engine (BENCHMARKS.md §5), so this is the DEFAULT
+helical-XY engine; SPINLAT_XY_DENSE_ANGLE=0 opts back into the
+component (cos, sin) engine (engine/sweep.py routing).
 
 Layout, neighbor algebra, tile picking, and validation strategy are
 shared with ops/xy2d_helical_dense.py (imported, not duplicated).
