@@ -138,7 +138,7 @@ def _ising_ensemble():
     def run(carry, key):
         def body(c, ci):
             wa, wb, obs = msb.multisweep_packed(
-                model, c[0], c[1], rng.sweep_key(key, ci), chunk)
+                model, c[0], c[1], key, chunk, t0=ci * chunk)
             return (wa, wb), obs["m"][:, -1]
 
         carry, ms = lax.scan(body, carry, jnp.arange(n_chunks))

@@ -14,10 +14,19 @@ sweeps and checkerboard phases holds by construction; resuming at
 reference's ``n_skip`` ensemble-splitting parameter.
 
 The Pallas kernels use the per-core hardware PRNG instead
-(``pltpu.prng_seed`` / ``prng_random_bits``), seeded from a 32-bit hash of
-the same coordinates (see ``derive_tile_seed``) — different bits than the
-jnp path, identical statistics, still fully deterministic and
-reproducible for a fixed grid layout.
+(``pltpu.prng_seed`` / ``prng_random_bits``), seeded from 32-bit hashes
+of the same coordinates — different bits than the jnp path, identical
+statistics, fully deterministic.  The bit-packed engines (Ising 2D/3D,
+clock q∈{3,4,6}) all key their streams by GLOBAL granule coordinates
+(ops/multispin_rng): one config + seed yields ONE bitwise trajectory
+across the routed single-chip engines (resident multisweep, streaming
+phases) and every (dp, y[, x]) mesh sharding — SURVEY.md §7's
+bit-reproducibility-across-sharding.  The XY engines remain keyed per
+(engine, tile): their observables are f32 sums whose reduction order is
+engine-specific, so cross-engine bitwise equality is not meaningful
+there; each XY engine is individually deterministic and the sharded XY
+path is mesh-shape invariant via its own granule keying
+(parallel/domain._site_uniforms).
 """
 
 from __future__ import annotations

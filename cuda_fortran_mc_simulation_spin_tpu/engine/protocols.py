@@ -763,6 +763,149 @@ def _xy_disorder_resident_runner(model, cfg: RunConfig, prep: str,
     return run
 
 
+def _xy_disorder_padded_eligible(cfg: RunConfig, model, prep: str
+                                 ) -> bool:
+    """Route disorder protocols at lane-UNALIGNED widths (nx/2 not a
+    128 multiple) through the streaming lane-padded kernels instead of
+    the ~10x slower XLA-fused jnp sweeps — the same padded-plane
+    technique that rescued the relaxation/OR protocols
+    (ops/xy2d_pallas padded API), extended with a padded fused
+    (mx, my, e, A) snapshot kernel.  Aligned widths keep the existing
+    fused aligned path; VMEM-resident shapes (the literal 1500²) keep
+    the resident engine (routing order in _run_xy_disorder).
+    Match: /root/reference/app/
+    xy2d_periodic_gpu_relaxation_from_disorder.f90:9-15 at non-1500²
+    sizes."""
+    from cuda_fortran_mc_simulation_spin_tpu.models.xy2d import XY2D
+    from cuda_fortran_mc_simulation_spin_tpu.ops import xy2d_pallas
+
+    if os.environ.get("SPINLAT_XY_PADDED") == "0":
+        return False
+    if type(model) is not XY2D:
+        return False
+    if cfg.track_correlation:
+        return False
+    interp = xy2d_pallas._padded_interp()
+    if getattr(model, "backend", "auto") == "jnp" and not interp:
+        return False
+    if jax.default_backend() in ("cpu", "gpu") and not interp:
+        return False
+    ny, half = model.color_shape
+    return ny % 8 == 0 and half % 128 != 0
+
+
+def _xy_disorder_padded_runner(model, cfg: RunConfig, prep: str,
+                               batch: int):
+    """run(call_key) -> {mx, my, e, A: (batch, mcs)} on zero-padded
+    color planes: Metropolis sweeps through the padded kernels with the
+    fused snapshot measurement (padded_sweep_measure_snap) on the no-OR
+    hot path; OR schedules and the fix1mcs rotation unpad for the exact
+    jnp measurement/rotation (pads are exact zeros throughout, so
+    padding round-trips losslessly).  Host-chunked past the dispatch
+    deadline with global-t keys (bitwise-identical legs)."""
+    from cuda_fortran_mc_simulation_spin_tpu.engine.sweep import (
+        _host_chunk_runner,
+        _sweeps_per_dispatch,
+    )
+    from cuda_fortran_mc_simulation_spin_tpu.ops import xy2d_pallas as xp
+
+    mcs = cfg.mcs
+    fix1 = prep == "fix1mcs"
+    n_or = cfg.n_over_relax
+    mcs_or = cfg.mcs_over_relax or mcs
+    ny, half = model.color_shape
+    n_inv = 1.0 / model.nsites
+
+    def measure_one(state, snap):
+        mx, my = model.magne_sums(state)
+        return {
+            "mx": mx * n_inv,
+            "my": my * n_inv,
+            "e": model.energy_sum(state) * n_inv,
+            "A": model.autocorrelation_sum(state, snap) * n_inv,
+        }
+
+    def measure_padded(planes, snaps):
+        return jax.vmap(measure_one)(
+            xp.unpad_planes(planes, half), xp.unpad_planes(snaps, half))
+
+    def rot_one(state, snap):
+        mx, my = model.magne_sums(state)
+        th = -jnp.arctan2(my, mx)
+        return model.rotate(state, th), model.rotate(snap, th)
+
+    def rot_padded(planes, snaps):
+        state, snap = jax.vmap(rot_one)(
+            xp.unpad_planes(planes, half), xp.unpad_planes(snaps, half))
+        return (xp.pad_planes(state, half), xp.pad_planes(snap, half))
+
+    def init_fn(call_key):
+        init_keys = jax.vmap(
+            lambda r: jax.random.fold_in(rng.init_key(call_key), r)
+        )(jnp.arange(batch))
+        state, snap = jax.vmap(
+            lambda k: _xy_init_for_prep(model, cfg, prep, k)
+        )(init_keys)
+        return (xp.pad_planes(state, half), xp.pad_planes(snap, half))
+
+    def make_body(call_key):
+        def body(carry, t):
+            planes, snaps = carry
+            key = rng.sweep_key(call_key, t)
+            if n_or == 0:
+                planes, obs = xp.padded_sweep_measure_snap(
+                    model, planes, snaps, key)
+                if fix1:
+                    def rot_and_remeasure(args):
+                        planes, snaps, _ = args
+                        planes, snaps = rot_padded(planes, snaps)
+                        return (planes, snaps,
+                                measure_padded(planes, snaps))
+
+                    planes, snaps, obs = lax.cond(
+                        t == 1, rot_and_remeasure, lambda a: a,
+                        (planes, snaps, obs),
+                    )
+                return (planes, snaps), obs
+            planes = xp.padded_sweep(model, planes, key)
+            if fix1:
+                planes, snaps = lax.cond(
+                    t == 1, lambda a: rot_padded(*a), lambda a: a,
+                    (planes, snaps),
+                )
+
+            def do_or(p):
+                return lax.fori_loop(
+                    0, n_or, lambda i, x: xp.padded_or_sweep(model, x),
+                    p)
+
+            planes = lax.cond(t <= mcs_or, do_or, lambda p: p, planes)
+            return (planes, snaps), measure_padded(planes, snaps)
+
+        return body
+
+    budget_sweeps = _sweeps_per_dispatch(
+        model.nsites * (1 + max(n_or, 0)), batch, 1.0e10)
+    if mcs > budget_sweeps:
+        def chunk_fn(carry, call_key, t0, size):
+            carry, series = lax.scan(
+                make_body(call_key), carry,
+                t0 + jnp.arange(1, size + 1))
+            return carry, jax.tree.map(
+                lambda x: jnp.swapaxes(x, 0, 1), series)
+
+        return _host_chunk_runner(
+            jax.jit(init_fn), jax.jit(chunk_fn, static_argnums=3),
+            mcs, budget_sweeps)
+
+    def run(call_key: jax.Array) -> dict[str, jax.Array]:
+        _, series = lax.scan(make_body(call_key), init_fn(call_key),
+                             jnp.arange(1, mcs + 1))
+        return jax.tree.map(lambda x: jnp.swapaxes(x, 0, 1), series)
+
+    return run
+
+
 def _xy_disorder_mesh_runner(model, cfg: RunConfig, prep: str,
                              batch: int):
     """Domain-sharded XY disorder runner: sweeps in shard_map, prep /
@@ -837,6 +980,11 @@ def _run_xy_disorder(cfg: RunConfig, prep: str, out, err,
             _xy_disorder_multisweep_runner(model, cfg, prep, batch)
         )
         engine = "xy2d_multisweep (int16-angle VMEM, opt-in)"
+    elif _xy_disorder_padded_eligible(cfg, model, prep):
+        runner = _xy_disorder_padded_runner(model, cfg, prep, batch)
+        if not getattr(runner, "host_chunked", False):
+            runner = jax.jit(runner)
+        engine = "xy2d periodic lane-padded Pallas (disorder)"
     elif batch == 1:
         runner = jax.jit(_xy_disorder_runner(model, cfg, prep))
         engine = "XY disorder phase engine (single history)"

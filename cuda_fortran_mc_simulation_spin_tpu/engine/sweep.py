@@ -356,13 +356,15 @@ def _make_packed_runner(model, mcs, batch, init_kind, resident,
                 ising2d_multispin.pack_color(state.b))
 
     if resident:
-        # kernel invocations advance `chunk` sweeps keyed by the GLOBAL
-        # chunk index ci; host chunking groups whole invocations
+        # kernel invocations advance `chunk` sweeps; the sample key and
+        # the GLOBAL start index t0 = ci*chunk key each invocation, so
+        # engines with unified global-t seeding (ising2d_multispin)
+        # reproduce the streaming/sharded trajectories bitwise and the
+        # others stay deterministic per global position
         def resident_span(c, call_key, ci0, n_inv):
             def body(c, ci):
                 wa, wb, obs = multisweep_fn(
-                    model, c[0], c[1], rng.sweep_key(call_key, ci),
-                    chunk,
+                    model, c[0], c[1], call_key, chunk, t0=ci * chunk,
                 )
                 return (wa, wb), obs
 
@@ -377,7 +379,8 @@ def _make_packed_runner(model, mcs, batch, init_kind, resident,
             # `sweeps` is a static kernel arg, so the remainder runs at
             # its exact length instead of a padded full chunk
             wa, wb, t = multisweep_fn(
-                model, c[0], c[1], rng.sweep_key(call_key, n_full), rest
+                model, c[0], c[1], call_key, rest,
+                t0=jnp.int32(n_full * chunk),
             )
             return (wa, wb), t
 

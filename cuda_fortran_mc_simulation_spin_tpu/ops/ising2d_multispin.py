@@ -48,7 +48,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from cuda_fortran_mc_simulation_spin_tpu.models.base import CheckerboardState
-from cuda_fortran_mc_simulation_spin_tpu.ops import stencil
+from cuda_fortran_mc_simulation_spin_tpu.ops import multispin_rng, stencil
 from cuda_fortran_mc_simulation_spin_tpu.ops.ising2d_pallas import (
     seeds_from_key,
 )
@@ -165,6 +165,23 @@ def _bern_plane(shape, digits, gen):
     return b
 
 
+def _granule_chain_planes(s0, s1, rep_g, wrow0, nrows, d4, d8,
+                          w, w_total, col0):
+    """(nrows, w) Bernoulli-chain planes (b4, b8) from the unified
+    granule-keyed hardware streams (ops/multispin_rng.granule_planes) —
+    THE keying scheme of every packed-Ising2D execution path
+    (single-chip streaming phases, the VMEM-resident multisweep, and
+    the (dp, y[, x])-sharded halo kernels).  With the per-(sweep,
+    phase) seed pair (s0, s1) also derived identically everywhere
+    (seeds_from_key of the global-t sweep key), a routed single-chip
+    run is bitwise identical to any mesh-sharded run of the same
+    config — SURVEY.md §7's bit-reproducibility-across-sharding goal."""
+    return multispin_rng.granule_planes(
+        s0, s1, rep_g, wrow0, nrows, w, w_total, col0,
+        lambda shape, gen: (_bern_plane(shape, d4, gen),
+                            _bern_plane(shape, d8, gen)))
+
+
 def _nbr_planes(o, w_prev, w_next, color: int):
     """(up, dn, center, side) one-bit neighbor planes for a packed
     other-color block.  w_prev/w_next: word rows above/below (spliced
@@ -271,15 +288,12 @@ def _phase_kernel(seed_ref, x_ref, oc_ref, oup_ref, odn_ref, *rest,
         b4 = pltpu.bitcast(b4_ref[0], jnp.uint32)
         b8 = pltpu.bitcast(b8_ref[0], jnp.uint32)
     else:
-        tile_tag = i * jnp.int32(-1640531527) + r * jnp.int32(0x3C6EF35F)
-        pltpu.prng_seed(seed_ref[0], seed_ref[1] ^ tile_tag)
-
-        def gen():
-            return pltpu.bitcast(pltpu.prng_random_bits(x.shape),
-                                 jnp.uint32)
-
-        b4 = _bern_plane(x.shape, d4, gen)
-        b8 = _bern_plane(x.shape, d8, gen)
+        # unified global-granule keying (see _granule_chain_planes):
+        # single-chip tiles consume the same streams as any sharding
+        typ = x.shape[0]
+        b4, b8 = _granule_chain_planes(
+            seed_ref[0], seed_ref[1], r, i * typ, typ, d4, d8,
+            x.shape[1], x.shape[1], jnp.int32(0))
     flip = _flip_plane(x, ones, twos, fours, b4, b8)
     new = x ^ flip
     out_ref[0] = pltpu.bitcast(new, jnp.int32)
@@ -418,34 +432,37 @@ def _ms_kernel(seed_ref, wa_in, wb_in, wa_ref, wb_ref, obs_ref,
     """S full MCS on whole resident packed planes + fused per-sweep
     (m, e).  Grid = (replicas,): the whole lattice is one block, so
     word-row wrap is a plain sublane roll (no halo splicing) and each
-    sweep is pure VPU work — zero HBM traffic between sweeps."""
+    sweep is pure VPU work — zero HBM traffic between sweeps.
+
+    ``seed_ref``: (sweeps, 2, 2) SMEM per-(sweep, phase) seed pairs
+    (seeds_from_key of the GLOBAL-t sweep keys) — combined with the
+    global-granule chain keying this makes the resident path bitwise
+    identical to the streaming phase kernels and the sharded halo
+    kernels for the same config."""
     r = pl.program_id(0)
-    pltpu.prng_seed(seed_ref[0],
-                    seed_ref[1] ^ (r * jnp.int32(0x3C6EF35F)))
     wa_ref[0] = wa_in[0]
     wb_ref[0] = wb_in[0]
     shape = wa_ref.shape[1:]
     nyp = shape[0]
     nsites = jnp.int32(shape[0] * shape[1] * PACK)
 
-    def gen():
-        return pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
-
-    def phase(x, o, color):
+    def phase(x, o, color, s, phase_idx):
         w_prev = pltpu.roll(o, 1, axis=0)
         w_next = pltpu.roll(o, nyp - 1, axis=0)
         up, dn, ctr, side = _nbr_planes(o, w_prev, w_next, color)
         ones, twos, fours = _count_planes(up, dn, ctr, side)
-        b4 = _bern_plane(shape, d4, gen)
-        b8 = _bern_plane(shape, d8, gen)
+        b4, b8 = _granule_chain_planes(
+            seed_ref[s, phase_idx, 0], seed_ref[s, phase_idx, 1],
+            r, jnp.int32(0), nyp, d4, d8,
+            shape[1], shape[1], jnp.int32(0))
         flip = _flip_plane(x, ones, twos, fours, b4, b8)
         return x ^ flip, ones, twos, fours
 
     def body(s, _):
         wa = pltpu.bitcast(wa_ref[0], jnp.uint32)
         wb = pltpu.bitcast(wb_ref[0], jnp.uint32)
-        wa, _, _, _ = phase(wa, wb, 0)
-        wb, ones, twos, fours = phase(wb, wa, 1)
+        wa, _, _, _ = phase(wa, wb, 0, s, 0)
+        wb, ones, twos, fours = phase(wb, wa, 1, s, 1)
         wa_ref[0] = pltpu.bitcast(wa, jnp.int32)
         wb_ref[0] = pltpu.bitcast(wb, jnp.int32)
         # fused (m, e) from the phase-b counts (final a values)
@@ -466,7 +483,8 @@ def _ms_kernel(seed_ref, wa_in, wb_in, wa_ref, wb_ref, obs_ref,
 @functools.partial(
     jax.jit, static_argnames=("sweeps", "beta", "nrep", "nyp", "half")
 )
-def _multisweep_packed(wa, wb, seeds, *, sweeps, beta, nrep, nyp, half):
+def _multisweep_packed(wa, wb, seeds_t, *, sweeps, beta, nrep, nyp,
+                       half):
     d4 = tuple(chain_digits(float(np.exp(-4.0 * beta))))
     d8 = tuple(chain_digits(float(np.exp(-8.0 * beta))))
     kernel = functools.partial(_ms_kernel, sweeps=sweeps, d4=d4, d8=d8)
@@ -485,13 +503,34 @@ def _multisweep_packed(wa, wb, seeds, *, sweeps, beta, nrep, nyp, half):
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM), plane, plane],
         out_specs=(plane, plane, obs),
         input_output_aliases={1: 0, 2: 1},
-    )(seeds, wa, wb)
+    )(seeds_t, wa, wb)
 
 
-def multisweep_packed(model, wa, wb, key, sweeps: int):
+def sweep_seed_pairs(key, sweeps: int, t0=0):
+    """(sweeps, 2, 2) int32 per-(sweep, phase) hardware-PRNG seed pairs
+    for global sweep indices t0+1 .. t0+sweeps — the SAME derivation
+    (seeds_from_key of the global-t sweep key) the streaming and
+    sharded paths apply one sweep at a time, so a resident multisweep
+    invocation reproduces their streams bitwise."""
+    from cuda_fortran_mc_simulation_spin_tpu.core import rng as _rng
+
+    ts = jnp.asarray(t0, jnp.int32) + jnp.arange(1, sweeps + 1,
+                                                 dtype=jnp.int32)
+    keys = jax.vmap(lambda t: _rng.sweep_key(key, t))(ts)
+    return jax.vmap(
+        lambda k: jnp.stack([seeds_from_key(k, 0), seeds_from_key(k, 1)])
+    )(keys)
+
+
+def multisweep_packed(model, wa, wb, key, sweeps: int, t0=0):
     """Advance ``sweeps`` MCS on packed planes with fused per-sweep
     (m, e) densities of shape (R, sweeps) — the packed analog of
-    ops/ising2d_multisweep for VMEM-resident ensemble shapes."""
+    ops/ising2d_multisweep for VMEM-resident ensemble shapes.
+
+    ``key`` is the SAMPLE-level key and ``t0`` the global sweep index
+    already completed: sweeps run at t = t0+1 .. t0+sweeps with the
+    unified global-t keying (bitwise identical to the streaming phase
+    kernels and the sharded runners for the same config)."""
     nrep, nyp, half = wa.shape
     if not multisweep_fits_vmem(nyp * PACK, half):
         raise ValueError(
@@ -499,7 +538,7 @@ def multisweep_packed(model, wa, wb, key, sweeps: int):
             "VMEM-resident multisweep budget; use sweep_measure_packed"
         )
     wa, wb, obs = _multisweep_packed(
-        wa, wb, seeds_from_key(key, 0), sweeps=sweeps,
+        wa, wb, sweep_seed_pairs(key, sweeps, t0), sweeps=sweeps,
         beta=float(model.beta), nrep=nrep, nyp=nyp, half=half,
     )
     n_inv = jnp.float32(1.0 / model.nsites)
@@ -555,7 +594,8 @@ def _sharded_phase_kernel(seed_ref, offs_ref, x_ref, oc_ref, oup_ref,
                           odn_ref, hup_ref, hdn_ref, *rest,
                           color: int, d4, d8, typ: int, nblk: int,
                           has_bits: bool, has_cols: bool = False,
-                          measuring: bool = False):
+                          measuring: bool = False,
+                          w_total: int | None = None):
     refs = list(rest)
     obs_ref = refs.pop() if measuring else None
     if has_cols:
@@ -610,39 +650,17 @@ def _sharded_phase_kernel(seed_ref, offs_ref, x_ref, oc_ref, oup_ref,
         b4 = pltpu.bitcast(b4_ref[0], jnp.uint32)
         b8 = pltpu.bitcast(b8_ref[0], jnp.uint32)
     else:
-        # streams keyed by GLOBAL (replica, 8-word-row granule,
-        # 128-lane chunk) — granules/chunks never straddle tile or
-        # shard boundaries (typ, local nyp are multiples of 8; local
-        # half a multiple of 128), so trajectories are invariant to
-        # the mesh shape, the tile size, AND x-axis splits
-        # unconditionally (round-2 keyed per tile, which silently lost
-        # the guarantee when shardings picked different tile sizes)
+        # unified global-granule keying (_granule_chain_planes):
+        # granules never straddle tile or shard boundaries (typ and
+        # local nyp are multiples of 8), and x-shards slice their lane
+        # window out of redundantly generated full-width rows — so
+        # trajectories are invariant to the mesh shape, the tile size,
+        # x-axis splits, AND equal to the routed single-chip engines
         rep_g = offs_ref[0] + r
         col0 = offs_ref[2] if has_cols else jnp.int32(0)
-        nck = x.shape[1] // 128
-        p4, p8 = [], []
-        for g in range(typ // 8):
-            wrow_g = offs_ref[1] + i * typ + g * 8
-            row_tag = (wrow_g * jnp.int32(-1640531527)
-                       + rep_g * jnp.int32(0x3C6EF35F))
-            c4, c8 = [], []
-            for c in range(nck):
-                tag = row_tag + ((col0 + c * 128)
-                                 * jnp.int32(0x27D4EB2F))
-                pltpu.prng_seed(seed_ref[0], seed_ref[1] ^ tag)
-
-                def gen():
-                    return pltpu.bitcast(
-                        pltpu.prng_random_bits((8, 128)), jnp.uint32)
-
-                c4.append(_bern_plane((8, 128), d4, gen))
-                c8.append(_bern_plane((8, 128), d8, gen))
-            p4.append(c4[0] if nck == 1
-                      else jnp.concatenate(c4, axis=1))
-            p8.append(c8[0] if nck == 1
-                      else jnp.concatenate(c8, axis=1))
-        b4 = p4[0] if typ == 8 else jnp.concatenate(p4, axis=0)
-        b8 = p8[0] if typ == 8 else jnp.concatenate(p8, axis=0)
+        b4, b8 = _granule_chain_planes(
+            seed_ref[0], seed_ref[1], rep_g, offs_ref[1] + i * typ,
+            typ, d4, d8, x.shape[1], w_total, col0)
     flip = _flip_plane(x, ones, twos, fours, b4, b8)
     new = x ^ flip
     out_ref[0] = pltpu.bitcast(new, jnp.int32)
@@ -665,43 +683,16 @@ def _sharded_phase_kernel(seed_ref, offs_ref, x_ref, oc_ref, oup_ref,
 
 
 def _interpret_chain_planes(seeds, rep0, wrow0, col0, nrep, nyp, half,
-                            d4, d8):
+                            d4, d8, w_total=None):
     """CPU-interpret fallback for the Bernoulli planes: threefry chains
-    keyed per (global replica, global word row, 128-lane chunk) —
-    mesh-shape invariant including x-splits, different stream than the
-    on-chip hardware PRNG (same statistics)."""
-    base = jax.random.fold_in(
-        jax.random.PRNGKey(seeds[0].astype(jnp.uint32)), seeds[1]
-    )
-    nck = half // 128
-
-    def plane(digits, tag, kg):
-        cnt = [0]
-
-        def gen():
-            cnt[0] += 1
-            return jax.random.bits(
-                jax.random.fold_in(kg, tag * 64 + cnt[0]), (128,),
-                dtype=jnp.uint32)
-
-        return _bern_plane((128,), tuple(digits), gen)
-
-    def per_rep(r):
-        kr = jax.random.fold_in(base, rep0 + r)
-
-        def per_row(g):
-            kg = jax.random.fold_in(kr, wrow0 + g)
-
-            def per_chunk(c):
-                kc = jax.random.fold_in(kg, col0 + c * 128)
-                return plane(d4, 0, kc), plane(d8, 1, kc)
-
-            c4, c8 = jax.vmap(per_chunk)(jnp.arange(nck))
-            return c4.reshape(half), c8.reshape(half)
-
-        return jax.vmap(per_row)(jnp.arange(nyp))
-
-    b4, b8 = jax.vmap(per_rep)(jnp.arange(nrep))
+    with the same granule structure (and invariance properties) as the
+    unified hardware scheme — ops/multispin_rng.granule_planes_interpret
+    (different bits than the chip, same statistics)."""
+    w_total = half if w_total is None else w_total
+    b4, b8 = multispin_rng.granule_planes_interpret(
+        seeds, rep0, wrow0, col0, nrep, nyp, half, w_total,
+        lambda shape, gen: (_bern_plane(shape, tuple(d4), gen),
+                            _bern_plane(shape, tuple(d8), gen)))
     return b4.astype(jnp.int32), b8.astype(jnp.int32)
 
 
@@ -709,7 +700,8 @@ def sharded_phase_packed(xw, ow, hup01, hdn01, seeds, offs, *,
                          color: int, beta: float,
                          halo_lf=None, halo_rt=None,
                          b4=None, b8=None, interpret: bool = False,
-                         measuring: bool = False):
+                         measuring: bool = False,
+                         w_total: int | None = None):
     """One packed checkerboard phase of a (y[, x])-sharded local block.
 
     xw, ow: (R, Lp, half) packed local color blocks (Lp = L_rows/32);
@@ -726,6 +718,7 @@ def sharded_phase_packed(xw, ow, hup01, hdn01, seeds, offs, *,
     column halo needs no bit extraction."""
     nrep, nyp, half = xw.shape
     has_cols = halo_lf is not None
+    w_total = half if w_total is None else w_total
     d4 = tuple(chain_digits(float(np.exp(-4.0 * beta))))
     d8 = tuple(chain_digits(float(np.exp(-8.0 * beta))))
     typ = _pick_typ(nyp, half)
@@ -735,7 +728,7 @@ def sharded_phase_packed(xw, ow, hup01, hdn01, seeds, offs, *,
         b4, b8 = _interpret_chain_planes(
             seeds, offs[0], offs[1],
             offs[2] if has_cols else jnp.int32(0),
-            nrep, nyp, half, d4, d8)
+            nrep, nyp, half, d4, d8, w_total=w_total)
     has_bits = b4 is not None
     # 8-word-row alignment: exchanged planes sit where the in-array
     # neighbor blocks place theirs (up -> row 7, dn -> row 0)
@@ -744,7 +737,7 @@ def sharded_phase_packed(xw, ow, hup01, hdn01, seeds, offs, *,
     kernel = functools.partial(
         _sharded_phase_kernel, color=color, d4=d4, d8=d8, typ=typ,
         nblk=n, has_bits=has_bits, has_cols=has_cols,
-        measuring=measuring,
+        measuring=measuring, w_total=w_total,
     )
     blk = pl.BlockSpec((1, typ, half), lambda r, i: (r, i, 0),
                        memory_space=pltpu.VMEM)

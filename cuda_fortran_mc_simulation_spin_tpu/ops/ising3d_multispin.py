@@ -293,16 +293,33 @@ def _ms3_kernel(seed_ref, wa_in, wb_in, wa_ref, wb_ref, obs_ref,
     the streaming kernel collapses into in-kernel loops, which is the
     whole win at ensemble shapes where single planes are tiny."""
     r = pl.program_id(0)
-    pltpu.prng_seed(seed_ref[0],
-                    seed_ref[1] ^ (r * jnp.int32(0x3C6EF35F)))
     wa_ref[0] = wa_in[0]
     wb_ref[0] = wb_in[0]
     nblk = nz // tz
     shape = (tz, nyp, half)
     nsites_blk = jnp.int32(tz * nyp * half * PACK)
 
-    def gen():
-        return pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
+    def block_chains(s, phase_idx, i):
+        """(p4, p8, p12) for z-block i of sweep s: the SAME per-global-
+        (z-plane, replica) keyed streams as the streaming and z-sharded
+        phase kernels (seed pair per (sweep, phase) from seed_ref), so
+        the resident path is bitwise identical to them."""
+        s0 = seed_ref[s, phase_idx, 0]
+        s1 = seed_ref[s, phase_idx, 1]
+        cols = [[], [], []]
+        for k in range(tz):
+            tag = ((i * tz + k) * jnp.int32(-1640531527)
+                   + r * jnp.int32(0x3C6EF35F))
+            pltpu.prng_seed(s0, s1 ^ tag)
+
+            def gen():
+                return pltpu.bitcast(
+                    pltpu.prng_random_bits((nyp, half)), jnp.uint32)
+
+            cols[0].append(_bern_plane((nyp, half), d4, gen))
+            cols[1].append(_bern_plane((nyp, half), d8, gen))
+            cols[2].append(_bern_plane((nyp, half), d12, gen))
+        return tuple(jnp.stack(c, axis=0) for c in cols)
 
     def load_blk(ref, i):
         return pltpu.bitcast(ref[0, pl.ds(i * tz, tz)], jnp.uint32)
@@ -333,26 +350,22 @@ def _ms3_kernel(seed_ref, wa_in, wb_in, wa_ref, wb_ref, obs_ref,
             side = (minus & modd) | (plus & meven)
         return _count6(zm, zp, up, dn, o, side)
 
-    def phase_a(i, _):
+    def phase_a(i, s):
         x = load_blk(wa_ref, i)
         o = load_blk(wb_ref, i)
         b1, b2, b4c = nbr_counts(wb_ref, i, o, 0)
-        p4 = _bern_plane(shape, d4, gen)
-        p8 = _bern_plane(shape, d8, gen)
-        p12 = _bern_plane(shape, d12, gen)
+        p4, p8, p12 = block_chains(s, 0, i)
         flip = _flip_plane3d(x, b1, b2, b4c, p4, p8, p12)
         wa_ref[0, pl.ds(i * tz, tz)] = pltpu.bitcast(x ^ flip,
                                                      jnp.int32)
-        return 0
+        return s
 
     def phase_b_measure(i, carry):
-        m, e = carry
+        m, e, s = carry
         x = load_blk(wb_ref, i)
         o = load_blk(wa_ref, i)
         b1, b2, b4c = nbr_counts(wa_ref, i, o, 1)
-        p4 = _bern_plane(shape, d4, gen)
-        p8 = _bern_plane(shape, d8, gen)
-        p12 = _bern_plane(shape, d12, gen)
+        p4, p8, p12 = block_chains(s, 1, i)
         flip = _flip_plane3d(x, b1, b2, b4c, p4, p8, p12)
         new = x ^ flip
         wb_ref[0, pl.ds(i * tz, tz)] = pltpu.bitcast(new, jnp.int32)
@@ -362,12 +375,12 @@ def _ms3_kernel(seed_ref, wa_in, wb_in, wa_ref, wb_ref, obs_ref,
                 + 4 * _pc_sum(new & b4c))
         m = m + 2 * (s_x + _pc_sum(o)) - 2 * nsites_blk
         e = e - (4 * s_xc - 12 * s_x - 2 * s_c + 6 * nsites_blk)
-        return m, e
+        return m, e, s
 
     def body(s, _):
-        jax.lax.fori_loop(0, nblk, phase_a, 0)
-        m, e = jax.lax.fori_loop(
-            0, nblk, phase_b_measure, (jnp.int32(0), jnp.int32(0)))
+        jax.lax.fori_loop(0, nblk, phase_a, s)
+        m, e, _s = jax.lax.fori_loop(
+            0, nblk, phase_b_measure, (jnp.int32(0), jnp.int32(0), s))
         lane = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
         row = jnp.where(lane == 0, m, jnp.where(lane == 1, e, 0))
         obs_ref[0, pl.ds(s, 1), :] = row
@@ -380,8 +393,8 @@ def _ms3_kernel(seed_ref, wa_in, wb_in, wa_ref, wb_ref, obs_ref,
     jax.jit,
     static_argnames=("sweeps", "beta", "nrep", "nz", "nyp", "half"),
 )
-def _multisweep_packed3d(wa, wb, seeds, *, sweeps, beta, nrep, nz, nyp,
-                         half):
+def _multisweep_packed3d(wa, wb, seeds_t, *, sweeps, beta, nrep, nz,
+                         nyp, half):
     d4 = tuple(chain_digits(float(np.exp(-4.0 * beta))))
     d8 = tuple(chain_digits(float(np.exp(-8.0 * beta))))
     d12 = tuple(chain_digits(float(np.exp(-12.0 * beta))))
@@ -404,12 +417,23 @@ def _multisweep_packed3d(wa, wb, seeds, *, sweeps, beta, nrep, nz, nyp,
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM), vol, vol],
         out_specs=(vol, vol, obs),
         input_output_aliases={1: 0, 2: 1},
-    )(seeds, wa, wb)
+    )(seeds_t, wa, wb)
 
 
-def multisweep_packed3d(model, wa, wb, key, sweeps: int):
+def multisweep_packed3d(model, wa, wb, key, sweeps: int, t0=0):
     """Advance ``sweeps`` 3-D MCS on packed volumes with fused
-    per-sweep (m, e) densities (R, sweeps)."""
+    per-sweep (m, e) densities (R, sweeps).
+
+    ``key`` is the SAMPLE-level key and ``t0`` the global sweep index
+    already completed: sweeps run at t = t0+1 .. t0+sweeps with the
+    unified global-t keying, so the resident path is bitwise identical
+    to the streaming phase kernels and the z-sharded runner for the
+    same config (the per-(z-plane, replica) granule scheme those
+    already share)."""
+    from cuda_fortran_mc_simulation_spin_tpu.ops.ising2d_multispin import (
+        sweep_seed_pairs,
+    )
+
     nrep, nz, nyp, half = wa.shape
     if not multisweep3d_fits_vmem(nz, nyp * PACK, half):
         raise ValueError(
@@ -417,7 +441,7 @@ def multisweep_packed3d(model, wa, wb, key, sweeps: int):
             "VMEM-resident 3-D multisweep budget"
         )
     wa, wb, obs = _multisweep_packed3d(
-        wa, wb, seeds_from_key(key, 0), sweeps=sweeps,
+        wa, wb, sweep_seed_pairs(key, sweeps, t0), sweeps=sweeps,
         beta=float(model.beta), nrep=nrep, nz=nz, nyp=nyp, half=half,
     )
     n_inv = jnp.float32(1.0 / model.nsites)

@@ -344,8 +344,9 @@ def _metropolis_measure_kernel(seed_ref, sx_ref, sy_ref,
                                ox_ref, oxu_ref, oxd_ref,
                                oy_ref, oyu_ref, oyd_ref,
                                snax_ref, snay_ref, snbx_ref, snby_ref,
-                               outx_ref, outy_ref, obs_ref,
-                               *, ty: int, beta: float):
+                               *rest,
+                               ty: int, beta: float, half: int = 0,
+                               has_u: bool = False):
     """Phase b (color 1) + fused (mx, my, e, A) measurement.
 
     Measuring inside the phase saves the separate measurement kernel's
@@ -353,27 +354,46 @@ def _metropolis_measure_kernel(seed_ref, sx_ref, sy_ref,
     MCS — the protocol is HBM-bound).  e = -Σ_b S_b·h_b counts every
     bond once; mx/my reuse the a-planes already fetched for the field;
     the obs output accumulates across the row-block grid axis (constant
-    out index → the block stays resident until the grid finishes)."""
+    out index → the block stays resident until the grid finishes).
+
+    ``half`` non-zero: lane-PADDED planes (real width ``half`` < block
+    width) — the x-wrap is substituted at the real seam and pad lanes
+    never accept, so state and snapshot pads stay exactly 0 and every
+    fused sum (including A against the zero-padded snapshot) is exact
+    unmasked."""
+    refs = list(rest)
+    if has_u:
+        ucand_ref, uacc_ref = refs[:2]
+        refs = refs[2:]
+    outx_ref, outy_ref, obs_ref = refs
     r = pl.program_id(0)
     i = pl.program_id(1)
-    tile_tag = i * jnp.int32(-1640531527) + r * jnp.int32(0x3C6EF35F)
-    pltpu.prng_seed(seed_ref[0], seed_ref[1] ^ tile_tag)
 
     parity = stencil.row_parity_mask(ty, i * ty)
     hx, hy = _field(ox_ref, oxu_ref, oxd_ref, oy_ref, oyu_ref, oyd_ref,
-                    1, parity)
+                    1, parity, half)
     sx = sx_ref[0]
     sy = sy_ref[0]
-    u_cand = stencil.bits_to_uniform(
-        pltpu.bitcast(pltpu.prng_random_bits(sx.shape), jnp.uint32)
-    )
+    if has_u:
+        u_cand = ucand_ref[0]
+        u_acc = uacc_ref[0]
+    else:
+        tile_tag = (i * jnp.int32(-1640531527)
+                    + r * jnp.int32(0x3C6EF35F))
+        pltpu.prng_seed(seed_ref[0], seed_ref[1] ^ tile_tag)
+        u_cand = stencil.bits_to_uniform(
+            pltpu.bitcast(pltpu.prng_random_bits(sx.shape), jnp.uint32)
+        )
+        u_acc = stencil.bits_to_uniform(
+            pltpu.bitcast(pltpu.prng_random_bits(sx.shape), jnp.uint32)
+        )
     cx, cy = trig.cos_sin_2pi(u_cand)
     de = -((cx - sx) * hx + (cy - sy) * hy)
     p = jnp.exp(jnp.float32(-beta) * jnp.maximum(de, 0.0))
-    u_acc = stencil.bits_to_uniform(
-        pltpu.bitcast(pltpu.prng_random_bits(sx.shape), jnp.uint32)
-    )
     accept = u_acc < p
+    if half:
+        lane = jax.lax.broadcasted_iota(jnp.int32, sx.shape, 1)
+        accept = accept & (lane < half)
     bx = jnp.where(accept, cx, sx)
     by = jnp.where(accept, cy, sy)
     outx_ref[0] = bx
@@ -402,21 +422,38 @@ def _metropolis_measure_kernel(seed_ref, sx_ref, sy_ref,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("beta", "nrep", "ny", "half")
+    jax.jit, static_argnames=("beta", "nrep", "ny", "half",
+                              "valid_half", "interpret")
 )
 def _metropolis_phase_b_measure(sx, sy, ox, oy, snax, snay, snbx, snby,
-                                seeds, *, beta, nrep, ny, half):
+                                seeds, *, beta, nrep, ny, half,
+                                valid_half=0, interpret=False,
+                                u_cand=None, u_acc=None):
     ty = _pick_tile_rows(ny, half, budget_bytes=128 << 10, gran=8)
     # 128K-element blocks: ty=128 at 1536^2 measured 2.08e10 vs
     # 1.93e10 at ty=64 on the from-disorder path; ty>=256 fails
     # to compile (VMEM)
     n = ny // ty
     center, up, dn = _specs(ty, ny, half)
+    has_u = u_cand is not None
     kernel = functools.partial(
-        _metropolis_measure_kernel, ty=ty, beta=beta
+        _metropolis_measure_kernel, ty=ty, beta=beta,
+        half=valid_half if valid_half != half else 0, has_u=has_u,
     )
     obs_spec = pl.BlockSpec((1, 1, 128), lambda r, i: (r, 0, 0),
                             memory_space=pltpu.VMEM)
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.SMEM),
+        center, center,               # bx, by (color being updated)
+        center, up, dn,               # ax + halos
+        center, up, dn,               # ay + halos
+        center, center, center, center,  # snapshot planes
+    ]
+    operands = [seeds, sx, sy, ox, ox, ox, oy, oy, oy,
+                snax, snay, snbx, snby]
+    if has_u:
+        in_specs += [center, center]
+        operands += [u_cand, u_acc]
     return pl.pallas_call(
         kernel,
         out_shape=(
@@ -425,16 +462,11 @@ def _metropolis_phase_b_measure(sx, sy, ox, oy, snax, snay, snbx, snby,
             jax.ShapeDtypeStruct((nrep, 1, 128), jnp.float32),
         ),
         grid=(nrep, n),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            center, center,               # bx, by (color being updated)
-            center, up, dn,               # ax + halos
-            center, up, dn,               # ay + halos
-            center, center, center, center,  # snapshot planes
-        ],
+        in_specs=in_specs,
         out_specs=(center, center, obs_spec),
         input_output_aliases={1: 0, 2: 1},
-    )(seeds, sx, sy, ox, ox, ox, oy, oy, oy, snax, snay, snbx, snby)
+        interpret=interpret,
+    )(*operands)
 
 
 def sweep_measure(model, state: XYState, snap: XYState, key: jax.Array):
@@ -834,6 +866,37 @@ def padded_or_sweep(model, st: XYState) -> XYState:
     ax, ay = _over_relax_phase(ax, ay, bx, by, color=0, **kw)
     bx, by = _over_relax_phase(bx, by, ax, ay, color=1, **kw)
     return XYState(ax, ay, bx, by)
+
+
+def padded_sweep_measure_snap(model, st: XYState, snap: XYState,
+                              key: jax.Array):
+    """One Metropolis MCS on padded (R, ny, W) planes + fused
+    (mx, my, e, A) against the zero-padded t=0 snapshot — the
+    disorder-protocol measurement (A(t) = Σ S(0)·S(t)) on the lane-
+    padded engine.  Pad lanes of state AND snapshot are exact zeros,
+    so every fused sum is exact unmasked (same invariant as
+    padded_sweep_measure)."""
+    ny, half = model.color_shape
+    ax, ay, bx, by = st
+    kw = dict(beta=float(model.beta), nrep=ax.shape[0], ny=ny,
+              half=ax.shape[-1], valid_half=half,
+              interpret=_padded_interp())
+    ax, ay = _metropolis_phase(ax, ay, bx, by, seeds_from_key(key, 0),
+                               color=0, **kw)
+    bx, by, obs = _metropolis_phase_b_measure(
+        bx, by, ax, ay, snap.ax, snap.ay, snap.bx, snap.by,
+        seeds_from_key(key, 1), beta=float(model.beta),
+        nrep=ax.shape[0], ny=ny, half=ax.shape[-1], valid_half=half,
+        interpret=_padded_interp(),
+    )
+    n_inv = jnp.float32(1.0 / model.nsites)
+    series = {
+        "mx": obs[:, 0, 0] * n_inv,
+        "my": obs[:, 0, 1] * n_inv,
+        "e": obs[:, 0, 2] * n_inv,
+        "A": obs[:, 0, 3] * n_inv,
+    }
+    return XYState(ax, ay, bx, by), series
 
 
 def padded_or_sweep_measure(model, st: XYState):

@@ -310,16 +310,18 @@ def _ising_local_sweep_packed(model: Ising2D, wa, wb, key, ysh, xsh,
             return {}
 
     beta = float(model.beta)
+    w_total = model.color_shape[1]
     hup, hdn = exchange_halo_rows_packed(wb, "y", ysh)
     wa = msb.sharded_phase_packed(
         wa, wb, hup, hdn, ising2d_pallas.seeds_from_key(key, 0), offs,
-        color=0, beta=beta, interpret=interpret, **colkw(wb),
+        color=0, beta=beta, interpret=interpret, w_total=w_total,
+        **colkw(wb),
     )
     hup, hdn = exchange_halo_rows_packed(wa, "y", ysh)
     res = msb.sharded_phase_packed(
         wb, wa, hup, hdn, ising2d_pallas.seeds_from_key(key, 1), offs,
         color=1, beta=beta, interpret=interpret, measuring=want_obs,
-        **colkw(wa),
+        w_total=w_total, **colkw(wa),
     )
     if want_obs:
         wb, m, e = res
@@ -388,16 +390,18 @@ def _clock_local_sweep_packed(model: Clock2D, wa3, wb3, key, ysh, xsh,
             return {}
 
     beta = float(model.beta)
+    w_total = model.color_shape[1]
     hup, hdn = h3(wb3)
     wa3 = sharded_phase(
         wa3, wb3, hup, hdn, ising2d_pallas.seeds_from_key(key, 0),
-        offs, color=0, beta=beta, interpret=interpret, **colkw(wb3),
+        offs, color=0, beta=beta, interpret=interpret,
+        w_total=w_total, **colkw(wb3),
     )
     hup, hdn = h3(wa3)
     res = sharded_phase(
         wb3, wa3, hup, hdn, ising2d_pallas.seeds_from_key(key, 1),
         offs, color=1, beta=beta, interpret=interpret,
-        measuring=want_obs, **colkw(wa3),
+        measuring=want_obs, w_total=w_total, **colkw(wa3),
     )
     if want_obs:
         wb3, m2, e2 = res
@@ -919,7 +923,12 @@ def make_sharded_sample_runner(model, mesh: Mesh, mcs: int,
         pack_sharded = None
 
     def run(key: jax.Array):
-        init_keys = jr.split(rng.init_key(key), replicas)
+        # replica init keys fold_in(init_key, r) — the SAME derivation
+        # as the single-chip packed runners (engine/sweep.py init_fn),
+        # so random-init trajectories also match across paths
+        init_keys = jax.vmap(
+            lambda r: jr.fold_in(rng.init_key(key), r)
+        )(jnp.arange(replicas))
         state = jax.vmap(lambda k: model.init_state(init_kind, k))(
             init_keys
         )

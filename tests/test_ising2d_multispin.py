@@ -486,6 +486,40 @@ def test_sharded_packed_granule_keying_tile_split_invariance_on_tpu():
     np.testing.assert_array_equal(np.asarray(full), np.asarray(got))
 
 
+def test_sharded_packed_x_split_invariance_hw_on_tpu():
+    """Hardware-PRNG chains generate the full GLOBAL lane width per
+    granule and x-shards slice their window, so a lane split is bitwise
+    identical to the unsplit phase — the x-axis leg of the unified
+    keying's unconditional mesh-shape invariance, on the real chip
+    (the interpret-mode x-split test covers the CPU fallback)."""
+    if not _on_tpu() or jax.default_backend() == "cpu":
+        pytest.skip("hardware PRNG path")
+    R, G, HALF2 = 1, 32, 512
+    ka, kb = jax.random.split(rng.base_key(79))
+    x = msb.pack_color(_rand_plane(ka, (R, G * 32, HALF2)))
+    o = msb.pack_color(_rand_plane(kb, (R, G * 32, HALF2)))
+    seeds = jnp.array([123, 7], jnp.int32)
+    hup01 = ((o[:, G - 1:G, :].astype(jnp.uint32)
+              >> jnp.uint32(31)) & jnp.uint32(1)).astype(jnp.int32)
+    hdn01 = (o[:, 0:1, :] & 1).astype(jnp.int32)
+    full = msb.sharded_phase_packed(
+        x, o, hup01, hdn01, seeds, jnp.zeros((2,), jnp.int32),
+        color=0, beta=0.44)
+    w = HALF2 // 2
+    parts = []
+    for c0 in (0, w):
+        offs = jnp.array([0, 0, c0], jnp.int32)
+        sl = slice(c0, c0 + w)
+        parts.append(msb.sharded_phase_packed(
+            x[:, :, sl], o[:, :, sl],
+            hup01[:, :, sl], hdn01[:, :, sl], seeds, offs,
+            color=0, beta=0.44, w_total=HALF2,
+            halo_lf=o[:, :, (c0 - 1) % HALF2:(c0 - 1) % HALF2 + 1],
+            halo_rt=o[:, :, (c0 + w) % HALF2:(c0 + w) % HALF2 + 1]))
+    got = jnp.concatenate(parts, axis=2)
+    np.testing.assert_array_equal(np.asarray(full), np.asarray(got))
+
+
 def test_tiled_obs_matches_accumulated_on_tpu():
     """tiled_obs mode (giant-lattice path): per-tile int32 partials sum
     to exactly the accumulated (m, e) of the same phase (same seeds →
@@ -515,8 +549,8 @@ def test_tiled_obs_matches_accumulated_on_tpu():
 def test_sharded_packed_runner_x_split_invariant(monkeypatch):
     """(1,2,2) mesh (x-axis split of the PACKED engine — exchanged
     boundary word columns) is bitwise identical to the (1,1) mesh:
-    chains are keyed per (replica, 8-word-row granule, 128-lane chunk),
-    so neither y- nor x-splits change the stream."""
+    chains are keyed per global (replica, 8-word-row granule) with
+    full-width generation, so neither y- nor x-splits change the stream."""
     monkeypatch.setenv("SPINLAT_SHARD_PALLAS_INTERPRET", "1")
     from cuda_fortran_mc_simulation_spin_tpu.models.ising2d import Ising2D
     from cuda_fortran_mc_simulation_spin_tpu.parallel import domain
@@ -539,46 +573,46 @@ def test_sharded_packed_runner_x_split_invariant(monkeypatch):
             np.asarray(series[(1, 2, 2)][k]))
 
 
-def test_streaming_vs_granule_keying_divergence_pinned_on_tpu():
-    """PIN of the documented PRNG-keying split (STATUS.md): the
-    single-chip streaming/multisweep kernels key hardware-PRNG chains
-    per TILE, the sharded kernels per global (replica, granule, lane
-    chunk) — so the unsharded fast path and a (1,1)-mesh run of the
-    SAME seed follow different trajectories.  Each stream must stay
-    deterministic, and where the dynamics are exact (T→0 absorbing)
-    the two paths must agree exactly.  If the hot-T assert below ever
-    finds the trajectories EQUAL, the keyings have converged: delete
-    the STATUS.md caveat and flip the assertion."""
+def test_unified_keying_one_config_one_trajectory_on_tpu():
+    """SURVEY.md §7's bit-reproducibility-across-sharding, closed: with
+    every packed-Ising2D path on the SAME global-granule keying
+    (_granule_chain_planes) and the same global-t seed-pair derivation,
+    one config + seed yields ONE trajectory across
+      (a) the routed single-chip resident multisweep,
+      (b) the single-chip streaming phase kernels, and
+      (c) a (1,1)-mesh sharded run (packed halo kernels)
+    — asserted BITWISE on m/e series, at T→0 and at Tc.  (This replaces
+    the round-4 divergence pin: the keyings have converged by design.)
+    Mesh-shape invariance of (c) across (dp, y, x) splits is covered by
+    the invariance tests above and on the virtual CPU mesh."""
     if not _on_tpu() or jax.default_backend() == "cpu":
         pytest.skip("hardware PRNG path")
     from cuda_fortran_mc_simulation_spin_tpu.engine import sweep
     from cuda_fortran_mc_simulation_spin_tpu.models.ising2d import Ising2D
+    from cuda_fortran_mc_simulation_spin_tpu.ops import ising2d_multispin
     from cuda_fortran_mc_simulation_spin_tpu.parallel import domain
     from cuda_fortran_mc_simulation_spin_tpu.parallel import mesh as mm
 
-    def both(kbt):
+    def all_three(kbt):
         model = Ising2D(nx=512, ny=512, kbt=kbt)
         key = rng.base_key(91)
-        single = sweep.make_multispin_runner(model, 4, 2)
+        resident = sweep.make_multispin_runner(model, 4, 2)
+        with pytest.MonkeyPatch.context() as mp:
+            mp.setattr(ising2d_multispin, "multisweep_fits_vmem",
+                       lambda *a: False)
+            streaming = sweep.make_multispin_runner(model, 4, 2)
         sharded = domain.make_sharded_sample_runner(
             Ising2D(nx=512, ny=512, kbt=kbt, backend="jnp"),
             mm.make_mesh(1, 1), mcs=4, replicas=2)
-        s1 = jax.device_get(single(key))
-        s2 = jax.device_get(single(key))
-        g1 = jax.device_get(sharded(key))
-        g2 = jax.device_get(sharded(key))
+        outs = [jax.device_get(r(key))
+                for r in (resident, streaming, sharded)]
+        r1 = jax.device_get(resident(key))
         for k in ("m", "e"):
-            np.testing.assert_array_equal(s1[k], s2[k])   # deterministic
-            np.testing.assert_array_equal(g1[k], g2[k])
-        return s1, g1
+            np.testing.assert_array_equal(outs[0][k], r1[k])  # determ.
+            np.testing.assert_array_equal(outs[0][k], outs[1][k])
+            np.testing.assert_array_equal(outs[0][k], outs[2][k])
+        return outs[0]
 
-    s, g = both(0.05)        # absorbing: exact agreement
-    np.testing.assert_allclose(np.asarray(s["m"]), 1.0, atol=0)
-    np.testing.assert_allclose(np.asarray(g["m"]), 1.0, atol=0)
-    s, g = both(2.26918531421)
-    assert not np.array_equal(np.asarray(s["m"]), np.asarray(g["m"])), (
-        "tile- and granule-keyed streams converged — update STATUS.md "
-        "and flip this pin")
-    # same physics: hot trajectories stay in the same NER band
-    np.testing.assert_allclose(np.asarray(s["m"]).mean(),
-                               np.asarray(g["m"]).mean(), atol=0.05)
+    cold = all_three(0.05)
+    np.testing.assert_allclose(np.asarray(cold["m"]), 1.0, atol=0)
+    all_three(2.26918531421)

@@ -249,3 +249,145 @@ def test_padded_mosaic_matches_interpret_on_tpu():
     np.testing.assert_allclose(np.asarray(g[2]), np.asarray(wv[2]),
                                rtol=3e-6, atol=0)
     np.testing.assert_array_equal(np.asarray(g[0][..., half:]), 0.0)
+
+
+# ---------------------------------------------------------------------------
+# padded DISORDER path (VERDICT r4 #4): fused snapshot measurement and
+# the protocol runner on lane-padded planes
+# ---------------------------------------------------------------------------
+
+def test_padded_snap_measure_matches_phase_and_obs():
+    """padded phase-b + fused (mx, my, e, A): state bitwise equal to
+    the plain padded phase kernel given shared uniforms; pads stay
+    zero; fused obs equal the whole-lattice recompute on the unpadded
+    final state (incl. A against the snapshot)."""
+    model = XY2D(nx=42, ny=16, kbt=0.9, backend="jnp")
+    ny, half = model.color_shape
+    st = _rand_state(model, rng.base_key(7), 2)
+    snap = _rand_state(model, rng.base_key(8), 2)
+    stp = xp.pad_planes(st, half)
+    snp = xp.pad_planes(snap, half)
+    w = stp.ax.shape[-1]
+    ku = jax.random.PRNGKey(9)
+    u_cand = jax.random.uniform(ku, (2, ny, w), jnp.float32)
+    u_acc = jax.random.uniform(jax.random.fold_in(ku, 1),
+                               (2, ny, w), jnp.float32)
+    kw = dict(beta=float(model.beta), nrep=2, ny=ny, half=w,
+              valid_half=half, interpret=True)
+    got_bx, got_by, obs = xp._metropolis_phase_b_measure(
+        stp.bx, stp.by, stp.ax, stp.ay, snp.ax, snp.ay, snp.bx,
+        snp.by, jnp.zeros(2, jnp.int32), u_cand=u_cand, u_acc=u_acc,
+        **kw)
+    want_bx, want_by = xp._metropolis_phase(
+        stp.bx, stp.by, stp.ax, stp.ay, jnp.zeros(2, jnp.int32),
+        color=1, u_cand=u_cand, u_acc=u_acc, **kw)
+    np.testing.assert_array_equal(np.asarray(got_bx),
+                                  np.asarray(want_bx))
+    np.testing.assert_array_equal(np.asarray(got_by),
+                                  np.asarray(want_by))
+    fin = XYState(stp.ax, stp.ay, got_bx, got_by)
+    _pads_zero(fin, half)
+    unp = xp.unpad_planes(fin, half)
+    snap_unp = xp.unpad_planes(snp, half)
+    n_inv = 1.0 / model.nsites
+    mx_w = jax.vmap(lambda s: model.magne_sums(s)[0])(unp) * n_inv
+    my_w = jax.vmap(lambda s: model.magne_sums(s)[1])(unp) * n_inv
+    e_w = jax.vmap(model.energy_sum)(unp) * n_inv
+    a_w = jax.vmap(model.autocorrelation_sum)(unp, snap_unp) * n_inv
+    np.testing.assert_allclose(np.asarray(obs[:, 0, 0]) * n_inv,
+                               np.asarray(mx_w), rtol=0, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(obs[:, 0, 1]) * n_inv,
+                               np.asarray(my_w), rtol=0, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(obs[:, 0, 2]) * n_inv,
+                               np.asarray(e_w), rtol=0, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(obs[:, 0, 3]) * n_inv,
+                               np.asarray(a_w), rtol=0, atol=2e-5)
+
+
+def _fake_padded_disorder_kernels(monkeypatch):
+    """Deterministic stand-ins (hardware PRNG has no CPU interpret)."""
+    def fake_phase(st, key):
+        r = jax.random.uniform(key, st.ax.shape, jnp.float32)
+        return XYState(st.ax + r, st.ay - 0.5 * r,
+                       st.bx * jnp.float32(0.9), st.by + 1.0)
+
+    def obs_of(st, snap):
+        return {"mx": jnp.mean(st.ax, (1, 2)),
+                "my": jnp.mean(st.ay, (1, 2)),
+                "e": jnp.mean(st.bx, (1, 2)),
+                "A": jnp.mean(st.ax * snap.ax, (1, 2))}
+
+    monkeypatch.setattr(
+        xp, "padded_sweep", lambda model, st, key: fake_phase(st, key))
+    monkeypatch.setattr(
+        xp, "padded_sweep_measure_snap",
+        lambda model, st, snap, key:
+            (lambda s: (s, obs_of(s, snap)))(fake_phase(st, key)))
+    monkeypatch.setattr(
+        xp, "padded_or_sweep",
+        lambda model, st: XYState(st.ay, st.ax, st.by, st.bx))
+
+
+@pytest.mark.parametrize("prep,n_or", [("rotate_first", 0),
+                                       ("fix1mcs", 0),
+                                       ("rotate_first", 1),
+                                       ("fix1mcs", 1)])
+def test_padded_disorder_runner_schedules_chunked_bitwise(
+        monkeypatch, prep, n_or):
+    """_xy_disorder_padded_runner over its schedule branches (fused
+    no-OR path, fix1mcs rotation at t=1, OR + unpadded re-measure):
+    series shapes/finiteness, and host-chunked == monolithic bitwise
+    (global-t keys)."""
+    from cuda_fortran_mc_simulation_spin_tpu.config import RunConfig
+    from cuda_fortran_mc_simulation_spin_tpu.engine import (
+        protocols as proto,
+    )
+
+    _fake_padded_disorder_kernels(monkeypatch)
+    model = XY2D(nx=42, ny=16, kbt=0.9, backend="jnp")
+    cfg = RunConfig(model="xy2d", nx=42, ny=16, kbt=0.9, mcs=6,
+                    tot_sample=2, replicas=2, n_over_relax=n_or,
+                    mcs_over_relax=4 if n_or else 0)
+    key = rng.sample_key(rng.base_key(12), 0)
+    mono = jax.device_get(jax.jit(proto._xy_disorder_padded_runner(
+        model, cfg, prep, 2))(key))
+    assert mono["mx"].shape == (2, 6)
+    for k in ("mx", "my", "e", "A"):
+        assert np.all(np.isfinite(np.asarray(mono[k])))
+
+    import cuda_fortran_mc_simulation_spin_tpu.engine.sweep as sw_mod
+    monkeypatch.setattr(sw_mod, "_sweeps_per_dispatch",
+                        lambda *a, **k: 3)
+    chunked_runner = proto._xy_disorder_padded_runner(model, cfg,
+                                                      prep, 2)
+    assert getattr(chunked_runner, "host_chunked", False)
+    chunked = jax.device_get(chunked_runner(key))
+    for k in mono:
+        np.testing.assert_array_equal(np.asarray(mono[k]),
+                                      np.asarray(chunked[k]))
+
+
+def test_padded_disorder_eligibility(monkeypatch):
+    """Gate: lane-unaligned periodic XY on TPU; resident/aligned/mesh
+    keep their existing routes."""
+    from cuda_fortran_mc_simulation_spin_tpu.config import RunConfig
+    from cuda_fortran_mc_simulation_spin_tpu.engine import (
+        protocols as proto,
+    )
+
+    cfg = RunConfig(model="xy2d", nx=4000, ny=4000, kbt=0.89, mcs=4,
+                    tot_sample=1)
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    assert proto._xy_disorder_padded_eligible(
+        cfg, XY2D(nx=4000, ny=4000, kbt=0.89), "rotate_first")
+    # aligned width: existing fused aligned path
+    assert not proto._xy_disorder_padded_eligible(
+        cfg, XY2D(nx=4096, ny=4096, kbt=0.89), "rotate_first")
+    # correlation tracking keeps the jnp fallback
+    cfg_corr = RunConfig(model="xy2d", nx=4000, ny=4000, kbt=0.89,
+                         mcs=4, tot_sample=1, track_correlation=True)
+    assert not proto._xy_disorder_padded_eligible(
+        cfg_corr, XY2D(nx=4000, ny=4000, kbt=0.89), "rotate_first")
+    monkeypatch.setattr(jax, "default_backend", lambda: "cpu")
+    assert not proto._xy_disorder_padded_eligible(
+        cfg, XY2D(nx=4000, ny=4000, kbt=0.89), "rotate_first")
