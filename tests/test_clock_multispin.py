@@ -560,8 +560,8 @@ def test_sharded_packed6_runner_mesh_shape_invariant(monkeypatch):
 def test_sharded_packed6_runner_x_split_invariant(monkeypatch):
     """(1,2,2) mesh (x-axis split of the PACKED clock engine —
     exchanged boundary word columns per plane) is bitwise identical to
-    the (1,1) mesh: chains are keyed per (replica, 8-word-row granule,
-    128-lane chunk), so neither y- nor x-splits change the stream."""
+    the (1,1) mesh: chains are keyed per global (replica, 8-word-row granule) with
+    full-width generation, so neither y- nor x-splits change the stream."""
     monkeypatch.setenv("SPINLAT_SHARD_PALLAS_INTERPRET", "1")
     from cuda_fortran_mc_simulation_spin_tpu.parallel import domain
     from cuda_fortran_mc_simulation_spin_tpu.parallel import mesh as mm
@@ -583,6 +583,36 @@ def test_sharded_packed6_runner_x_split_invariant(monkeypatch):
             np.asarray(series[(1, 2, 2)][k]))
 
 
+@pytest.mark.slow
+def test_clock_unified_keying_single_chip_equals_mesh(monkeypatch):
+    """One config, ONE trajectory (SURVEY.md §7), CPU-runnable leg: the
+    routed single-chip packed clock runner and a (1,1)-mesh sharded run
+    both consume the unified granule streams
+    (ops/multispin_rng.granule_planes_interpret on CPU) with the same
+    global-t seed pairs and the same fold_in replica init keys — their
+    m/e series are bitwise identical.  Combined with the mesh-shape /
+    x-split invariance tests, any mesh shape equals the routed
+    single-chip run.  (The hardware leg of the same statement is
+    test_ising2d_multispin.test_unified_keying_one_config_one_
+    trajectory_on_tpu.)"""
+    monkeypatch.setenv("SPINLAT_SHARD_PALLAS_INTERPRET", "1")
+    from cuda_fortran_mc_simulation_spin_tpu.engine import sweep as sw
+    from cuda_fortran_mc_simulation_spin_tpu.parallel import domain
+    from cuda_fortran_mc_simulation_spin_tpu.parallel import mesh as mm
+
+    model = Clock2D(nx=256, ny=512, kbt=0.9, q=6, backend="jnp")
+    for kind in ("random",):
+        runner = sw.make_clock_multispin_runner(model, 2, 2, kind)
+        out1 = jax.device_get(runner(rng.base_key(55)))
+        sharded = domain.make_sharded_sample_runner(
+            model, mm.make_mesh(1, 1), mcs=2, replicas=2,
+            init_kind=kind)
+        out2 = jax.device_get(sharded(rng.base_key(55)))
+        for k in ("m", "e"):
+            np.testing.assert_array_equal(np.asarray(out1[k]),
+                                          np.asarray(out2[k]))
+
+
 def test_sharded_packed6_runner_absorbing_low_t(monkeypatch):
     """T→0 packed clock sharded runner: ordered start stays absorbed
     (m ≡ 1, e ≡ -2) on a (2,2) mesh."""
@@ -601,9 +631,9 @@ def test_sharded_packed6_runner_absorbing_low_t(monkeypatch):
 def test_sharded_packed6_x_split_parts_match_full_on_tpu():
     """Hardware path: one y-periodic block phase == the concatenation
     of its two x-halves run with exchanged column halos (Mosaic
-    compiles the has_cols branch; granule+chunk keying with col0 makes
-    the streams identical, so the phase is bitwise invariant to the
-    x-split)."""
+    compiles the has_cols branch; full-width granule generation with
+    the (col0, w_total) lane window makes the streams identical, so
+    the phase is bitwise invariant to the x-split)."""
     if not _on_tpu() or jax.default_backend() == "cpu":
         pytest.skip("hardware PRNG path")
     R, ny, half = 1, 256, 512
@@ -639,7 +669,7 @@ def test_sharded_packed6_x_split_parts_match_full_on_tpu():
             tuple(h[:, :, sl] for h in hup),
             tuple(h[:, :, sl] for h in hdn),
             seeds, jnp.array([0, 0, s], jnp.int32),
-            color=0, beta=1.1, halo_lf=lf, halo_rt=rt))
+            color=0, beta=1.1, halo_lf=lf, halo_rt=rt, w_total=w))
     for k in range(3):
         got = jnp.concatenate([parts[0][k], parts[1][k]], axis=2)
         np.testing.assert_array_equal(np.asarray(full[k]),
