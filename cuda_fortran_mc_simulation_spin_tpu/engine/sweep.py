@@ -1125,32 +1125,67 @@ def make_xy_padded_runner(model, mcs, batch, init_kind,
     ny, half = model.color_shape
     mcs_or = mcs_over_relax or mcs
 
+    # f32-ANGLE storage variant (ops/xy2d_pallas_angle): ONE plane per
+    # color instead of two — halves HBM lattice traffic.  The r5b
+    # on-chip A/B (BENCHMARKS.md): 1.49x on the Metropolis-only
+    # schedule (10000^2), 0.955x with OR in the mix (4000^2 — the
+    # angle OR's atan2 flips that phase compute-bound), so the angle
+    # engine routes by default exactly on OR-free schedules.
+    # SPINLAT_XY_PERIODIC_ANGLE=1/0 overrides either way.
+    env_angle = os.environ.get("SPINLAT_XY_PERIODIC_ANGLE")
+    angle = (n_over_relax == 0 if env_angle is None
+             else env_angle == "1")
+    if angle:
+        from cuda_fortran_mc_simulation_spin_tpu.ops import (
+            xy2d_pallas_angle as xa,
+        )
+
+        def pack(state):
+            return xa.pack_angles(state, half)
+
+        sweep_fn = functools.partial(xa.sweep_angle, model)
+        or_fn = functools.partial(xa.or_sweep_angle, model)
+        or_meas_fn = functools.partial(xa.or_sweep_measure_angle, model)
+        sweep_meas_fn = functools.partial(xa.sweep_measure_angle, model)
+        name = "xy2d periodic lane-padded Pallas (f32-angle)"
+    else:
+        def pack(state):
+            return xp.pad_planes(state, half)
+
+        sweep_fn = functools.partial(xp.padded_sweep, model)
+        or_fn = functools.partial(xp.padded_or_sweep, model)
+        or_meas_fn = functools.partial(xp.padded_or_sweep_measure,
+                                       model)
+        sweep_meas_fn = functools.partial(xp.padded_sweep_measure,
+                                          model)
+        name = "xy2d periodic lane-padded Pallas"
+
     def init_fn(call_key):
         init_keys = jax.vmap(
             lambda r: jax.random.fold_in(rng.init_key(call_key), r)
         )(jnp.arange(batch))
         state = jax.vmap(lambda k: model.init_state(init_kind, k))(
             init_keys)
-        return xp.pad_planes(state, half)
+        return pack(state)
 
     def make_body(call_key):
         def with_or(planes, key):
-            planes = xp.padded_sweep(model, planes, key)
+            planes = sweep_fn(planes, key)
             planes = lax.fori_loop(
                 0, n_over_relax - 1,
-                lambda i, p: xp.padded_or_sweep(model, p), planes)
-            return xp.padded_or_sweep_measure(model, planes)
+                lambda i, p: or_fn(p), planes)
+            return or_meas_fn(planes)
 
         def body(planes, t):
             key = rng.sweep_key(call_key, t)
             if n_over_relax == 0:
-                return xp.padded_sweep_measure(model, planes, key)
+                return sweep_meas_fn(planes, key)
             if mcs_or >= mcs:
                 return with_or(planes, key)
             return lax.cond(
                 t <= mcs_or,
                 lambda p: with_or(p, key),
-                lambda p: xp.padded_sweep_measure(model, p, key),
+                lambda p: sweep_meas_fn(p, key),
                 planes,
             )
 
@@ -1158,7 +1193,6 @@ def make_xy_padded_runner(model, mcs, batch, init_kind,
 
     budget_sweeps = _sweeps_per_dispatch(
         model.nsites * (1 + max(n_over_relax, 0)), batch, 1.0e10)
-    name = "xy2d periodic lane-padded Pallas"
     if mcs > budget_sweeps:
         def chunk_fn(planes, call_key, t0, size):
             planes, series = lax.scan(

@@ -222,8 +222,9 @@ def s4_padded_disorder_rate():
     log(f"padded disorder 4000^2 from-disorder: {rate:.3e} "
         f"MCS-site/s ({dt:.2f}s / {mcs} MCS); A[0,:3]={a[0, :3]}, "
         f"finite={np.isfinite(a).all()}")
-    # sanity: A(1) near 1 (one sweep decorrelates little)
-    assert 0.5 < a[0, 0] <= 1.0
+    # sanity: A(1) ≈ P(reject) ≈ 0.44 from disorder at kbt=0.89 (the
+    # committed 1500² literal's col-10 value is 0.43798)
+    assert 0.3 < a[0, 0] <= 1.0
 
 
 def main():
