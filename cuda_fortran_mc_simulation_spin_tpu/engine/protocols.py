@@ -25,6 +25,7 @@ every ``checkpoint_every`` histories and runs resume exactly
 
 from __future__ import annotations
 
+import functools
 import os
 import sys
 import time
@@ -794,15 +795,28 @@ def _xy_disorder_padded_eligible(cfg: RunConfig, model, prep: str
     return ny % 8 == 0 and half % 128 != 0
 
 
+def _xy_padded_disorder_angle(cfg: RunConfig) -> bool:
+    """f32-angle routing rule for the padded disorder runner — same
+    data-driven rule as make_xy_padded_runner (r5b A/B: angle wins
+    1.49x on Metropolis-only schedules, loses 0.955x with OR);
+    SPINLAT_XY_PERIODIC_ANGLE overrides both ways."""
+    env = os.environ.get("SPINLAT_XY_PERIODIC_ANGLE")
+    if env is not None:
+        return env == "1"
+    return cfg.n_over_relax == 0
+
+
 def _xy_disorder_padded_runner(model, cfg: RunConfig, prep: str,
                                batch: int):
     """run(call_key) -> {mx, my, e, A: (batch, mcs)} on zero-padded
     color planes: Metropolis sweeps through the padded kernels with the
-    fused snapshot measurement (padded_sweep_measure_snap) on the no-OR
-    hot path; OR schedules and the fix1mcs rotation unpad for the exact
-    jnp measurement/rotation (pads are exact zeros throughout, so
-    padding round-trips losslessly).  Host-chunked past the dispatch
-    deadline with global-t keys (bitwise-identical legs)."""
+    fused snapshot measurement on the no-OR hot path (the f32-angle
+    engine's sweep_measure_snap_angle when _xy_padded_disorder_angle
+    routes it — A(t) is one cos polynomial on the angle difference);
+    OR schedules and the fix1mcs rotation unpad for the exact jnp
+    measurement/rotation (pads are exact zeros throughout, so padding
+    round-trips losslessly).  Host-chunked past the dispatch deadline
+    with global-t keys (bitwise-identical legs)."""
     from cuda_fortran_mc_simulation_spin_tpu.engine.sweep import (
         _host_chunk_runner,
         _sweeps_per_dispatch,
@@ -816,6 +830,35 @@ def _xy_disorder_padded_runner(model, cfg: RunConfig, prep: str,
     ny, half = model.color_shape
     n_inv = 1.0 / model.nsites
 
+    if _xy_padded_disorder_angle(cfg):
+        from cuda_fortran_mc_simulation_spin_tpu.ops import (
+            xy2d_pallas_angle as xa,
+        )
+
+        def to_padded(state):
+            return xa.pack_angles(state, half)
+
+        def unpad(planes):
+            return xa.unpack_angles(planes, half)
+
+        sweep_measure_snap = functools.partial(
+            xa.sweep_measure_snap_angle, model)
+        sweep_fn = functools.partial(xa.sweep_angle, model)
+        or_fn = functools.partial(xa.or_sweep_angle, model)
+    else:
+        def to_padded(state):
+            return xp.pad_planes(state, half)
+
+        def unpad(planes):
+            return xp.unpad_planes(planes, half)
+
+        sweep_measure_snap = functools.partial(
+            xp.padded_sweep_measure_snap, model)
+        sweep_fn = functools.partial(xp.padded_sweep, model)
+
+        def or_fn(p):
+            return xp.padded_or_sweep(model, p)
+
     def measure_one(state, snap):
         mx, my = model.magne_sums(state)
         return {
@@ -826,8 +869,7 @@ def _xy_disorder_padded_runner(model, cfg: RunConfig, prep: str,
         }
 
     def measure_padded(planes, snaps):
-        return jax.vmap(measure_one)(
-            xp.unpad_planes(planes, half), xp.unpad_planes(snaps, half))
+        return jax.vmap(measure_one)(unpad(planes), unpad(snaps))
 
     def rot_one(state, snap):
         mx, my = model.magne_sums(state)
@@ -835,9 +877,8 @@ def _xy_disorder_padded_runner(model, cfg: RunConfig, prep: str,
         return model.rotate(state, th), model.rotate(snap, th)
 
     def rot_padded(planes, snaps):
-        state, snap = jax.vmap(rot_one)(
-            xp.unpad_planes(planes, half), xp.unpad_planes(snaps, half))
-        return (xp.pad_planes(state, half), xp.pad_planes(snap, half))
+        state, snap = jax.vmap(rot_one)(unpad(planes), unpad(snaps))
+        return (to_padded(state), to_padded(snap))
 
     def init_fn(call_key):
         init_keys = jax.vmap(
@@ -846,15 +887,14 @@ def _xy_disorder_padded_runner(model, cfg: RunConfig, prep: str,
         state, snap = jax.vmap(
             lambda k: _xy_init_for_prep(model, cfg, prep, k)
         )(init_keys)
-        return (xp.pad_planes(state, half), xp.pad_planes(snap, half))
+        return (to_padded(state), to_padded(snap))
 
     def make_body(call_key):
         def body(carry, t):
             planes, snaps = carry
             key = rng.sweep_key(call_key, t)
             if n_or == 0:
-                planes, obs = xp.padded_sweep_measure_snap(
-                    model, planes, snaps, key)
+                planes, obs = sweep_measure_snap(planes, snaps, key)
                 if fix1:
                     def rot_and_remeasure(args):
                         planes, snaps, _ = args
@@ -867,7 +907,7 @@ def _xy_disorder_padded_runner(model, cfg: RunConfig, prep: str,
                         (planes, snaps, obs),
                     )
                 return (planes, snaps), obs
-            planes = xp.padded_sweep(model, planes, key)
+            planes = sweep_fn(planes, key)
             if fix1:
                 planes, snaps = lax.cond(
                     t == 1, lambda a: rot_padded(*a), lambda a: a,
@@ -876,8 +916,7 @@ def _xy_disorder_padded_runner(model, cfg: RunConfig, prep: str,
 
             def do_or(p):
                 return lax.fori_loop(
-                    0, n_or, lambda i, x: xp.padded_or_sweep(model, x),
-                    p)
+                    0, n_or, lambda i, x: or_fn(x), p)
 
             planes = lax.cond(t <= mcs_or, do_or, lambda p: p, planes)
             return (planes, snaps), measure_padded(planes, snaps)
@@ -984,7 +1023,9 @@ def _run_xy_disorder(cfg: RunConfig, prep: str, out, err,
         runner = _xy_disorder_padded_runner(model, cfg, prep, batch)
         if not getattr(runner, "host_chunked", False):
             runner = jax.jit(runner)
-        engine = "xy2d periodic lane-padded Pallas (disorder)"
+        engine = ("xy2d periodic lane-padded Pallas (disorder, "
+                  "f32-angle)" if _xy_padded_disorder_angle(cfg)
+                  else "xy2d periodic lane-padded Pallas (disorder)")
     elif batch == 1:
         runner = jax.jit(_xy_disorder_runner(model, cfg, prep))
         engine = "XY disorder phase engine (single history)"

@@ -312,6 +312,136 @@ def _angle_or_phase(s, o, *, color, nrep, ny, half, valid_half=0,
 
 
 # ---------------------------------------------------------------------------
+# phase b with fused snapshot measurement: the disorder-protocol fast
+# path.  In angle storage the autocorrelation needs NO snapshot decode:
+# S(t)·S(0) = cos 2π(θ_t − θ_0), one quarter-period polynomial on the
+# difference (domain (-1, 1) — both operands are turns in [-0.5, 0.5)).
+# Traffic per measuring phase: 4 plane reads + 1 write vs the component
+# engine's 8 + 2 (ops/xy2d_pallas._metropolis_phase_b_measure).
+# ---------------------------------------------------------------------------
+
+def _angle_metro_snap_kernel(seed_ref, s_ref, o_ref, ou_ref, od_ref,
+                             sna_ref, sno_ref, *rest,
+                             color: int, ty: int, beta: float,
+                             half: int = 0, has_u: bool = False):
+    refs = list(rest)
+    obs_ref = refs.pop()
+    if has_u:
+        ucand_ref, uacc_ref, out_ref = refs
+    else:
+        (out_ref,) = refs
+    r = pl.program_id(0)
+    i = pl.program_id(1)
+    parity = stencil.row_parity_mask(ty, i * ty)
+    s = s_ref[0]
+    o = o_ref[0]
+    (ox, oy), (hx, hy) = _field_angles(
+        o, ou_ref[0, 7:8, :], od_ref[0, 0:1, :], color, parity, half)
+    if has_u:
+        u_cand = ucand_ref[0]
+        u_acc = uacc_ref[0]
+    else:
+        tile_tag = i * jnp.int32(-1640531527) + r * jnp.int32(0x3C6EF35F)
+        pltpu.prng_seed(seed_ref[0], seed_ref[1] ^ tile_tag)
+        u_cand = stencil.bits_to_uniform(
+            pltpu.bitcast(pltpu.prng_random_bits(s.shape), jnp.uint32))
+        u_acc = stencil.bits_to_uniform(
+            pltpu.bitcast(pltpu.prng_random_bits(s.shape), jnp.uint32))
+    valid = _lane_mask(s.shape, half)
+    fin, fx, fy = _metro_math(s, hx, hy, u_cand, u_acc, beta, valid)
+    out_ref[0] = fin
+
+    # fused (mx, my, e, A): h from FINAL phase-a values, each bond once
+    # in Σ_b S·h; A over BOTH colors against the t=0 angle snapshots
+    ca, _ = trig.cos_sin_2pi(fin - sna_ref[0])
+    cb, _ = trig.cos_sin_2pi(o - sno_ref[0])
+    if valid is None:
+        mx = jnp.sum(fx) + jnp.sum(ox)
+        my = jnp.sum(fy) + jnp.sum(oy)
+        e = -jnp.sum(fx * hx + fy * hy)
+        a_sum = jnp.sum(ca) + jnp.sum(cb)
+    else:
+        vm = valid.astype(jnp.float32)
+        mx = jnp.sum(fx * vm) + jnp.sum(ox * vm)
+        my = jnp.sum(fy * vm) + jnp.sum(oy * vm)
+        e = -jnp.sum((fx * hx + fy * hy) * vm)
+        a_sum = jnp.sum(ca * vm) + jnp.sum(cb * vm)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+    row = jnp.where(
+        lane == 0, mx,
+        jnp.where(lane == 1, my,
+                  jnp.where(lane == 2, e,
+                            jnp.where(lane == 3, a_sum, 0.0))))
+
+    @pl.when(i == 0)
+    def _():
+        obs_ref[0] = jnp.zeros_like(obs_ref[0])
+
+    obs_ref[0] = obs_ref[0] + row
+
+
+@functools.partial(
+    jax.jit, static_argnames=("beta", "nrep", "ny", "half",
+                              "valid_half", "interpret")
+)
+def _angle_metro_snap_phase(s, o, snap_s, snap_o, seeds, *, beta, nrep,
+                            ny, half, valid_half=0, u_cand=None,
+                            u_acc=None, interpret=False):
+    """Phase b (color 1) Metropolis + fused (mx, my, e, A)."""
+    ty = _pick_tile_rows(ny, half, budget_bytes=128 << 10, gran=8)
+    n = ny // ty
+    center, up, dn = _specs(ty, ny, half)
+    has_u = u_cand is not None
+    kernel = functools.partial(
+        _angle_metro_snap_kernel, color=1, ty=ty, beta=beta,
+        half=valid_half, has_u=has_u,
+    )
+    in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM),
+                center, center, up, dn, center, center]
+    operands = [seeds, s, o, o, o, snap_s, snap_o]
+    if has_u:
+        in_specs += [center, center]
+        operands += [u_cand, u_acc]
+    res = pl.pallas_call(
+        kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((nrep, ny, half), jnp.float32),
+            jax.ShapeDtypeStruct((nrep, 1, 128), jnp.float32),
+        ),
+        grid=(nrep, n),
+        in_specs=in_specs,
+        out_specs=(center,
+                   pl.BlockSpec((1, 1, 128), lambda r, i: (r, 0, 0),
+                                memory_space=pltpu.VMEM)),
+        input_output_aliases={1: 0},
+        interpret=interpret,
+    )(*operands)
+    return res
+
+
+def sweep_measure_snap_angle(model, planes, snaps, key):
+    """One Metropolis MCS + fused (mx, my, e, A) against the t=0 angle
+    snapshots — the disorder-protocol measurement on angle storage
+    (A(t) = Σ cos 2π(θ_t − θ_0), /root/reference/src/
+    xy2d_periodic_gpu_m.f90:535-549 semantics)."""
+    a, b = planes
+    sa, sb = snaps
+    kw = _kw(model, planes)
+    beta = float(model.beta)
+    a = _angle_metro_phase(a, b, seeds_from_key(key, 0), color=0,
+                           beta=beta, **kw)
+    b, obs = _angle_metro_snap_phase(
+        b, a, sb, sa, seeds_from_key(key, 1), beta=beta, **kw)
+    n_inv = jnp.float32(1.0 / model.nsites)
+    return (a, b), {
+        "mx": obs[:, 0, 0] * n_inv,
+        "my": obs[:, 0, 1] * n_inv,
+        "e": obs[:, 0, 2] * n_inv,
+        "A": obs[:, 0, 3] * n_inv,
+    }
+
+
+# ---------------------------------------------------------------------------
 # sweep wrappers (angle-plane state: a 2-tuple (a, b))
 # ---------------------------------------------------------------------------
 

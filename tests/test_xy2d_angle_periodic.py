@@ -246,3 +246,106 @@ def test_angle_default_routing(monkeypatch):
     assert "f32-angle" in sw.make_xy_padded_runner(
         model, 2, 1, "allup", n_over_relax=1,
         mcs_over_relax=2).engine
+
+
+def test_angle_snap_measure_matches_phase_and_obs():
+    """Angle phase-b + fused (mx, my, e, A): state bitwise equal to
+    the plain angle phase kernel given shared uniforms; fused obs
+    equal the whole-lattice recompute on the unpacked final state
+    (A = sum cos 2pi(theta_t - theta_0) == component-space dot)."""
+    model = XY2D(nx=42, ny=16, kbt=0.9, backend="jnp")
+    ny, half = model.color_shape
+    st = _rand_state(model, rng.base_key(7), 2)
+    snap = _rand_state(model, rng.base_key(8), 2)
+    planes = xa.pack_angles(st, half)
+    snaps = xa.pack_angles(snap, half)
+    w = planes[0].shape[-1]
+    u_cand, u_acc = _uniforms(9, (2, ny, w))
+    kw = dict(beta=float(model.beta), nrep=2, ny=ny, half=w,
+              valid_half=half, interpret=True)
+    a, b = planes
+    sa, sb = snaps
+    got_b, obs = xa._angle_metro_snap_phase(
+        b, a, sb, sa, jnp.zeros(2, jnp.int32), u_cand=u_cand,
+        u_acc=u_acc, **kw)
+    want_b = xa._angle_metro_phase(
+        b, a, jnp.zeros(2, jnp.int32), color=1, u_cand=u_cand,
+        u_acc=u_acc, **kw)
+    np.testing.assert_array_equal(np.asarray(got_b),
+                                  np.asarray(want_b))
+    fin = xa.unpack_angles((a, got_b), half)
+    snap_unp = xa.unpack_angles(snaps, half)
+    n_inv = 1.0 / model.nsites
+    mx_w = jax.vmap(lambda s: model.magne_sums(s)[0])(fin) * n_inv
+    my_w = jax.vmap(lambda s: model.magne_sums(s)[1])(fin) * n_inv
+    e_w = jax.vmap(model.energy_sum)(fin) * n_inv
+    a_w = jax.vmap(model.autocorrelation_sum)(fin, snap_unp) * n_inv
+    np.testing.assert_allclose(np.asarray(obs[:, 0, 0]) * n_inv,
+                               np.asarray(mx_w), rtol=0, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(obs[:, 0, 1]) * n_inv,
+                               np.asarray(my_w), rtol=0, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(obs[:, 0, 2]) * n_inv,
+                               np.asarray(e_w), rtol=0, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(obs[:, 0, 3]) * n_inv,
+                               np.asarray(a_w), rtol=0, atol=2e-5)
+
+
+@pytest.mark.parametrize("prep,n_or", [("rotate_first", 0),
+                                       ("fix1mcs", 0),
+                                       ("rotate_first", 1)])
+def test_angle_disorder_runner_wiring(monkeypatch, prep, n_or):
+    """_xy_disorder_padded_runner on the ANGLE route (faked angle
+    sweeps): schedule branches produce finite series of the right
+    shape and host-chunked == monolithic bitwise; the engine stamp
+    helper routes angle by default exactly on OR-free schedules."""
+    from cuda_fortran_mc_simulation_spin_tpu.config import RunConfig
+    from cuda_fortran_mc_simulation_spin_tpu.engine import (
+        protocols as proto,
+    )
+
+    monkeypatch.setenv("SPINLAT_XY_PERIODIC_ANGLE", "1")
+
+    def fake_sweep(model, planes, key):
+        a, b = planes
+        r = jax.random.uniform(key, a.shape, jnp.float32)
+        return a + 0.25 * r, b - 0.125 * r
+
+    def fake_snap(model, planes, snaps, key):
+        planes = fake_sweep(model, planes, key)
+        a, b = planes
+        sa, _ = snaps
+        return planes, {"mx": jnp.mean(a, (1, 2)),
+                        "my": jnp.mean(b, (1, 2)),
+                        "e": jnp.mean(a - b, (1, 2)),
+                        "A": jnp.mean(a * sa, (1, 2))}
+
+    monkeypatch.setattr(xa, "sweep_angle", fake_sweep)
+    monkeypatch.setattr(xa, "sweep_measure_snap_angle", fake_snap)
+    monkeypatch.setattr(xa, "or_sweep_angle",
+                        lambda model, planes: planes[::-1])
+
+    model = XY2D(nx=42, ny=16, kbt=0.9, backend="jnp")
+    cfg = RunConfig(model="xy2d", nx=42, ny=16, kbt=0.9, mcs=6,
+                    tot_sample=2, replicas=2, n_over_relax=n_or,
+                    mcs_over_relax=4 if n_or else 0)
+    key = rng.sample_key(rng.base_key(12), 0)
+    mono = jax.device_get(jax.jit(proto._xy_disorder_padded_runner(
+        model, cfg, prep, 2))(key))
+    assert mono["mx"].shape == (2, 6)
+    for k in ("mx", "my", "e", "A"):
+        assert np.all(np.isfinite(np.asarray(mono[k])))
+
+    import cuda_fortran_mc_simulation_spin_tpu.engine.sweep as sw_mod
+    monkeypatch.setattr(sw_mod, "_sweeps_per_dispatch",
+                        lambda *a, **k: 3)
+    chunked_runner = proto._xy_disorder_padded_runner(model, cfg,
+                                                      prep, 2)
+    assert getattr(chunked_runner, "host_chunked", False)
+    chunked = jax.device_get(chunked_runner(key))
+    for k in mono:
+        np.testing.assert_array_equal(np.asarray(mono[k]),
+                                      np.asarray(chunked[k]))
+
+    # default routing rule (no env): angle iff OR-free
+    monkeypatch.delenv("SPINLAT_XY_PERIODIC_ANGLE")
+    assert proto._xy_padded_disorder_angle(cfg) == (n_or == 0)

@@ -305,7 +305,12 @@ def test_padded_snap_measure_matches_phase_and_obs():
 
 
 def _fake_padded_disorder_kernels(monkeypatch):
-    """Deterministic stand-ins (hardware PRNG has no CPU interpret)."""
+    """Deterministic stand-ins (hardware PRNG has no CPU interpret).
+    Pins the COMPONENT engine (the angle engine routes by default on
+    OR-free schedules; its wiring is tested in
+    test_xy2d_angle_periodic)."""
+    monkeypatch.setenv("SPINLAT_XY_PERIODIC_ANGLE", "0")
+
     def fake_phase(st, key):
         r = jax.random.uniform(key, st.ax.shape, jnp.float32)
         return XYState(st.ax + r, st.ay - 0.5 * r,
