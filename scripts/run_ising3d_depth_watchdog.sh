@@ -12,6 +12,8 @@
 set -u
 cd "$(dirname "$0")/.."
 export PYTHONPATH=/root/repo:/root/.axon_site
+export JAX_COMPILATION_CACHE_DIR=/tmp/jax_ccache
+mkdir -p "$JAX_COMPILATION_CACHE_DIR" 2>/dev/null || true
 deadline=${1:?deadline epoch}
 ck=data/production/ising3d_1001.ck.npz
 out=data/production/ising3d_1001x1000x1000_mcs1000_s500.dat

@@ -3,7 +3,7 @@
 # (app/xy2d_gpu_over_relaxation.f90: 10001x10000, 1e4 MCS, 500 samples,
 # kbt=0.890, OR every sweep) resuming the round-3 checkpoint at
 # sample 92.  ~85-120 s/sample on the dense dual-color engine, so legs
-# are small (12 samples, checkpoint every 4).
+# are small (24 samples, checkpoint every 4; compile-cache warm).
 # Usage: sh scripts/run_orlit_watchdog.sh <deadline_epoch>
 set -u
 cd "$(dirname "$0")/.."
@@ -13,20 +13,24 @@ export PYTHONPATH=/root/repo:/root/.axon_site
 # HBM-bound path (bitwise-on-chip stage green).  Same Markov chain,
 # different state representation; runs.log records the engine per leg.
 export SPINLAT_XY_DENSE_ANGLE=1
+# persistent XLA compilation cache: leg N>1 skips the multi-minute
+# per-process kernel compiles (the dominant leg overhead at 1 host CPU)
+export JAX_COMPILATION_CACHE_DIR=/tmp/jax_ccache
+mkdir -p "$JAX_COMPILATION_CACHE_DIR" 2>/dev/null || true
 deadline=${1:?deadline epoch}
 ck=data/production/xy2d_or_literal.ck
 out=data/production/xy2d_or_10001x10000_mcs10000_s500.dat
 
 while [ "$(date +%s)" -lt "$deadline" ]; do
   left=$(( deadline - $(date +%s) ))
-  legtime=$(( left < 1800 ? left : 1800 ))
+  legtime=$(( left < 2700 ? left : 2700 ))
   [ "$legtime" -lt 300 ] && break
   echo "=== $(date '+%H:%M:%S') leg start (timeout ${legtime}s) ===" >&2
   timeout "$legtime" python -m cuda_fortran_mc_simulation_spin_tpu.runs \
     --model xy2d --nx 10001 --ny 10000 --kbt 0.890 \
     --mcs 10000 --samples 500 --seed 42 \
     --n-over-relax 1 --mcs-over-relax 10000 \
-    --max-samples-this-run 12 \
+    --max-samples-this-run 24 \
     --checkpoint "$ck" --checkpoint-every 4 \
     --output "$out" \
     --registry data/production/runs.log

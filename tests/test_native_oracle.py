@@ -6,9 +6,12 @@ import pytest
 
 from cuda_fortran_mc_simulation_spin_tpu.utils import native
 
-pytestmark = pytest.mark.skipif(
-    native.build() is None, reason="g++ toolchain unavailable"
-)
+# fast/slow tier: C++ oracle build + exact enumeration (minutes-class)
+pytestmark = [
+    pytest.mark.skipif(native.build() is None,
+                       reason="g++ toolchain unavailable"),
+    pytest.mark.slow,
+]
 
 
 def test_ising_oracle_against_python_enum():

@@ -18,6 +18,9 @@ from cuda_fortran_mc_simulation_spin_tpu.engine import sweep as sweep_mod
 from cuda_fortran_mc_simulation_spin_tpu.models.ising2d import Ising2D
 from cuda_fortran_mc_simulation_spin_tpu.models.xy2d import XY2D
 
+# fast/slow tier: whole file is statistical equilibrium cross-checks (minutes-class)
+pytestmark = pytest.mark.slow
+
 
 @pytest.mark.slow
 def test_onsager_magnetization_below_tc():

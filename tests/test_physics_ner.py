@@ -14,6 +14,9 @@ from cuda_fortran_mc_simulation_spin_tpu.core import rng, stats
 from cuda_fortran_mc_simulation_spin_tpu.engine import sweep as sweep_mod
 from cuda_fortran_mc_simulation_spin_tpu.models.ising2d import Ising2D
 
+# fast/slow tier: whole file is statistical NER power-law fits (minutes-class)
+pytestmark = pytest.mark.slow
+
 
 @pytest.mark.slow
 def test_ising2d_ner_power_law_at_tc():

@@ -1,8 +1,12 @@
 """Counter-based RNG streams and statistics utilities."""
 
 import numpy as np
+import pytest
 
 from cuda_fortran_mc_simulation_spin_tpu.core import rng, stats
+
+# fast/slow tier: whole file is chi-square RNG batteries (minutes-class)
+pytestmark = pytest.mark.slow
 
 
 def test_stream_separation():

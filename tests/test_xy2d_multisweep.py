@@ -8,10 +8,14 @@ protocol layer uses to enter/leave the kernel.
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from cuda_fortran_mc_simulation_spin_tpu.core import rng
 from cuda_fortran_mc_simulation_spin_tpu.models.xy2d import XY2D
 from cuda_fortran_mc_simulation_spin_tpu.ops import xy2d_multisweep as ms
+
+# fast/slow tier: whole file is opt-in negative-result engine (kept validated, not routed)
+pytestmark = pytest.mark.slow
 
 
 def _random_state(model, key):
