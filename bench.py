@@ -260,6 +260,32 @@ def _xy_padded_or():
     return model.nsites * mcs / best, engine
 
 
+def _xy_padded_metro():
+    """The 10000^2 periodic relaxation literal's routed engine — the
+    f32-ANGLE lane-padded kernels on the OR-free schedule (r5b A/B:
+    1.49x the component engine; /root/reference/app/
+    xy2d_periodic_gpu_relaxation.f90:7-13 geometry)."""
+    from cuda_fortran_mc_simulation_spin_tpu.engine import (
+        sweep as sweep_mod,
+    )
+    from cuda_fortran_mc_simulation_spin_tpu.models.xy2d import XY2D
+
+    n, mcs = 10000, 48
+    model = XY2D(nx=n, ny=n, kbt=0.895)
+    if not sweep_mod.xy_padded_eligible(model):
+        return None, "padded gate did not engage"
+    runner = sweep_mod.make_xy_padded_runner(model, mcs, 1, "allup")
+    engine = getattr(runner, "engine", "padded runner")
+    if not getattr(runner, "host_chunked", False):
+        runner = jax.jit(runner)
+
+    def timed(_carry, key):
+        return None, runner(key)["m"][:, -1].sum()
+
+    best = _time_best(timed, None, rng.base_key(42))
+    return model.nsites * mcs / best, engine
+
+
 def main() -> None:
     on_accel = jax.default_backend() not in ("cpu",)
     flips_per_sec, engine = _headline(on_accel)
@@ -321,6 +347,16 @@ def main() -> None:
                 }
         except Exception as exc:  # pragma: no cover - bench resilience
             secondary["xy2d_padded4000_or_mcs_sites_per_sec"] = {
+                "error": repr(exc)}
+        try:
+            v, eng = _xy_padded_metro()
+            if v is not None:
+                secondary["xy2d_padded10000_metro_mcs_sites_per_sec"] = {
+                    "value": v, "unit": "MCS-site/s",
+                    "engine": eng + " [literal 10000x10000, Metropolis]",
+                }
+        except Exception as exc:  # pragma: no cover - bench resilience
+            secondary["xy2d_padded10000_metro_mcs_sites_per_sec"] = {
                 "error": repr(exc)}
 
     print(
