@@ -1095,9 +1095,17 @@ def run_ensemble(
 # ---------------------------------------------------------------------------
 
 def xy_padded_eligible(model, runner_kwargs=None) -> bool:
-    """True when the lane-padded periodic XY Pallas path serves this
-    model: periodic XY2D on TPU whose nx/2 is NOT a lane multiple (the
-    aligned kernels already serve multiples) with 8-row tiling."""
+    """True when the (possibly lane-padded) periodic XY Pallas runner
+    serves this model: periodic XY2D on TPU with 8-row tiling, either
+
+    - nx/2 NOT a lane multiple (zero-padded planes; previously the
+      ~10x slower jnp fallback), any schedule; or
+    - nx/2 a lane multiple AND an OR-free schedule: the runner then
+      runs unpadded and routes the f32-angle engine, measured 1.60x
+      the component batch runner at aligned 8192^2 Metropolis
+      (scripts/tpu_session_r5d.py; OR-bearing aligned schedules keep
+      the fused component kernels per the r5b 0.955x result).
+    """
     from cuda_fortran_mc_simulation_spin_tpu.models.xy2d import XY2D
 
     if os.environ.get("SPINLAT_XY_PADDED") == "0":
@@ -1109,7 +1117,13 @@ def xy_padded_eligible(model, runner_kwargs=None) -> bool:
     if jax.default_backend() in ("cpu", "gpu"):
         return False
     ny, half = model.color_shape
-    return ny % 8 == 0 and half % 128 != 0
+    if ny % 8 != 0:
+        return False
+    if half % 128 != 0:
+        return True
+    n_or = (runner_kwargs or {}).get("n_over_relax", 0)
+    return (n_or == 0
+            and os.environ.get("SPINLAT_XY_PERIODIC_ANGLE") != "0")
 
 
 def make_xy_padded_runner(model, mcs, batch, init_kind,
@@ -1147,7 +1161,11 @@ def make_xy_padded_runner(model, mcs, batch, init_kind,
         or_fn = functools.partial(xa.or_sweep_angle, model)
         or_meas_fn = functools.partial(xa.or_sweep_measure_angle, model)
         sweep_meas_fn = functools.partial(xa.sweep_measure_angle, model)
-        name = "xy2d periodic lane-padded Pallas (f32-angle)"
+        from cuda_fortran_mc_simulation_spin_tpu.ops.xy2d_pallas import (
+            pad_width,
+        )
+        pad = "lane-padded " if pad_width(half) != half else ""
+        name = f"xy2d periodic {pad}Pallas (f32-angle)"
     else:
         def pack(state):
             return xp.pad_planes(state, half)

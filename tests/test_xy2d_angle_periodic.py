@@ -349,3 +349,27 @@ def test_angle_disorder_runner_wiring(monkeypatch, prep, n_or):
     # default routing rule (no env): angle iff OR-free
     monkeypatch.delenv("SPINLAT_XY_PERIODIC_ANGLE")
     assert proto._xy_padded_disorder_angle(cfg) == (n_or == 0)
+
+
+def test_aligned_or_free_routes_angle_runner(monkeypatch):
+    """Aligned widths (nx/2 % 128 == 0) route the padded-runner
+    machinery (unpadded, f32-angle) exactly on OR-free schedules
+    (r5d A/B: 1.60x); OR schedules and SPINLAT_XY_PERIODIC_ANGLE=0
+    keep the fused component batch runner."""
+    from cuda_fortran_mc_simulation_spin_tpu.engine import sweep as sw
+
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    monkeypatch.delenv("SPINLAT_XY_PERIODIC_ANGLE", raising=False)
+    aligned = XY2D(nx=4096, ny=4096, kbt=0.89)
+    assert sw.xy_padded_eligible(aligned, {})
+    assert not sw.xy_padded_eligible(aligned, {"n_over_relax": 1})
+    monkeypatch.setenv("SPINLAT_XY_PERIODIC_ANGLE", "0")
+    assert not sw.xy_padded_eligible(aligned, {})
+    # unaligned widths stay eligible for any schedule
+    unaligned = XY2D(nx=4000, ny=4000, kbt=0.89)
+    assert sw.xy_padded_eligible(unaligned, {"n_over_relax": 1})
+    # engine stamp: unpadded aligned run says plain Pallas (f32-angle)
+    monkeypatch.delenv("SPINLAT_XY_PERIODIC_ANGLE", raising=False)
+    model = XY2D(nx=256, ny=16, kbt=0.9, backend="jnp")
+    r = sw.make_xy_padded_runner(model, 2, 1, "allup")
+    assert r.engine == "xy2d periodic Pallas (f32-angle)"

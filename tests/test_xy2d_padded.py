@@ -199,8 +199,11 @@ def test_padded_eligibility_gate(monkeypatch):
     """Gate: periodic XY2D, non-multiple-of-128 half, TPU backend."""
     monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
     assert sw.xy_padded_eligible(XY2D(nx=42, ny=16, kbt=0.9))
-    # aligned widths keep the existing aligned path
-    assert not sw.xy_padded_eligible(XY2D(nx=256, ny=16, kbt=0.9))
+    # aligned widths keep the existing aligned path on OR schedules
+    # (OR-free aligned routes the f32-angle runner since r5d —
+    # see test_xy2d_angle_periodic.test_aligned_or_free_routes_angle)
+    assert not sw.xy_padded_eligible(XY2D(nx=256, ny=16, kbt=0.9),
+                                     {"n_over_relax": 1})
     # explicit jnp backend opts out
     assert not sw.xy_padded_eligible(
         XY2D(nx=42, ny=16, kbt=0.9, backend="jnp"))
