@@ -715,5 +715,12 @@ def test_even_nxy_equilibrium_matches_sequential_metropolis():
                 for d in (1, nx, nxy)) / nall
             acc.append(e)
     e_seq = float(np.mean(acc))
-    # ~3500 correlated samples each; sem ~ 0.005 — 0.04 is >6 sigma
-    assert abs(e_model - e_seq) < 0.04, (e_model, e_seq)
+    # Bound calibration (r5): seed-to-seed scatter of each chain's
+    # 3500-sweep mean is ~0.016-0.018 near kbt=4.3 (measured over 5
+    # model seeds: -1.481..-1.520, and 3 sequential seeds:
+    # -1.505..-1.537) — autocorrelation near Tc makes the naive
+    # sem ~ 0.005 a 3x underestimate, and the old 0.04 bound (~1.6
+    # sigma of the pair difference) flaked deterministically at these
+    # seeds (|d| = 0.0445).  0.08 is ~3.3 sigma and keeps full power
+    # against the racy-schedule failure this guards (e -> +0.95).
+    assert abs(e_model - e_seq) < 0.08, (e_model, e_seq)
