@@ -251,6 +251,7 @@ def test_fused_obs_match_direct():
     assert abs(float(obs["e"][0]) - float(want["e"])) < 2e-6
 
 
+@pytest.mark.slow
 def test_equilibrium_energy_vs_int8_engine():
     """⟨e⟩ at kbt=1.2 from the packed engine matches the int8 jnp
     engine within combined statistical error (different RNG streams —
@@ -494,6 +495,7 @@ def _virtual_mesh_or_skip(dp, y, x=1):
     return mm.make_mesh(dp, y, x)
 
 
+@pytest.mark.slow
 def test_sharded_packed3_runner_mesh_shape_invariant(monkeypatch):
     """Full packed q=3 sharded runner (interpret mode): (1,1) and (2,2)
     meshes produce bit-identical (m, e) series."""
@@ -513,6 +515,7 @@ def test_sharded_packed3_runner_mesh_shape_invariant(monkeypatch):
             np.asarray(series[(1, 1)][k]), np.asarray(series[(2, 2)][k]))
 
 
+@pytest.mark.slow
 def test_sharded_packed3_runner_x_split_invariant(monkeypatch):
     """(1,2,2) mesh (x-axis split of the PACKED q=3 engine) is bitwise
     identical to the (1,1) mesh — granule+chunk PRNG keying."""

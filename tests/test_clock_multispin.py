@@ -272,6 +272,7 @@ def test_fused_obs_match_direct():
     assert abs(float(obs["e"][0]) - float(want["e"])) < 2e-6
 
 
+@pytest.mark.slow
 def test_equilibrium_energy_vs_int8_engine():
     """⟨e⟩ at kbt=2.0 from the packed engine matches the int8 jnp
     engine within combined statistical error (different RNG streams —
@@ -538,6 +539,7 @@ def _virtual_mesh_or_skip(dp, y):
     return mm.make_mesh(dp, y)
 
 
+@pytest.mark.slow
 def test_sharded_packed6_runner_mesh_shape_invariant(monkeypatch):
     """Full packed clock sharded runner (interpret mode): (1,1) and
     (2,2) meshes produce bit-identical (m, e) series."""
@@ -557,6 +559,7 @@ def test_sharded_packed6_runner_mesh_shape_invariant(monkeypatch):
             np.asarray(series[(1, 1)][k]), np.asarray(series[(2, 2)][k]))
 
 
+@pytest.mark.slow
 def test_sharded_packed6_runner_x_split_invariant(monkeypatch):
     """(1,2,2) mesh (x-axis split of the PACKED clock engine —
     exchanged boundary word columns per plane) is bitwise identical to
@@ -851,6 +854,7 @@ def test_padded_absorbing_and_obs():
     assert abs(float(obs["e"][0]) - float(want["e"])) < 2e-6
 
 
+@pytest.mark.slow
 def test_padded_runner_series():
     """make_clock_multispin_runner serves a padded shape end-to-end
     (interpret path) with finite (batch, mcs) series."""

@@ -16,6 +16,7 @@ def test_entry_compiles_and_runs():
     assert float(obs["m"]) <= 1.0
 
 
+@pytest.mark.slow
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
 @pytest.mark.multichip
 @pytest.mark.parametrize("n", [1, 2, 4, 6, 8])

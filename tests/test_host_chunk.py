@@ -59,6 +59,7 @@ def test_host_chunk_runner_mechanics():
 
 @pytest.mark.parametrize("q,nx,ny", [(6, 256, 256), (4, 256, 256),
                                      (6, 60, 72)])
+@pytest.mark.slow
 def test_clock_chunked_bitwise(monkeypatch, q, nx, ny):
     """Packed clock runner (q=6, q=4, padded), interpret path: chunked
     == monolithic, bitwise."""
