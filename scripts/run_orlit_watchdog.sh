@@ -23,15 +23,15 @@ out=data/production/xy2d_or_10001x10000_mcs10000_s500.dat
 
 while [ "$(date +%s)" -lt "$deadline" ]; do
   left=$(( deadline - $(date +%s) ))
-  legtime=$(( left < 2700 ? left : 2700 ))
+  legtime=$(( left < 3600 ? left : 3600 ))
   [ "$legtime" -lt 300 ] && break
   echo "=== $(date '+%H:%M:%S') leg start (timeout ${legtime}s) ===" >&2
   timeout "$legtime" python -m cuda_fortran_mc_simulation_spin_tpu.runs \
     --model xy2d --nx 10001 --ny 10000 --kbt 0.890 \
     --mcs 10000 --samples 500 --seed 42 \
     --n-over-relax 1 --mcs-over-relax 10000 \
-    --max-samples-this-run 24 \
-    --checkpoint "$ck" --checkpoint-every 4 \
+    --max-samples-this-run 26 \
+    --checkpoint "$ck" --checkpoint-every 2 \
     --output "$out" \
     --registry data/production/runs.log
   rc=$?
